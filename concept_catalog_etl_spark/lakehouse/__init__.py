@@ -1,0 +1,13 @@
+from .schema import Field, TableSchema, can_widen, parse_type
+from .table import SYS_COLS, SYS_NAMES, LakeTable, bucket_expr
+
+__all__ = [
+    "Field",
+    "TableSchema",
+    "can_widen",
+    "parse_type",
+    "LakeTable",
+    "bucket_expr",
+    "SYS_COLS",
+    "SYS_NAMES",
+]

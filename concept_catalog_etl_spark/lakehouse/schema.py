@@ -1,0 +1,180 @@
+"""Versioned table schema with stable field ids (Iceberg-style).
+
+Rename-safe schema evolution needs a level of indirection between the
+*logical* column name (current) and the *physical* column name a Parquet
+data file was written with. Each field gets a stable integer id at creation;
+every data file records ``name_by_id`` (its write-time id→name mapping), and
+the reader reconciles old files to the current schema by id
+(see ``LakeTable.read``).
+
+Supported evolution ops (the north_rule set): ``add`` (new nullable column),
+``rename`` (metadata only), ``widen`` (int→bigint, int/bigint/float→double,
+float→double, and elementwise for arrays).
+
+The reference has no schema system at all (MongoDB, schemaless —
+``/root/reference/files/extract.py:32-35`` defends with ``.get`` chains);
+this module is its replacement in a columnar world.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# type strings: a tiny, explicit DDL dialect ("string", "int", "bigint",
+# "float", "double", "boolean", "timestamp", "array<T>")
+# ---------------------------------------------------------------------------
+
+_SCALARS: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+_WIDENINGS: dict[str, set[str]] = {
+    "int": {"bigint", "double"},
+    "bigint": {"double"},
+    "float": {"double"},
+}
+
+
+def parse_type(s: str) -> T.DataType:
+    s = s.strip()
+    if s.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(parse_type(s[6:-1]))
+    if s in _SCALARS:
+        return _SCALARS[s]
+    raise ValueError(f"unsupported type string: {s!r}")
+
+
+def can_widen(old: str, new: str) -> bool:
+    old, new = old.strip(), new.strip()
+    if old.startswith("array<") and new.startswith("array<"):
+        return can_widen(old[6:-1], new[6:-1])
+    return new in _WIDENINGS.get(old, set())
+
+
+@dataclass
+class Field:
+    id: int
+    name: str
+    type: str  # type string in the dialect above
+    nullable: bool = True
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+
+    @staticmethod
+    def from_json(d: dict) -> "Field":
+        return Field(int(d["id"]), d["name"], d["type"], bool(d.get("nullable", True)))
+
+
+@dataclass
+class TableSchema:
+    fields: list[Field] = dc_field(default_factory=list)
+    key_field_id: int = 1
+    schema_version: int = 1
+    next_field_id: int = 1
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def create(cols: list[tuple[str, str]], key: str) -> "TableSchema":
+        fields = [Field(i + 1, n, t, nullable=(n != key)) for i, (n, t) in enumerate(cols)]
+        key_id = next(f.id for f in fields if f.name == key)
+        return TableSchema(fields, key_id, 1, len(fields) + 1)
+
+    # -- lookups ------------------------------------------------------------
+    @property
+    def key_name(self) -> str:
+        return self.field_by_id(self.key_field_id).name
+
+    def field_by_id(self, fid: int) -> Field:
+        for f in self.fields:
+            if f.id == fid:
+                return f
+        raise KeyError(fid)
+
+    def field_by_name(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def name_by_id(self) -> dict[int, str]:
+        return {f.id: f.name for f in self.fields}
+
+    def spark_struct(self, extra: list[tuple[str, T.DataType]] | None = None) -> T.StructType:
+        st = T.StructType(
+            [T.StructField(f.name, parse_type(f.type), f.nullable) for f in self.fields]
+        )
+        for n, t in extra or []:
+            st = st.add(n, t, True)
+        return st
+
+    # -- evolution (each returns a NEW schema with bumped version) ----------
+    def _bump(self, fields: list[Field], next_id: int | None = None) -> "TableSchema":
+        return TableSchema(
+            fields, self.key_field_id, self.schema_version + 1, next_id or self.next_field_id
+        )
+
+    def add_column(self, name: str, type_str: str) -> "TableSchema":
+        if any(f.name == name for f in self.fields):
+            raise ValueError(f"column exists: {name}")
+        parse_type(type_str)  # validate
+        fields = self.fields + [Field(self.next_field_id, name, type_str, True)]
+        return self._bump(fields, self.next_field_id + 1)
+
+    def rename_column(self, name: str, new_name: str) -> "TableSchema":
+        if any(f.name == new_name for f in self.fields):
+            raise ValueError(f"column exists: {new_name}")
+        tgt = self.field_by_name(name)
+        fields = [Field(f.id, new_name if f.id == tgt.id else f.name, f.type, f.nullable) for f in self.fields]
+        return self._bump(fields)
+
+    def widen_column(self, name: str, new_type: str) -> "TableSchema":
+        tgt = self.field_by_name(name)
+        if not can_widen(tgt.type, new_type):
+            raise ValueError(f"illegal widen {tgt.type} -> {new_type} on {name}")
+        fields = [Field(f.id, f.name, new_type if f.id == tgt.id else f.type, f.nullable) for f in self.fields]
+        return self._bump(fields)
+
+    def apply_change(self, kind: str, column: str, new_name: str | None, new_type: str | None) -> "TableSchema":
+        """Apply one F2 ``schema_change`` event payload."""
+        if kind == "add":
+            return self.add_column(column, new_type or "string")
+        if kind == "rename":
+            return self.rename_column(column, new_name or column)
+        if kind == "widen":
+            return self.widen_column(column, new_type or "bigint")
+        raise ValueError(f"unknown schema_change kind: {kind}")
+
+    # -- (de)serialization ---------------------------------------------------
+    def to_json(self) -> dict:
+        return {
+            "schema_version": self.schema_version,
+            "key_field_id": self.key_field_id,
+            "next_field_id": self.next_field_id,
+            "fields": [f.to_json() for f in self.fields],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(
+            [Field.from_json(f) for f in d["fields"]],
+            int(d["key_field_id"]),
+            int(d["schema_version"]),
+            int(d["next_field_id"]),
+        )
+
+    def fingerprint(self) -> str:
+        return json.dumps(self.to_json(), sort_keys=True)

@@ -1,0 +1,73 @@
+"""Last-writer-wins dedup on ``(key, event_ts, lsn)``.
+
+The reference's implicit dedup is "last applied ``$set`` wins" via the Mongo
+``_id`` lookup (``/root/reference/files/load.py:20-22``); the engine
+generalizes it to an explicit total order ``event_ts DESC, lsn DESC`` per key
+(SURVEY.md §2, dedup note). Total ordering matters: without the ``lsn``
+tie-break, replay results would depend on batch boundaries.
+
+Two physical strategies:
+
+* ``lww_dedup`` — ``max_by(struct(*), (event_ts, lsn))`` hash aggregation.
+  This is the hot path: partial (map-side) aggregation means a hot key is
+  combined locally on every input partition before one tiny shuffled row per
+  partition reaches the reducer — inherently skew-resistant, no sort. This
+  is what a salted two-phase agg does by hand, for free.
+* ``lww_dedup_window`` — ``row_number() OVER (PARTITION BY key ORDER BY ts
+  DESC, lsn DESC) = 1``. Needs a full sort-shuffle of all rows per key (no
+  partial agg) — kept for oracle parity (it IS the SQL the DuckDB oracle
+  runs) and as the building block for salted demonstration.
+* ``lww_dedup_salted`` — explicit two-phase variant: pre-aggregate per
+  ``(key, salt)`` then finalize per key. On an engine without partial
+  aggregation this is THE skew fix; here it documents/tests the equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _order_struct(ts_col: str, seq_col: str):
+    return F.struct(F.col(ts_col), F.col(seq_col))
+
+
+def lww_dedup(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
+              seq_col: str = "lsn") -> DataFrame:
+    """One row per key: the (ts, seq)-max row. Hash agg with map-side combine."""
+    payload_cols = [c for c in df.columns if c != key]
+    winner = F.max_by(F.struct(*payload_cols), _order_struct(ts_col, seq_col)).alias("_w")
+    out = df.groupBy(key).agg(winner)
+    return out.select(key, "_w.*")
+
+
+def lww_dedup_window(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
+                     seq_col: str = "lsn") -> DataFrame:
+    w = W.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_dedup_salted(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
+                     seq_col: str = "lsn", n_salts: int = 16) -> DataFrame:
+    """Two-phase LWW: (key, salt) partial winners → per-key final winner.
+
+    Salt = hash of the ordering columns (uniform within a key), so phase 1
+    splits a hot key across ``n_salts`` reducers; phase 2 shuffles only
+    ``n_salts`` rows per key.
+    """
+    payload_cols = [c for c in df.columns if c != key]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(ts_col), F.col(seq_col)), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.max_by(F.struct(*payload_cols), _order_struct(ts_col, seq_col)).alias("_w")
+    )
+    phase2 = (
+        phase1.select(key, "_w.*")
+        .groupBy(key)
+        .agg(F.max_by(F.struct(*payload_cols), _order_struct(ts_col, seq_col)).alias("_w"))
+    )
+    return phase2.select(key, "_w.*")

@@ -1,0 +1,116 @@
+"""Change-event envelope: schema, JSON parse, DLQ routing.
+
+Event lines (FIXTURES.md F2) are JSON::
+
+    {"op": "insert|update|delete|schema_change", "doc_id": "...",
+     "event_ts": "2026-01-01T00:00:00.000001", "lsn": 123,
+     "schema_version": 1,
+     "payload": {"tokens": [..]|null, "tokens_raw": "{'no': '1 2 3'}"|null,
+                 "n_tok": 7|null, "source": "crawl", ...evolved columns...},
+     "schema_change": {"kind": "add|rename|widen", "column": "...",
+                        "new_name": ..., "new_type": ...}|null}
+
+The stream source reads **text** lines and parsing happens inside
+``foreachBatch`` with the *current* registry schema — so schema evolution
+never requires restarting the streaming query. Malformed events route to the
+DLQ with a reason, mirroring the reference's ``fail_log``
+(``/root/reference/files/load.py:19,25-32``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..lakehouse.schema import TableSchema, parse_type
+
+VALID_OPS = ("insert", "update", "delete", "schema_change")
+
+SCHEMA_CHANGE_T = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("new_name", T.StringType()),
+        T.StructField("new_type", T.StringType()),
+    ]
+)
+
+
+def payload_struct(schema: TableSchema, extra_names: dict[str, str] | None = None) -> T.StructType:
+    """Payload struct for ``from_json``: all non-key table columns by their
+    CURRENT names, plus ``tokens_raw`` (wrapped-text arrival form), plus any
+    ``extra_names`` (old-name → type) so a rename landing mid-batch still
+    captures events that used the previous name."""
+    st = T.StructType()
+    for f in schema.fields:
+        if f.id == schema.key_field_id:
+            continue
+        st = st.add(f.name, parse_type(f.type), True)
+    st = st.add("tokens_raw", T.StringType(), True)
+    for name, type_str in (extra_names or {}).items():
+        if name not in st.fieldNames():
+            st = st.add(name, parse_type(type_str), True)
+    return st
+
+
+def envelope_struct(schema: TableSchema, extra_names: dict[str, str] | None = None) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("event_ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("schema_version", T.IntegerType()),
+            T.StructField("payload", payload_struct(schema, extra_names)),
+            T.StructField("schema_change", SCHEMA_CHANGE_T),
+        ]
+    )
+
+
+def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] | None = None,
+              value_col: str = "value") -> DataFrame:
+    """raw text lines → typed envelope columns + ``_dlq_reason``.
+
+    One JVM-side ``from_json`` (whole-stage codegen); no Python.
+    """
+    env = envelope_struct(schema, extra_names)
+    df = raw.select(F.col(value_col).alias("_raw"), F.from_json(value_col, env).alias("e"))
+    df = df.select("_raw", "e.*")
+    reason = (
+        F.when(F.col("op").isNull(), F.lit("unparseable"))
+        .when(~F.col("op").isin(*VALID_OPS), F.lit("unknown_op"))
+        .when((F.col("op") != "schema_change") & F.col("doc_id").isNull(), F.lit("null_key"))
+        .when(
+            (F.col("op") != "schema_change")
+            & (F.col("event_ts").isNull() | F.col("lsn").isNull()),
+            F.lit("null_ordering"),
+        )
+        .when(F.col("op").isin("insert", "update") & F.col("payload").isNull(), F.lit("null_payload"))
+    )
+    return df.withColumn("_dlq_reason", reason)
+
+
+def split_dlq(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (good, dlq). dlq keeps the raw line for replay (reference fail_log
+    keeps the full payload)."""
+    good = parsed.filter(F.col("_dlq_reason").isNull())
+    dlq = parsed.filter(F.col("_dlq_reason").isNotNull()).select(
+        "_raw", "_dlq_reason", "op", "doc_id", "event_ts", "lsn"
+    )
+    return good, dlq
+
+
+def lineage_offsets(parsed_good: DataFrame, source_col: str | None = "source") -> dict[str, int]:
+    """Per-source max LSN — the per-partition lineage offsets recorded in
+    snapshot properties (lsn is strictly increasing per source stream)."""
+    src = (
+        F.coalesce(F.col(f"payload.{source_col}"), F.lit("_default"))
+        if source_col
+        else F.lit("_default")
+    )
+    rows = (
+        parsed_good.filter(F.col("lsn").isNotNull())
+        .groupBy(src.alias("src"))
+        .agg(F.max("lsn").alias("mx"))
+        .collect()
+    )
+    return {r["src"]: r["mx"] for r in rows}

@@ -1,0 +1,272 @@
+"""Copy-on-write MERGE of a change-event batch into a LakeTable.
+
+This is the engine's heart — the distributed replacement for the reference's
+sequential per-record ``update_one({'_id': k}, {'$set': payload})`` sink
+(``/root/reference/files/load.py:20-22``).
+
+Physical design (chosen for 100 TB, verified by ``.explain`` in tests):
+
+1. **Parse + DLQ** — one JVM-side ``from_json`` over the raw text batch;
+   malformed events split off with a reason (reference ``fail_log``).
+2. **Schema-change events** apply first (metadata-only), so data events in
+   the same batch parse under the evolved schema; renames accept both old
+   and new payload names within the transition batch.
+3. **Vectorized normalize** — token payload normalization, ``n_tok``
+   recompute, source tagging via pandas/Arrow UDFs (north_star: no per-row
+   Python). Unnormalizable tokens → DLQ (``bad_tokens``).
+4. **LWW pre-dedup of the changes** via ``max_by`` hash aggregation: partial
+   (map-side) aggregation absorbs hot-key skew *before* the shuffle, so a
+   doc_id with 10^6 events in a batch shuffles ~one row per input partition.
+5. **MERGE as an aggregation, not a join**: the pruned target rows become
+   pseudo-changes ``(op='keep', ts=_event_ts, lsn=_lsn)``; union with the
+   deduped changes; one ``max_by`` per key picks the survivor; a winning
+   ``delete`` drops the row. This expresses MATCHED/NOT-MATCHED × LWW ×
+   delete in ONE hash aggregation — no full-outer join, no sort. Late events
+   (older than the live row) lose the max_by statelessly — the design trick
+   that makes late-data handling watermark-free.
+6. **One shuffle total on the hot path**: the union is repartitioned by the
+   target's key-bucket; the final aggregation groups by ``(_bucket, key)``,
+   whose required clustered distribution is already satisfied, and the
+   bucket-partitioned write reuses the same partitioning.
+7. **Atomic commit**: new files for affected buckets + batch-id ledger +
+   lineage offsets (+ evolved schema) in one snapshot swap → exactly-once
+   under foreachBatch's at-least-once contract.
+
+Only buckets actually hit by the batch's keys are read and rewritten
+(manifest bucket pruning), so cost scales with touched data, not table size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from ..functions.vectorized import normalize_tokens, recompute_n_tok, tag_source
+from ..lakehouse.schema import TableSchema
+from ..lakehouse.table import LakeTable, bucket_expr
+from .dedup import lww_dedup
+from .envelope import lineage_offsets, parse_raw, split_dlq
+
+EPOCH = "1970-01-01 00:00:00"
+
+
+@dataclass
+class MergeConfig:
+    # canonical field ids of the specially-handled payload columns (stable
+    # across renames — that's the point of field ids)
+    tokens_fid: int = 2
+    ntok_fid: int = 3
+    source_fid: int = 4
+    write_dlq: bool = True
+    collect_metrics: bool = True
+    extra_lineage: dict[str, int] = field(default_factory=dict)
+
+
+def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict[str, str]]:
+    """Fold ordered schema_change events into the schema.
+    Returns (new_schema, rename_map current_name→old_name this batch)."""
+    rename_old: dict[str, str] = {}
+    old_types = {f.name: f.type for f in schema.fields}
+    for r in sc_rows:
+        kind, column = r["kind"], r["column"]
+        schema = schema.apply_change(kind, column, r["new_name"], r["new_type"])
+        if kind == "rename":
+            prev = rename_old.pop(column, None)  # chain renames back to batch-start name
+            rename_old[r["new_name"]] = prev or column
+    rename_types = {old: old_types.get(old, "string") for old in rename_old.values()}
+    return schema, {"map": rename_old, "types": rename_types}
+
+
+def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
+               rename_map: dict[str, str]) -> DataFrame:
+    """Envelope payload → typed change columns, vectorized transforms only."""
+    key = schema.key_name
+
+    def pv(name: str) -> F.Column:
+        c = F.col(f"payload.{name}")
+        old = rename_map.get(name)
+        return F.coalesce(c, F.col(f"payload.{old}")) if old else c
+
+    sel = [F.col(key), F.col("op"), F.col("event_ts"), F.col("lsn"), F.col("_raw")]
+    tokens_name = ntok_name = None
+    ntok_type = "int"
+    for f in schema.fields:
+        if f.id == schema.key_field_id:
+            continue
+        if f.id == cfg.tokens_fid:
+            tokens_name = f.name
+            sel.append(
+                normalize_tokens(pv(f.name), F.col("payload.tokens_raw"))
+                .cast(f.type)
+                .alias(f.name)
+            )
+        elif f.id == cfg.ntok_fid:
+            ntok_name, ntok_type = f.name, f.type
+            sel.append(pv(f.name).cast("int").alias("_ntok_claimed"))
+        elif f.id == cfg.source_fid:
+            sel.append(tag_source(pv(f.name)).alias(f.name))
+        else:
+            sel.append(pv(f.name).cast(f.type).alias(f.name))
+    out = data.select(*sel)
+    if ntok_name is not None and tokens_name is not None:
+        out = out.withColumn(ntok_name, recompute_n_tok(F.col(tokens_name)).cast(ntok_type))
+        out = out.withColumn(
+            "_ntok_mismatch",
+            F.col("_ntok_claimed").isNotNull()
+            & (F.col("_ntok_claimed") != F.col(ntok_name).cast("int")),
+        ).drop("_ntok_claimed")
+    else:
+        out = out.withColumn("_ntok_mismatch", F.lit(False))
+    return out
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: LakeTable,
+    raw: DataFrame,
+    batch_id: int,
+    cfg: MergeConfig | None = None,
+) -> dict:
+    """Apply one micro-batch of raw JSON event lines. Returns batch metrics.
+
+    Idempotent: a batch_id already in the snapshot ledger is a no-op
+    (exactly-once; the Spark analog of the reference's idempotent ``$set``).
+    """
+    cfg = cfg or MergeConfig()
+    if table.is_committed(batch_id):
+        return {"batch_id": batch_id, "skipped": True}
+
+    schema = table.schema()
+    expect_version = table.current_version()
+
+    parsed0 = parse_raw(raw, schema).persist()
+    sc_rows = sorted(
+        parsed0.filter(
+            (F.col("op") == "schema_change") & F.col("_dlq_reason").isNull()
+        )
+        .select("event_ts", "lsn", "schema_change.*")
+        .collect(),
+        key=lambda r: (r["event_ts"], r["lsn"]),
+    )
+    rename_map: dict[str, str] = {}
+    new_schema = None
+    if sc_rows:
+        new_schema, ren = _apply_schema_changes(schema, sc_rows)
+        rename_map = ren["map"]
+        parsed = parse_raw(raw, new_schema, extra_names=ren["types"]).persist()
+        parsed0.unpersist()
+        schema = new_schema
+    else:
+        parsed = parsed0
+
+    key = schema.key_name
+    good, dlq = split_dlq(parsed)
+    data = good.filter(F.col("op") != "schema_change")
+
+    norm = _normalize(data, schema, cfg, rename_map)
+    tokens_name = next((f.name for f in schema.fields if f.id == cfg.tokens_fid), None)
+    if tokens_name is not None:
+        is_bad = F.col("op").isin("insert", "update") & F.col(tokens_name).isNull()
+        dlq = dlq.unionByName(
+            norm.filter(is_bad).select(
+                "_raw", F.lit("bad_tokens").alias("_dlq_reason"), "op", F.col(key).alias("doc_id"),
+                "event_ts", "lsn",
+            )
+        )
+        norm = norm.filter(~is_bad)
+
+    metric_aggs = [
+        F.count(F.lit(1)).alias("events_data"),
+        F.coalesce(F.sum(F.col("_ntok_mismatch").cast("int")), F.lit(0)).alias("ntok_repaired"),
+        F.coalesce(F.sum((F.col("op") == "delete").cast("int")), F.lit(0)).alias("deletes_seen"),
+    ]
+    obs = Observation(f"merge_b{batch_id}") if cfg.collect_metrics else None
+    if obs is not None:
+        norm = norm.observe(obs, *metric_aggs)
+
+    source_name = next((f.name for f in schema.fields if f.id == cfg.source_fid), None)
+    lineage = lineage_offsets(data, source_name)
+    for k_, v_ in cfg.extra_lineage.items():
+        lineage[k_] = max(lineage.get(k_, v_), v_)
+
+    payload_names = [f.name for f in schema.fields if f.id != schema.key_field_id]
+    changes = norm.drop("_raw", "_ntok_mismatch")
+    deduped = lww_dedup(changes, key=key)  # partial-agg absorbs hot-key skew
+
+    nb = table.n_buckets()
+    affected = [
+        r[0]
+        for r in deduped.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+    ]
+
+    metrics: dict = {"batch_id": batch_id, "skipped": False, "schema_changes": len(sc_rows)}
+    files: list[dict] = []
+    if affected:
+        tgt = table.read(
+            spark, buckets=set(affected), with_system_cols=True, schema_override=schema
+        )
+        pseudo = tgt.select(
+            F.col(key),
+            F.lit("keep").alias("op"),
+            F.coalesce(F.col("_event_ts"), F.lit(EPOCH).cast("timestamp")).alias("event_ts"),
+            F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")).alias("lsn"),
+            *[F.col(n) for n in payload_names],
+        )
+        unioned = deduped.select(pseudo.columns).unionByName(pseudo)
+        bucketed = unioned.withColumn("_bucket", bucket_expr(key, nb))
+        npart = min(nb, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        bucketed = bucketed.repartition(npart, "_bucket")
+        winners = (
+            bucketed.groupBy("_bucket", key)
+            .agg(
+                F.max_by(
+                    F.struct("op", "event_ts", "lsn", *payload_names),
+                    F.struct("event_ts", "lsn"),
+                ).alias("_w")
+            )
+            .select("_bucket", key, "_w.*")
+        )
+        result = winners.filter(F.col("op") != "delete").select(
+            key,
+            *payload_names,
+            F.col("event_ts").alias("_event_ts"),
+            F.col("lsn").alias("_lsn"),
+            "_bucket",
+        )
+        files = table.write_data_files(result, schema_override=schema)
+
+    if obs is not None:
+        # Observation values become available once the write action ran.
+        # Empty batches can get their CollectMetrics node pruned (empty-
+        # relation propagation), so fall back to a direct aggregation.
+        try:
+            if not affected:
+                norm.count()
+            m = dict(obs.get)
+        except Exception:
+            m = norm.agg(*metric_aggs).collect()[0].asDict()
+        metrics.update({k: (int(v) if v is not None else 0) for k, v in m.items()})
+    metrics["rows_written"] = int(sum(f["rows"] for f in files))
+    metrics["buckets_rewritten"] = len(affected)
+
+    dlq_count = 0
+    if cfg.write_dlq:
+        dlq = dlq.persist()
+        dlq_count = dlq.count()
+        if dlq_count:
+            table.write_dlq(dlq, batch_id)
+        dlq.unpersist()
+    metrics["dlq_count"] = int(dlq_count)
+
+    table.commit(
+        add_files=files,
+        remove_buckets=set(affected),
+        batch_id=batch_id,
+        lineage=lineage,
+        new_schema=new_schema,
+        metrics=metrics,
+        expect_version=expect_version,
+    )
+    parsed.unpersist()
+    return metrics
