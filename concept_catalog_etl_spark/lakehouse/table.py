@@ -54,10 +54,15 @@ from .schema import TableSchema, parse_type
 
 # System columns stored in every data file (never renamed, not part of the
 # logical schema): LWW ordering state so late events can be discarded
-# statelessly against the live row.
+# statelessly against the live row, and `_deleted` tombstones so a delete
+# keeps its (ts, lsn) — otherwise a late update arriving after the delete
+# would resurrect the row (caught by the stream-resume test). Tombstones are
+# retained; at scale a compaction job expires those older than the
+# out-of-orderness horizon (the watermark analog).
 SYS_COLS: list[tuple[str, T.DataType]] = [
     ("_event_ts", T.TimestampType()),
     ("_lsn", T.LongType()),
+    ("_deleted", T.BooleanType()),
 ]
 SYS_NAMES = [n for n, _ in SYS_COLS]
 
@@ -284,10 +289,12 @@ class LakeTable:
         with_system_cols: bool = False,
         version: int | None = None,
         schema_override: TableSchema | None = None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Snapshot read with bucket + key-range file pruning and
         id-based schema reconciliation (rename/add/widen safe).
-        ``schema_override`` reads old files AS an evolved (uncommitted) schema."""
+        ``schema_override`` reads old files AS an evolved (uncommitted) schema.
+        Tombstone rows are hidden unless ``include_deleted``."""
         snap = self.snapshot(version)
         schema = schema_override or TableSchema.from_json(snap["schema"])
         files = snap["files"]
@@ -302,6 +309,7 @@ class LakeTable:
         target_struct = schema.spark_struct(extra=extra)
         if not files:
             return spark.createDataFrame([], schema=target_struct)
+        need_tombstone_filter = not include_deleted
 
         # group files by write-time schema fingerprint → one scan per group
         groups: dict[str, list[dict]] = {}
@@ -313,6 +321,9 @@ class LakeTable:
         for grp in groups.values():
             paths = [os.path.join(self.root, f["path"]) for f in grp]
             raw = spark.read.parquet(*paths)
+            if need_tombstone_filter and "_deleted" in raw.columns:
+                # pushed down to the parquet scan (boolean predicate)
+                raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             name_by_id = grp[0]["name_by_id"]
             cols = []
             for fld in schema.fields:

@@ -20,10 +20,11 @@ Physical design (chosen for 100 TB, verified by ``.explain`` in tests):
 5. **MERGE as an aggregation, not a join**: the pruned target rows become
    pseudo-changes ``(op='keep', ts=_event_ts, lsn=_lsn)``; union with the
    deduped changes; one ``max_by`` per key picks the survivor; a winning
-   ``delete`` drops the row. This expresses MATCHED/NOT-MATCHED × LWW ×
-   delete in ONE hash aggregation — no full-outer join, no sort. Late events
-   (older than the live row) lose the max_by statelessly — the design trick
-   that makes late-data handling watermark-free.
+   ``delete`` becomes a tombstone row (``_deleted=true``, hidden by reads).
+   This expresses MATCHED/NOT-MATCHED × LWW × delete in ONE aggregation —
+   no full-outer join. Late events (older than the live row OR its
+   tombstone) lose the max_by statelessly — the design trick that makes
+   late-data handling watermark-free.
 6. **One shuffle total on the hot path**: the union is repartitioned by the
    target's key-bucket; the final aggregation groups by ``(_bucket, key)``,
    whose required clustered distribution is already satisfied, and the
@@ -204,11 +205,17 @@ def apply_batch(
     files: list[dict] = []
     if affected:
         tgt = table.read(
-            spark, buckets=set(affected), with_system_cols=True, schema_override=schema
+            spark,
+            buckets=set(affected),
+            with_system_cols=True,
+            schema_override=schema,
+            include_deleted=True,  # tombstones must defend their (ts, lsn)
         )
         pseudo = tgt.select(
             F.col(key),
-            F.lit("keep").alias("op"),
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("delete"))
+            .otherwise(F.lit("keep"))
+            .alias("op"),
             F.coalesce(F.col("_event_ts"), F.lit(EPOCH).cast("timestamp")).alias("event_ts"),
             F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")).alias("lsn"),
             *[F.col(n) for n in payload_names],
@@ -227,11 +234,18 @@ def apply_batch(
             )
             .select("_bucket", key, "_w.*")
         )
-        result = winners.filter(F.col("op") != "delete").select(
+        # Deletes persist as tombstone rows (payload nulled) so their
+        # (ts, lsn) keeps beating late updates; read() hides them.
+        is_del = F.col("op") == "delete"
+        result = winners.select(
             key,
-            *payload_names,
+            *[
+                F.when(is_del, F.lit(None)).otherwise(F.col(n)).alias(n)
+                for n in payload_names
+            ],
             F.col("event_ts").alias("_event_ts"),
             F.col("lsn").alias("_lsn"),
+            is_del.alias("_deleted"),
             "_bucket",
         )
         files = table.write_data_files(result, schema_override=schema)

@@ -44,6 +44,7 @@ def generate_binlog(
     hot_mass: float = 0.5,
     schema_changes: list[dict] | None = None,
     start_lsn: int = 0,
+    prefix: str = "binlog",
 ) -> list[str]:
     """Write ``n_files`` JSONL files to ``out_dir``; returns file paths."""
     rng = np.random.default_rng(seed)
@@ -77,7 +78,7 @@ def generate_binlog(
     per_file = (n_events + n_files - 1) // n_files
     eid = 0
     for fi in range(n_files):
-        path = os.path.join(out_dir, f"binlog-{fi:06d}.jsonl")
+        path = os.path.join(out_dir, f"{prefix}-{fi:06d}.jsonl")
         with open(path, "w") as f:
             for _ in range(min(per_file, n_events - eid)):
                 if eid in sc_at:

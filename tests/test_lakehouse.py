@@ -1,0 +1,97 @@
+"""LakeTable unit tests: snapshots, atomic commit, pruning, ledger, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema, bucket_expr
+
+from helpers import CANONICAL_COLS, make_table
+
+
+def _seed_rows(spark, n=50):
+    return spark.range(n).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int"), F.lit(7)).alias("tokens"),
+        F.lit(2).alias("n_tok"),
+        F.lit("crawl").alias("source"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+        F.col("id").alias("_lsn"),
+    )
+
+
+def test_create_write_read_roundtrip(spark, scratch):
+    table = make_table(scratch, n_buckets=4)
+    files = table.write_data_files(_seed_rows(spark))
+    table.commit(add_files=files, batch_id=0)
+    df = table.read(spark)
+    assert df.count() == 50
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+    sys_df = table.read(spark, with_system_cols=True)
+    assert "_event_ts" in sys_df.columns and "_lsn" in sys_df.columns
+
+
+def test_bucket_pruning_reads_fewer_files(spark, scratch):
+    table = make_table(scratch, n_buckets=4)
+    files = table.write_data_files(_seed_rows(spark, 200))
+    table.commit(add_files=files)
+    snap = table.snapshot()
+    all_buckets = {f["bucket"] for f in snap["files"]}
+    assert all_buckets == {0, 1, 2, 3}
+    one = table.read(spark, buckets={2})
+    # every row in bucket-2 files must actually hash to bucket 2
+    bad = one.withColumn("b", bucket_expr("doc_id", 4)).filter("b <> 2").count()
+    assert bad == 0
+    assert 0 < one.count() < 200
+
+
+def test_key_minmax_pruning(spark, scratch):
+    table = make_table(scratch, n_buckets=2)
+    files = table.write_data_files(_seed_rows(spark, 100))
+    table.commit(add_files=files)
+    hit = table.read(spark, key_min="doc-000010", key_max="doc-000010")
+    assert hit.filter("doc_id = 'doc-000010'").count() == 1
+
+
+def test_optimistic_concurrency_conflict(spark, scratch):
+    table = make_table(scratch)
+    v = table.current_version()
+    table.commit(batch_id=1, expect_version=v)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        table.commit(batch_id=2, expect_version=v)
+
+
+def test_ledger_floor_semantics(scratch):
+    table = make_table(scratch)
+    for b in range(5):
+        table.commit(batch_id=b)
+    assert table.is_committed(3)
+    assert table.is_committed(0)
+    assert not table.is_committed(7)
+
+
+def test_vacuum_removes_replaced_files(spark, scratch):
+    table = make_table(scratch, n_buckets=2)
+    f1 = table.write_data_files(_seed_rows(spark, 20))
+    table.commit(add_files=f1)
+    f2 = table.write_data_files(_seed_rows(spark, 20))
+    table.commit(add_files=f2, remove_buckets={0, 1})
+    n_before = sum(
+        fn.endswith(".parquet")
+        for _r, _d, fns in os.walk(os.path.join(table.root, "data"))
+        for fn in fns
+    )
+    removed = table.vacuum()
+    assert removed > 0
+    assert table.read(spark).count() == 20  # current snapshot unaffected
+
+
+def test_time_travel_read(spark, scratch):
+    table = make_table(scratch, n_buckets=2)
+    f1 = table.write_data_files(_seed_rows(spark, 10))
+    s1 = table.commit(add_files=f1)
+    f2 = table.write_data_files(_seed_rows(spark, 30))
+    table.commit(add_files=f2, remove_buckets={0, 1})
+    assert table.read(spark).count() == 30
+    assert table.read(spark, version=s1["version"]).count() == 10

@@ -1,0 +1,151 @@
+"""Schema evolution: add / rename / widen via schema_change events
+(SURVEY.md §7 M4). Old data files are reconciled at read by field id."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.oracle import replay_dir
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+from helpers import assert_state_equals_oracle, make_table, table_state
+
+
+def _ev(op, doc, ts, lsn, payload=None, schema_change=None):
+    return json.dumps(
+        {"op": op, "doc_id": doc, "event_ts": ts, "lsn": lsn,
+         "schema_version": 1, "payload": payload, "schema_change": schema_change}
+    )
+
+
+def _p(toks, source="crawl", **extra):
+    d = {"tokens": toks, "tokens_raw": None, "n_tok": len(toks), "source": source}
+    d.update(extra)
+    return d
+
+
+def _write(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_add_column(spark, scratch):
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "b0.jsonl"), os.path.join(d, "b1.jsonl")
+    _write(f1, [
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1, 2])),
+        _ev("insert", "doc-2", "2026-01-01T00:00:02.000000", 2, _p([3])),
+    ])
+    _write(f2, [
+        _ev("schema_change", None, "2026-01-01T00:00:03.000000", 3,
+            schema_change={"kind": "add", "column": "quality", "new_name": None,
+                           "new_type": "double"}),
+        _ev("update", "doc-2", "2026-01-01T00:00:04.000000", 4,
+            _p([3, 4], quality=0.9)),
+        _ev("insert", "doc-3", "2026-01-01T00:00:05.000000", 5,
+            _p([5], quality=0.5)),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1, f2], table, files_per_batch=1)
+
+    assert "quality" in table.schema().names()
+    state = table_state(spark, table)
+    assert state["doc-1"]["quality"] is None  # written pre-add, read as null
+    assert state["doc-2"]["quality"] == 0.9
+    assert state["doc-3"]["quality"] == 0.5
+    assert_state_equals_oracle(spark, table, replay_dir(d)[0])
+
+
+def test_rename_column(spark, scratch):
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1, f2, f3 = (os.path.join(d, f"b{i}.jsonl") for i in range(3))
+    _write(f1, [
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1], source="curated")),
+    ])
+    _write(f2, [
+        _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
+            schema_change={"kind": "rename", "column": "source", "new_name": "origin",
+                           "new_type": None}),
+        # same-batch event still using the OLD payload name — must be accepted
+        _ev("insert", "doc-2", "2026-01-01T00:00:03.000000", 3,
+            {"tokens": [2], "tokens_raw": None, "n_tok": 1, "source": "synthetic"}),
+    ])
+    _write(f3, [
+        # post-rename batch uses the new name
+        _ev("insert", "doc-3", "2026-01-01T00:00:04.000000", 4,
+            {"tokens": [3], "tokens_raw": None, "n_tok": 1, "origin": "curated"}),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1, f2, f3], table, files_per_batch=1)
+
+    assert "origin" in table.schema().names()
+    assert "source" not in table.schema().names()
+    state = table_state(spark, table)
+    # doc-1 was written under the old physical name; field-id mapping reads it
+    assert state["doc-1"]["origin"] == "curated"
+    assert state["doc-2"]["origin"] == "synthetic"
+    assert state["doc-3"]["origin"] == "curated"
+
+
+def test_widen_column(spark, scratch):
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "b0.jsonl"), os.path.join(d, "b1.jsonl")
+    _write(f1, [
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1, 2, 3])),
+    ])
+    _write(f2, [
+        _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
+            schema_change={"kind": "widen", "column": "n_tok", "new_name": None,
+                           "new_type": "bigint"}),
+        _ev("insert", "doc-2", "2026-01-01T00:00:03.000000", 3, _p(list(range(5)))),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1, f2], table, files_per_batch=1)
+    sch = table.schema()
+    assert sch.field_by_name("n_tok").type == "bigint"
+    df = table.read(spark)
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    state = table_state(spark, table)
+    assert state["doc-1"]["n_tok"] == 3 and state["doc-2"]["n_tok"] == 5
+
+
+def test_schema_only_batch_is_metadata_only(spark, scratch):
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "b0.jsonl"), os.path.join(d, "b1.jsonl")
+    _write(f1, [_ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1]))])
+    _write(f2, [
+        _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
+            schema_change={"kind": "add", "column": "extra", "new_name": None,
+                           "new_type": "string"}),
+    ])
+    table = make_table(scratch)
+    m = replay_batch(spark, [f1, f2], table, files_per_batch=1)
+    assert m[1]["rows_written"] == 0 and m[1]["buckets_rewritten"] == 0
+    assert m[1]["schema_changes"] == 1
+    # no data files rewritten: file set unchanged between v after b0 and now
+    snap = table.snapshot()
+    assert len(snap["files"]) == len(table.snapshot(snap["parent"])["files"])
+
+
+def test_generator_driven_evolution_matches_oracle(spark, scratch):
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+
+    d = os.path.join(scratch, "log")
+    generate_binlog(
+        d, n_events=1500, n_docs=120, n_files=6, seed=21,
+        schema_changes=[
+            {"at_event": 500, "kind": "add", "column": "quality", "new_type": "double"},
+            {"at_event": 1000, "kind": "widen", "column": "n_tok", "new_type": "bigint"},
+        ],
+    )
+    table = make_table(scratch)
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    replay_batch(spark, files, table, files_per_batch=2)
+    oracle_state, oschema, _ = replay_dir(d)
+    assert [f["name"] for f in oschema.fields] == table.schema().names()
+    assert_state_equals_oracle(spark, table, oracle_state)

@@ -1,0 +1,70 @@
+"""Structured Streaming replay: availableNow drain, checkpoint resume,
+exactly-once across stream restarts (SURVEY.md §5 kill/resume)."""
+
+import os
+
+from concept_catalog_etl_spark.oracle import replay_dir
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+from helpers import assert_state_equals_oracle, make_table, table_state
+
+
+def test_stream_replay_matches_oracle(spark, scratch):
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=2000, n_docs=200, n_files=6, seed=11)
+    table = make_table(scratch)
+    ckpt = os.path.join(scratch, "ckpt")
+    metrics = replay_stream(spark, d, table, ckpt, max_files_per_trigger=2)
+    assert len(metrics) >= 3  # several micro-batches
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, table, oracle_state)
+
+
+def test_stream_resume_after_stop(spark, scratch):
+    """Drain half the log, 'crash' (stop), append more files, resume from
+    checkpoint: no event lost, none double-applied."""
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=1000, n_docs=150, n_files=4, seed=12)
+    table = make_table(scratch)
+    ckpt = os.path.join(scratch, "ckpt")
+    replay_stream(spark, d, table, ckpt, max_files_per_trigger=2)
+    v_mid = table.current_version()
+
+    # second wave of the log (later lsn), same directory, new file names
+    generate_binlog(
+        d, n_events=1000, n_docs=150, n_files=4, seed=13, start_lsn=10_000,
+        prefix="binlog-w2",
+    )
+    replay_stream(spark, d, table, ckpt, max_files_per_trigger=2)
+    assert table.current_version() > v_mid
+
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, table, oracle_state)
+
+    # resume again with nothing new: no state change
+    v_end = table.current_version()
+    m3 = replay_stream(spark, d, table, ckpt, max_files_per_trigger=2)
+    assert m3 == [] or all(m.get("skipped") for m in m3)
+    assert table.current_version() == v_end
+
+
+def test_stream_restart_reapplies_idempotently(spark, scratch):
+    """Blow away the table but keep the checkpoint: stream has nothing new.
+    Then blow away the checkpoint but keep the table: batches re-fire and the
+    ledger must skip every one (at-least-once delivery → exactly-once apply)."""
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=800, n_docs=100, n_files=4, seed=14)
+    table = make_table(scratch)
+    ckpt1 = os.path.join(scratch, "ckpt1")
+    replay_stream(spark, d, table, ckpt1, max_files_per_trigger=1)
+    state = table_state(spark, table)
+    v = table.current_version()
+
+    # new checkpoint → foreachBatch re-fires batch ids 0..n — but ledger
+    # already has them
+    ckpt2 = os.path.join(scratch, "ckpt2")
+    m = replay_stream(spark, d, table, ckpt2, max_files_per_trigger=1)
+    assert all(x["skipped"] for x in m)
+    assert table.current_version() == v
+    assert table_state(spark, table) == state
