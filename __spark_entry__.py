@@ -1,38 +1,106 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC replay on sf0.001-derived events.
+``queries()`` / ``oracle_sql()`` — operator surface from SURVEY.md §2.1
+(engine operators + training-data-pipeline ops), DuckDB-checked at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: treat sf0.001 `events` as a CDC binlog over doc keys, replay
+    it through the full engine (envelope parse → DLQ → vectorized normalize →
+    LWW dedup → bucketed copy-on-write MERGE with exactly-once ledger) into a
+    fresh LakeTable, and return the final live state.
+
+    This is the end-to-end path the reference ETL takes
+    (extract → transform → load, /root/reference/files/Makefile:2), fused
+    into micro-batched snapshot commits.
+    """
+    import json as _json
+
+    from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+    from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    # events → F2 change-event JSON lines (deterministic, derived from data):
+    # 'error' → delete; tokens derived from (event_id, value); every 3rd
+    # event arrives in the wrapped-text form to exercise normalization.
+    n_tok = (F.col("value").cast("int") % 16 + 1)
+    toks = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: (F.col("event_id") + i) % 50257,
+    )
+    toks_str = F.concat(F.lit("{'no': '"), F.array_join(F.transform(toks, lambda t: t.cast("string")), " "), F.lit("'}"))
+    wrapped = F.col("event_id") % 3 == 0
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("event_type") == "error", "delete").otherwise(
+                    F.when(F.col("event_type") == "signup", "insert").otherwise("update")
+                ).alias("op"),
+                F.format_string("doc-%06d", F.col("user_id")).alias("doc_id"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("event_ts"),
+                F.col("event_id").alias("lsn"),
+                F.lit(1).alias("schema_version"),
+                F.when(
+                    F.col("event_type") != "error",
+                    F.struct(
+                        F.when(~wrapped, toks).alias("tokens"),
+                        F.when(wrapped, toks_str).alias("tokens_raw"),
+                        n_tok.alias("n_tok"),
+                        F.lit("crawl").alias("source"),
+                    ),
+                ).alias("payload"),
+            )
+        ).alias("value")
+    )
+
+    work = os.path.join(_REPO, ".scratch", "entry_run")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    log_dir = os.path.join(work, "binlog")
+    os.makedirs(log_dir)
+    # materialize as JSONL micro-batch files (the binlog)
+    rows = lines.collect()
+    per = max(1, len(rows) // 4)
+    paths = []
+    for i in range(0, len(rows), per):
+        p = os.path.join(log_dir, f"b-{i:08d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(r["value"] for r in rows[i : i + per]) + "\n")
+        paths.append(p)
+
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int"), ("source", "string")],
+        key="doc_id",
+    )
+    table = LakeTable.create(os.path.join(work, "table"), schema, n_buckets=16)
+    replay_batch(spark, paths, table, files_per_batch=1)
+    return table.read(spark).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from concept_catalog_etl_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from concept_catalog_etl_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

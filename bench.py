@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract): prints ONE JSON line.
+
+Headline: CDC replay throughput — a deterministic synthetic binlog
+(cached across runs) replayed through the full engine into a fresh
+LakeTable, measured as events/sec. Plus wall-clock for the headline
+operator queries at $SPARK_GRAFT_SF_DIR.
+
+    {"metric": "cdc_replay_wall_sec", "value": <sec>, "unit": "sec",
+     "events": N, "events_per_sec": X, "queries": {...}, "sf": 0.1}
+
+Scaling evidence (N vs 4N cores) is produced by bench_scaling.py →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "1500000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
+N_FILES = int(os.environ.get("BENCH_FILES", "8"))
+FILES_PER_BATCH = int(os.environ.get("BENCH_FILES_PER_BATCH", "2"))
+MAX_TOKENS = int(os.environ.get("BENCH_MAX_TOKENS", "24"))
+
+BENCH_QUERIES = [
+    "q_scan_filter",
+    "q_counts",
+    "q_lww_dedup_maxby",
+    "q_lww_dedup",
+    "q_merge_final_state",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_ann_topk",
+    "q_multimodal_meta",
+    "q_fingerprint",
+]
+
+
+def _binlog_dir() -> str:
+    """Generate (or reuse) the deterministic bench binlog."""
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+
+    key = f"ev{N_EVENTS}_d{N_DOCS}_f{N_FILES}_t{MAX_TOKENS}_s42"
+    d = os.path.join(REPO, ".bench", key)
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        generate_binlog(
+            d,
+            n_events=N_EVENTS,
+            n_docs=N_DOCS,
+            n_files=N_FILES,
+            seed=42,
+            max_tokens=MAX_TOKENS,
+        )
+        open(marker, "w").close()
+    return d
+
+
+def main() -> None:
+    from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+    from concept_catalog_etl_spark.plans.queries import QUERIES
+    from concept_catalog_etl_spark.session import get_spark
+    from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+    log_dir = _binlog_dir()
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    work = os.path.join(REPO, ".bench", "run")
+    shutil.rmtree(work, ignore_errors=True)
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int"), ("source", "string")],
+        key="doc_id",
+    )
+    table = LakeTable.create(os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32))
+    files = sorted(
+        os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".jsonl")
+    )
+
+    t0 = time.time()
+    replay_batch(spark, files, table, files_per_batch=FILES_PER_BATCH)
+    replay_sec = time.time() - t0
+    final_rows = table.read(spark).count()
+
+    qtimes: dict[str, float] = {}
+    names = [] if os.environ.get("BENCH_QUERIES_SKIP") else BENCH_QUERIES
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "events": N_EVENTS,
+        "events_per_sec": round(N_EVENTS / replay_sec, 1),
+        "final_rows": final_rows,
+        "cpus": CPUS,
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,811 @@
+"""Driver-facing query surface (SURVEY.md §2.1) + DuckDB oracle SQL.
+
+Each entry is one operator family from the inventory, expressed Spark-first
+over the driver's parquet tables, with an ANSI-SQL twin the DuckDB oracle
+runs on the same files. Column names/aliases are identical on both sides
+(the driver hashes values after sorting columns by name).
+
+Float discipline: any aggregated/derived double is ``round(x, 4..6)`` on
+BOTH sides, and sums/folds evaluate in the same (left-to-right) order so the
+doubles are bit-identical before rounding. Rank outputs use deterministic
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+from ..functions.vectorized import arr_len
+from ..operators.dedup import lww_dedup, lww_dedup_window
+
+CUTOFF = "2024-01-16 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / projections (O1, O3, O4, O5)
+# ---------------------------------------------------------------------------
+
+def q_scan_filter(spark, sf):
+    """Pushed-down equality + residual regex filter + projection
+    (reference O1+O3, files/extract.py:27-35)."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        (F.col("event_type") == "click") & F.col("props").rlike('"k": *[4-9][0-9]')
+    ).select("event_id", "user_id", "value")
+
+
+SQL_SCAN_FILTER = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND regexp_matches(props, '"k": *[4-9][0-9]')
+"""
+
+
+def q_nested_prune(spark, sf):
+    """Projection / column pruning (reference O5, files/extract.py:36-37)."""
+    d = _t(spark, sf, "documents")
+    return d.filter((F.col("lang") == "en") & (F.col("n_chars") > 300)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_NESTED_PRUNE = """
+SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' AND n_chars > 300
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (O7/O12 counters generalized)
+# ---------------------------------------------------------------------------
+
+def q_counts(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_COUNTS = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_hot_keys(spark, sf):
+    """Skew histogram (engine's hot-key detector) as a query."""
+    from ..operators.skew import hot_key_histogram
+
+    ev = _t(spark, sf, "events")
+    return hot_key_histogram(ev, "user_id", min_count=50).select("user_id", "n")
+
+
+SQL_HOT_KEYS = """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows: LWW dedup (the engine's core derived operator), top-k, sessions
+# ---------------------------------------------------------------------------
+
+_LWW_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1
+"""
+
+
+def q_lww_dedup(spark, sf):
+    """LWW via ranking window (row_number = 1) — oracle-parity strategy."""
+    ev = _t(spark, sf, "events")
+    out = lww_dedup_window(ev, key="user_id", ts_col="ts", seq_col="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+def q_lww_dedup_maxby(spark, sf):
+    """LWW via max_by hash-agg — the skew-resistant hot path; same oracle."""
+    ev = _t(spark, sf, "events")
+    out = lww_dedup(ev, key="user_id", ts_col="ts", seq_col="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+def q_topk_per_group(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+SQL_TOPK = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+)
+SELECT event_type, event_id, value, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (lag window + cumulative breaks)."""
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # integer microsecond arithmetic on both sides (epoch_us in the oracle);
+    # parquet timestamps may arrive as TIMESTAMP_NTZ → cast under UTC session
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    brk = F.when(
+        prev.isNull() | (us(F.col("ts")) - us(prev) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg(F.sum("brk").alias("n_sessions"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(brk) AS n_sessions FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins: the MERGE key-join family (anti/semi decomposition)
+# ---------------------------------------------------------------------------
+
+def q_merge_anti(spark, sf):
+    """target LEFT ANTI batch — the 'untouched rows' half of a merge
+    (customers with no big order; filter on the build side keeps it
+    non-trivial at every SF)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_MERGE_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+def q_merge_semi(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+SQL_MERGE_SEMI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_merge_final_state(spark, sf):
+    """The engine's MERGE combinator on events-as-binlog: first half of the
+    log becomes the target state (with 'error' as delete/tombstone), second
+    half merges in; LWW across both; tombstone winners drop out. Equivalent
+    to global LWW — which is exactly what the SQL oracle computes."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    old = ev.filter(F.col("ts") < CUTOFF)
+    new = ev.filter(F.col("ts") >= CUTOFF)
+    target = lww_dedup(old, key="user_id", ts_col="ts", seq_col="event_id")
+    merged = lww_dedup(
+        target.unionByName(new), key="user_id", ts_col="ts", seq_col="event_id"
+    )
+    return merged.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "value"
+    )
+
+
+SQL_MERGE_FINAL_STATE = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, value FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_join_enrich(spark, sf):
+    """Broadcast dim join (orders × customer) with aggregation."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# set ops / schema evolution
+# ---------------------------------------------------------------------------
+
+def q_union_evolved(spark, sf):
+    """unionByName(allowMissingColumns=True) — the widening-batch workhorse."""
+    o = _t(spark, sf, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+SQL_UNION_EVOLVED = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar functions (O8/O9/O10 family: regex, length, array ops)
+# ---------------------------------------------------------------------------
+
+def q_scalar_funcs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+        F.upper("lang").alias("lang_up"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+        ).alias("n_punct"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT doc_id, length(text) AS len_chars,
+       coalesce(regexp_extract(text, '^([a-z]+)', 1), '') AS first_word,
+       upper(lang) AS lang_up,
+       regexp_matches(text, '[0-9]') AS has_digit,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+def q_vectorized_ntok(spark, sf):
+    """n_tok recompute analog as a vectorized (Arrow) UDF over arrays."""
+    e = _t(spark, sf, "embeddings")
+    return e.select("vec_id", arr_len("embedding").cast("bigint").alias("emb_len"))
+
+
+SQL_VECTORIZED_NTOK = """
+SELECT vec_id, len(embedding) AS emb_len FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on normalized text (map-side combinable)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(text)) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles(col, n=3):
+    """Distinct character n-grams of lower(text) — via sequence+substr
+    (no explode until needed)."""
+    lo = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lo) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: lo.substr(i, F.lit(n))))
+
+
+def q_jaccard_ngram(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.3). Quadratic
+    verifier — capped input; the scale path is q_minhash_pairs (LSH)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
+    )
+
+
+SQL_JACCARD_NGRAM = """
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 2000),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 3) AS s
+  FROM docs, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jac
+FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
+"""
+
+
+def q_minhash_pairs(spark, sf):
+    """MinHash + LSH banding near-dup candidates (the 100 TB dedup path):
+    shingle → 32 minhashes → 8 bands × 4 → bucket join → verified Jaccard
+    estimate. No SQL oracle (hash functions are engine-specific) → driver
+    records the rows-only check."""
+    k, bands, rows_per_band = 32, 8, 4
+    p = 2_147_483_647
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 4)).alias("s")
+    ).withColumn("h", F.abs(F.xxhash64("s")) % p)
+    aggs = [
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * 7919)) % p).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    mh = sh.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = mh.select("doc_id", *band_cols)
+    pairs = None
+    for b in range(bands):
+        bb = banded.select("doc_id", F.col(f"band{b}").alias("bk"))
+        cand = (
+            bb.alias("x")
+            .join(bb.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    cands = pairs.distinct()
+    # verify candidates with the minhash Jaccard estimate
+    ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    est = sum(
+        [F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)],
+        start=F.lit(0),
+    ) / F.lit(k)
+    return (
+        cands.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("jac_est"))
+        .filter(F.col("jac_est") >= 0.25)
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(words):
+    """Vectorized 64-bit SimHash over word arrays (numpy bit votes)."""
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    for ws in words:
+        if ws is None or len(ws) == 0:
+            out.append(0)
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for w in ws:
+            h = 14695981039346656037  # FNV-1a 64
+            for ch in w.encode("utf-8"):
+                h = (h ^ ch) * 1099511628211 % (1 << 64)
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "little"), np.uint8), bitorder="little"
+            )
+            votes += 2 * bits.astype(np.int64) - 1
+        sig_bytes = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+        sig = int.from_bytes(sig_bytes.tobytes(), "little")
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out, dtype="int64")
+
+
+def q_simhash(spark, sf):
+    """SimHash document fingerprints (near-dup family; rows-only check)."""
+    d = _t(spark, sf, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    return d.select("doc_id", _simhash64(words).alias("simhash"))
+
+
+def q_fingerprint(spark, sf):
+    """Rolling polynomial document fingerprint — pure JVM fold, identical
+    left fold in the DuckDB oracle."""
+    d = _t(spark, sf, "documents")
+    chars = F.regexp_extract_all(F.col("text"), F.lit("."), 0)
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    fp = F.aggregate(
+        codes,
+        F.lit(7).cast("bigint"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(1_000_000_007),
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+           list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+         (a, c) -> (a * 31 + c) % 1000000007
+       ) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    bpe_pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("bigint").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(bpe_pat), 0))
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    n_words = F.size(F.split(F.trim("text"), "\\s+"))
+    punct = F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    stop_the = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        punct.cast("bigint").alias("punct_cnt"),
+        stop_the.alias("stop_the"),
+        F.round(n_words / F.col("n_chars"), 4).alias("word_density"),
+    )
+
+
+SQL_QUALITY_SCORE = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+       CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS stop_the,
+       round(len(regexp_split_to_array(trim(text), '\s+')) * 1.0 / n_chars, 4) AS word_density
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf):
+    """Marker-based language-ID heuristic (n-gram style), scored vs the
+    labeled lang column."""
+    d = _t(spark, sf, "documents")
+    t = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    guess = (
+        F.when(t.contains(" the "), "en")
+        .when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" le ") | t.contains(" et "), "fr")
+        .when(t.contains(" el ") | t.contains(" y "), "es")
+        .otherwise("unk")
+    )
+    return d.select(
+        "doc_id", guess.alias("lang_guess"), "lang", (guess == F.col("lang")).alias("hit")
+    )
+
+
+SQL_LANG_ID = """
+WITH g AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+)
+SELECT doc_id,
+       CASE WHEN t LIKE '% the %' THEN 'en'
+            WHEN t LIKE '% der %' OR t LIKE '% und %' THEN 'de'
+            WHEN t LIKE '% le %' OR t LIKE '% et %' THEN 'fr'
+            WHEN t LIKE '% el %' OR t LIKE '% y %' THEN 'es'
+            ELSE 'unk' END AS lang_guess,
+       lang,
+       (CASE WHEN t LIKE '% the %' THEN 'en'
+             WHEN t LIKE '% der %' OR t LIKE '% und %' THEN 'de'
+             WHEN t LIKE '% le %' OR t LIKE '% et %' THEN 'fr'
+             WHEN t LIKE '% el %' OR t LIKE '% y %' THEN 'es'
+             ELSE 'unk' END) = lang AS hit
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-5 per query vector (the correctness baseline
+    for ANN; rank output with deterministic tie-break)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    sims = (
+        b.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "nid",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nid", "rnk")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+pairs AS (SELECT qid, e.vec_id AS nid, qv, e.embedding AS nv FROM q, embeddings e),
+sims AS (
+  SELECT qid, nid,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+                (a, b) -> a + b))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65), i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))),
+                (a, b) -> a + b))), 6) AS sim
+  FROM pairs
+)
+SELECT qid, nid, rn AS rnk
+FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn FROM sims)
+WHERE rn <= 5
+"""
+
+
+def q_embed_cosine_dup(spark, sf):
+    """Embedding near-duplicate pairs (cosine ≥ 0.3), capped input;
+    scale path = q_ann_lsh bucketing."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+SQL_EMBED_COSINE_DUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS va, b.embedding AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 65), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))),
+              (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 65), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))),
+              (a, b) -> a + b))), 6) AS sim
+FROM pairs
+WHERE round(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 65), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))),
+              (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 65), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))),
+              (a, b) -> a + b))), 6) >= 0.3
+"""
+
+
+def q_ann_lsh(spark, sf):
+    """LSH-bucketed ANN (random-hyperplane signatures, deterministic planes):
+    the 100 TB scale path — candidates only meet within a bucket. Approximate
+    by construction → rows-only check."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64)).tolist()  # 8 planes → 256 buckets
+    e = _t(spark, sf, "embeddings")
+    sig = None
+    for j, pl in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in pl])
+        bit = (_dot(F.col("embedding"), arr) > 0).cast("int")
+        sig = bit if sig is None else sig * 2 + bit
+    e = e.select("vec_id", "embedding", sig.alias("bucket"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket")
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns + mapInPandas decode)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf):
+    """Opaque binary payload → typed metadata via mapInPandas (Arrow batches).
+    The decode itself is a deterministic fake (image/audio libs absent —
+    see functions/multimodal.py); the Spark plumbing (binary column, batch
+    iterator, schema) is real and oracle-checked on byte arithmetic."""
+    from ..functions.multimodal import extract_meta
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return extract_meta(d, id_col="doc_id", blob_col="blob")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_scan_filter": q_scan_filter,
+    "q_nested_prune": q_nested_prune,
+    "q_counts": q_counts,
+    "q_hot_keys": q_hot_keys,
+    "q_lww_dedup": q_lww_dedup,
+    "q_lww_dedup_maxby": q_lww_dedup_maxby,
+    "q_topk_per_group": q_topk_per_group,
+    "q_sessionize": q_sessionize,
+    "q_merge_anti": q_merge_anti,
+    "q_merge_semi": q_merge_semi,
+    "q_merge_final_state": q_merge_final_state,
+    "q_join_enrich": q_join_enrich,
+    "q_union_evolved": q_union_evolved,
+    "q_scalar_funcs": q_scalar_funcs,
+    "q_vectorized_ntok": q_vectorized_ntok,
+    "q_dedup_exact": q_dedup_exact,
+    "q_jaccard_ngram": q_jaccard_ngram,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_fingerprint": q_fingerprint,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_embed_cosine_dup": q_embed_cosine_dup,
+    "q_multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "q_scan_filter": SQL_SCAN_FILTER,
+    "q_nested_prune": SQL_NESTED_PRUNE,
+    "q_counts": SQL_COUNTS,
+    "q_hot_keys": SQL_HOT_KEYS,
+    "q_lww_dedup": _LWW_SQL,
+    "q_lww_dedup_maxby": _LWW_SQL,
+    "q_topk_per_group": SQL_TOPK,
+    "q_sessionize": SQL_SESSIONIZE,
+    "q_merge_anti": SQL_MERGE_ANTI,
+    "q_merge_semi": SQL_MERGE_SEMI,
+    "q_merge_final_state": SQL_MERGE_FINAL_STATE,
+    "q_join_enrich": SQL_JOIN_ENRICH,
+    "q_union_evolved": SQL_UNION_EVOLVED,
+    "q_scalar_funcs": SQL_SCALAR_FUNCS,
+    "q_vectorized_ntok": SQL_VECTORIZED_NTOK,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_jaccard_ngram": SQL_JACCARD_NGRAM,
+    # q_minhash_pairs, q_simhash, q_ann_lsh: engine-specific hashes /
+    # approximate-by-construction → rows-only checks (deliberate)
+    "q_fingerprint": SQL_FINGERPRINT,
+    "q_token_count": SQL_TOKEN_COUNT,
+    "q_quality_score": SQL_QUALITY_SCORE,
+    "q_lang_id": SQL_LANG_ID,
+    "q_ann_topk": SQL_ANN_TOPK,
+    "q_embed_cosine_dup": SQL_EMBED_COSINE_DUP,
+    "q_multimodal_meta": SQL_MULTIMODAL_META,
+}
