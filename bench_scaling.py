@@ -22,6 +22,9 @@ def run_at(cpus: int, events: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_EVENTS"] = str(events)
     env["BENCH_QUERIES_SKIP"] = "1"
+    # scaling runs use fewer, bigger batches: the serial per-batch costs
+    # (commit, planning, py4j) are what a cluster amortizes the same way
+    env.setdefault("BENCH_FILES_PER_BATCH", "4")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -36,7 +39,7 @@ def run_at(cpus: int, events: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * n
-    events = int(os.environ.get("BENCH_EVENTS", "1500000"))
+    events = int(os.environ.get("BENCH_EVENTS", "6000000"))
 
     r_small = run_at(n, events)
     r_big = run_at(n4, events)

@@ -81,6 +81,57 @@ def tag_source(source: pd.Series) -> pd.Series:
     return s.where(known, "crawl")
 
 
+_NORM_STRUCT = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ntok_mismatch", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(_NORM_STRUCT)
+def normalize_payload(
+    tokens: pd.Series, tokens_raw: pd.Series, n_tok_claimed: pd.Series, source: pd.Series
+) -> pd.DataFrame:
+    """All three mandated record transforms in ONE Arrow round trip
+    (token normalization + n_tok recompute + source tagging), with the
+    mismatch flag for the dq counter. Hot loops only touch the wrapped-text
+    minority; everything else is pandas/numpy C paths."""
+    extracted = tokens_raw.astype("string").str.extract(_WRAP_RE, expand=False)[0]
+    out_tokens: list[object] = []
+    for tok, raw in zip(tokens, extracted):
+        if tok is not None and not (isinstance(tok, float) and pd.isna(tok)):
+            out_tokens.append(np.asarray(tok, dtype=np.int32))
+        elif isinstance(raw, str):
+            s = raw.strip()
+            if not s:
+                out_tokens.append(np.array([], dtype=np.int32))
+            else:
+                try:
+                    out_tokens.append(np.fromiter((int(x) for x in s.split()), dtype=np.int32))
+                except ValueError:
+                    out_tokens.append(None)
+        else:
+            out_tokens.append(None)
+    n_tok = pd.Series(
+        [len(t) if t is not None else None for t in out_tokens], dtype="Int32"
+    )
+    src = source.astype("string").str.strip().str.lower()
+    src = src.where(src.isin(["crawl", "curated", "synthetic"]), "crawl")
+    claimed = pd.to_numeric(n_tok_claimed, errors="coerce").astype("Int32")
+    mism = claimed.notna() & n_tok.notna() & (claimed != n_tok)
+    return pd.DataFrame(
+        {
+            "tokens": pd.Series(out_tokens, dtype=object),
+            "n_tok": n_tok,
+            "source": src,
+            "ntok_mismatch": mism.fillna(False),
+        }
+    )
+
+
 @F.pandas_udf(T.IntegerType())
 def arr_len(arr: pd.Series) -> pd.Series:
     """Generic vectorized array length (used by q_vectorized_ntok)."""

@@ -43,7 +43,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-from ..functions.vectorized import normalize_tokens, recompute_n_tok, tag_source
 from ..lakehouse.schema import TableSchema
 from ..lakehouse.table import LakeTable, bucket_expr
 from .dedup import lww_dedup
@@ -61,6 +60,10 @@ class MergeConfig:
     source_fid: int = 4
     write_dlq: bool = True
     collect_metrics: bool = True
+    # 'jvm' = codegen column expressions (fastest, zero Python);
+    # 'arrow' = one combined struct pandas UDF (single Arrow round trip).
+    # Identical semantics, parity-tested.
+    impl: str = "jvm"
     extra_lineage: dict[str, int] = field(default_factory=dict)
 
 
@@ -79,9 +82,40 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSche
     return schema, {"map": rename_old, "types": rename_types}
 
 
+def _jvm_norm_tokens(tokens_col: F.Column, raw_col: F.Column) -> F.Column:
+    """JVM-expression token normalization (whole-stage codegen): identical
+    semantics to the Arrow UDF / oracle — wrapped-text repair via the
+    reference regex, blank inner → [], non-numeric token → NULL (DLQ)."""
+    from ..functions.reference_repair import WRAP_RE_JAVA
+
+    extract = F.regexp_extract(raw_col, WRAP_RE_JAVA, 1)
+    parsed = F.when(
+        F.length(F.trim(extract)) == 0, F.array().cast("array<int>")
+    ).otherwise(F.transform(F.split(F.trim(extract), "\\s+"), lambda x: x.try_cast("int")))
+    from_raw = F.when(raw_col.isNotNull() & raw_col.rlike(WRAP_RE_JAVA), parsed)
+    toks = F.coalesce(tokens_col, from_raw)
+    return F.when(
+        F.exists(toks, lambda t: t.isNull()), F.lit(None).cast("array<int>")
+    ).otherwise(toks)
+
+
+def _jvm_tag_source(src: F.Column) -> F.Column:
+    s = F.lower(F.trim(src))
+    return F.when(s.isin("crawl", "curated", "synthetic"), s).otherwise(F.lit("crawl"))
+
+
 def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
                rename_map: dict[str, str]) -> DataFrame:
-    """Envelope payload → typed change columns, vectorized transforms only."""
+    """Envelope payload → typed change columns. Two vectorized impls with
+    identical semantics (parity-tested):
+
+    * ``impl='jvm'`` (default): whole-stage-codegen column expressions —
+      measured ~4× faster end-to-end than the Arrow hop (ARCHITECTURE.md);
+      zero Python anywhere.
+    * ``impl='arrow'``: one combined struct-returning pandas UDF
+      (single Arrow round trip) — the shape a transform needs when the
+      logic can't be expressed as SQL expressions.
+    """
     key = schema.key_name
 
     def pv(name: str) -> F.Column:
@@ -89,33 +123,58 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
         old = rename_map.get(name)
         return F.coalesce(c, F.col(f"payload.{old}")) if old else c
 
+    by_fid = {f.id: f for f in schema.fields}
+    tokens_f = by_fid.get(cfg.tokens_fid)
+    ntok_f = by_fid.get(cfg.ntok_fid)
+    source_f = by_fid.get(cfg.source_fid)
+    canonical_ids = {cfg.tokens_fid, cfg.ntok_fid, cfg.source_fid, schema.key_field_id}
+
     sel = [F.col(key), F.col("op"), F.col("event_ts"), F.col("lsn"), F.col("_raw")]
-    tokens_name = ntok_name = None
-    ntok_type = "int"
     for f in schema.fields:
-        if f.id == schema.key_field_id:
+        if f.id in canonical_ids:
             continue
-        if f.id == cfg.tokens_fid:
-            tokens_name = f.name
-            sel.append(
-                normalize_tokens(pv(f.name), F.col("payload.tokens_raw"))
-                .cast(f.type)
-                .alias(f.name)
-            )
-        elif f.id == cfg.ntok_fid:
-            ntok_name, ntok_type = f.name, f.type
-            sel.append(pv(f.name).cast("int").alias("_ntok_claimed"))
-        elif f.id == cfg.source_fid:
-            sel.append(tag_source(pv(f.name)).alias(f.name))
-        else:
-            sel.append(pv(f.name).cast(f.type).alias(f.name))
+        sel.append(pv(f.name).cast(f.type).alias(f.name))
+
+    if tokens_f is None:
+        out = data.select(*sel)
+        return out.withColumn("_ntok_mismatch", F.lit(False))
+
+    raw_col = F.col("payload.tokens_raw")
+    if cfg.impl == "arrow":
+        from ..functions.vectorized import normalize_payload
+
+        ns = normalize_payload(
+            pv(tokens_f.name),
+            raw_col,
+            (pv(ntok_f.name).cast("int") if ntok_f is not None else F.lit(None).cast("int")),
+            (pv(source_f.name) if source_f is not None else F.lit(None).cast("string")),
+        )
+        sel.append(ns.alias("_ns"))
+        out = data.select(*sel)
+        out = out.withColumn(tokens_f.name, F.col("_ns.tokens").cast(tokens_f.type))
+        if ntok_f is not None:
+            out = out.withColumn(ntok_f.name, F.col("_ns.n_tok").cast(ntok_f.type))
+        if source_f is not None:
+            out = out.withColumn(source_f.name, F.col("_ns.source"))
+        return out.withColumn("_ntok_mismatch", F.coalesce(F.col("_ns.ntok_mismatch"), F.lit(False))).drop("_ns")
+
+    # default: JVM expressions
+    toks = _jvm_norm_tokens(pv(tokens_f.name), raw_col)
+    sel.append(toks.cast(tokens_f.type).alias(tokens_f.name))
+    if source_f is not None:
+        sel.append(_jvm_tag_source(pv(source_f.name)).alias(source_f.name))
+    if ntok_f is not None:
+        sel.append(pv(ntok_f.name).cast("int").alias("_ntok_claimed"))
     out = data.select(*sel)
-    if ntok_name is not None and tokens_name is not None:
-        out = out.withColumn(ntok_name, recompute_n_tok(F.col(tokens_name)).cast(ntok_type))
+    if ntok_f is not None:
+        ntok = F.when(
+            F.col(tokens_f.name).isNotNull(), F.size(F.col(tokens_f.name))
+        ).cast(ntok_f.type)
+        out = out.withColumn(ntok_f.name, ntok)
         out = out.withColumn(
             "_ntok_mismatch",
             F.col("_ntok_claimed").isNotNull()
-            & (F.col("_ntok_claimed") != F.col(ntok_name).cast("int")),
+            & (F.col("_ntok_claimed") != F.col(ntok_f.name).cast("int")),
         ).drop("_ntok_claimed")
     else:
         out = out.withColumn("_ntok_mismatch", F.lit(False))

@@ -1,0 +1,75 @@
+"""Physical-plan assertions (.explain-driven, SURVEY.md §4): the choices
+that matter at 100 TB are pinned here so regressions show up as test
+failures, not as cluster bills."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse import bucket_expr
+from helpers import make_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merge_aggregation_single_shuffle(spark):
+    """The merge kernel (union → repartition(bucket) → groupBy(bucket, key))
+    must plan exactly ONE exchange: the bucket repartition satisfies the
+    aggregation's required clustering, and the bucketed write reuses it."""
+    rows = [
+        (f"doc-{i}", "update", dt.datetime(2026, 1, 1), i, [1, 2], 2, "crawl")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, op string, event_ts timestamp, lsn long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    payload = ["op", "event_ts", "lsn", "tokens", "n_tok", "source"]
+    bucketed = df.withColumn("_bucket", bucket_expr("doc_id", 8)).repartition(
+        8, "_bucket"
+    )
+    winners = (
+        bucketed.groupBy("_bucket", "doc_id")
+        .agg(F.max_by(F.struct(*payload), F.struct("event_ts", "lsn")).alias("_w"))
+        .select("_bucket", "doc_id", "_w.*")
+    )
+    plan = _plan(winners)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_table_read_pushes_filters_and_prunes_columns(spark, scratch):
+    table = make_table(scratch, n_buckets=4)
+    seed = spark.range(100).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("crawl").alias("source"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+        F.col("id").alias("_lsn"),
+        F.lit(False).alias("_deleted"),
+    )
+    table.commit(add_files=table.write_data_files(seed))
+    df = table.read(spark).filter(F.col("n_tok") > 0).select("doc_id", "n_tok")
+    plan = _plan(df)
+    # tombstone + user predicates reach the parquet scan; projection pruned
+    assert "PushedFilters" in plan
+    assert "_deleted" in plan.split("PushedFilters")[1][:300], plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "tokens" not in read_schema, read_schema  # nested/col pruning works
+
+
+def test_dim_join_is_broadcast(spark, sf_dir="/root/testdata/sf0.001"):
+    from concept_catalog_etl_spark.plans.queries import q_join_enrich
+
+    plan = _plan(q_join_enrich(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lww_maxby_has_partial_aggregation(spark, sf_dir="/root/testdata/sf0.001"):
+    from concept_catalog_etl_spark.plans.queries import q_lww_dedup_maxby
+
+    plan = _plan(q_lww_dedup_maxby(spark, sf_dir))
+    assert "partial_max_by" in plan, plan
