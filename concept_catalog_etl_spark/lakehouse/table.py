@@ -352,6 +352,42 @@ class LakeTable:
             return None
         return spark.read.option("basePath", d).parquet(os.path.join(d, "batch_id=*"))
 
+    # --------------------------------------------------------------- compact
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 1,
+        expire_tombstones_below_lsn: int | None = None,
+    ) -> dict:
+        """Rewrite fragmented buckets (and optionally expire tombstones older
+        than the out-of-orderness horizon). Metadata-atomic like any commit;
+        at scale this is the background maintenance job that keeps file
+        counts O(buckets) and bounds tombstone storage."""
+        snap = self.snapshot()
+        by_bucket: dict[int, int] = {}
+        for f in snap["files"]:
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
+        if expire_tombstones_below_lsn is not None:
+            todo = set(by_bucket)  # must scan every bucket to expire
+        if not todo:
+            return {"buckets_compacted": 0, "files_before": len(snap["files"])}
+        df = self.read(spark, buckets=todo, with_system_cols=True, include_deleted=True)
+        if expire_tombstones_below_lsn is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col("_deleted"), F.lit(False))
+                    & (F.col("_lsn") < expire_tombstones_below_lsn)
+                )
+            )
+        files = self.write_data_files(df)
+        self.commit(add_files=files, remove_buckets=todo)
+        return {
+            "buckets_compacted": len(todo),
+            "files_before": len(snap["files"]),
+            "files_after": len(self.snapshot()["files"]),
+        }
+
     # ---------------------------------------------------------------- vacuum
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot."""

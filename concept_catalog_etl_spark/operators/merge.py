@@ -240,6 +240,7 @@ def apply_batch(
         F.count(F.lit(1)).alias("events_data"),
         F.coalesce(F.sum(F.col("_ntok_mismatch").cast("int")), F.lit(0)).alias("ntok_repaired"),
         F.coalesce(F.sum((F.col("op") == "delete").cast("int")), F.lit(0)).alias("deletes_seen"),
+        F.unix_micros(F.max(F.col("event_ts").cast("timestamp"))).alias("max_event_ts_us"),
     ]
     obs = Observation(f"merge_b{batch_id}") if cfg.collect_metrics else None
     if obs is not None:
@@ -320,6 +321,13 @@ def apply_batch(
         except Exception:
             m = norm.agg(*metric_aggs).collect()[0].asDict()
         metrics.update({k: (int(v) if v is not None else 0) for k, v in m.items()})
+        # ingest lag: wall-clock now vs newest event applied this batch
+        import time as _time
+
+        if metrics.get("max_event_ts_us"):
+            metrics["ingest_lag_sec"] = round(
+                _time.time() - metrics["max_event_ts_us"] / 1e6, 3
+            )
     metrics["rows_written"] = int(sum(f["rows"] for f in files))
     metrics["buckets_rewritten"] = len(affected)
 

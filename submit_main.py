@@ -1,0 +1,79 @@
+"""spark-submit entry point (north_star launch contract):
+
+    python package_zip.py                                  # build dist/engine.zip
+    spark-submit --py-files dist/engine.zip submit_main.py \
+        --binlog-dir /data/binlog --table /lake/concepts \
+        --checkpoint /lake/_ckpt/concepts [--mode stream|batch] \
+        [--n-buckets 1024] [--files-per-batch 10] [--impl jvm|arrow]
+
+On a cluster the session comes from the cluster manager (no .master here);
+locally it falls back to local[*]. Replaces the reference's Makefile
+orchestration (/root/reference/files/Makefile:2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--binlog-dir", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    ap.add_argument("--n-buckets", type=int, default=1024)
+    ap.add_argument("--files-per-batch", type=int, default=10)
+    ap.add_argument("--impl", choices=["jvm", "arrow"], default="jvm")
+    args = ap.parse_args()
+
+    from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+    from concept_catalog_etl_spark.streaming.replay import replay_batch, replay_stream
+
+    spark = (
+        SparkSession.builder.appName("concept_catalog_etl_spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    if LakeTable.exists(args.table):
+        table = LakeTable(args.table)
+    else:
+        schema = TableSchema.create(
+            [
+                ("doc_id", "string"),
+                ("tokens", "array<int>"),
+                ("n_tok", "int"),
+                ("source", "string"),
+            ],
+            key="doc_id",
+        )
+        table = LakeTable.create(args.table, schema, n_buckets=args.n_buckets)
+
+    cfg = MergeConfig(impl=args.impl)
+    if args.mode == "stream":
+        metrics = replay_stream(
+            spark, args.binlog_dir, table, args.checkpoint,
+            cfg=cfg, max_files_per_trigger=args.files_per_batch,
+        )
+    else:
+        files = sorted(
+            os.path.join(args.binlog_dir, f)
+            for f in os.listdir(args.binlog_dir)
+            if f.endswith(".jsonl")
+        )
+        metrics = replay_batch(spark, files, table, args.files_per_batch, cfg)
+    print(json.dumps({"batches": len(metrics), "table_version": table.current_version()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Compaction: file-count reduction + tombstone expiry, state-preserving."""
+
+import os
+
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+from helpers import make_table, table_state
+
+
+def test_compact_preserves_state_and_reduces_files(spark, scratch):
+    """MERGE's copy-on-write never fragments (full-bucket rewrites), so
+    fragmentation comes from append-style bulk loads — two disjoint appends
+    here — and compact() folds them back to ≤1 file per bucket."""
+    from pyspark.sql import functions as F
+
+    table = make_table(scratch, n_buckets=4)
+    for wave in range(2):
+        seed = (
+            spark.range(wave * 100, wave * 100 + 100)
+            .select(
+                F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+                F.array(F.col("id").cast("int")).alias("tokens"),
+                F.lit(1).alias("n_tok"),
+                F.lit("crawl").alias("source"),
+                F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+                F.col("id").alias("_lsn"),
+                F.lit(False).alias("_deleted"),
+            )
+        )
+        table.commit(add_files=table.write_data_files(seed))  # append, no remove
+    before_files = len(table.snapshot()["files"])
+    assert before_files > 4  # fragmented: 2 files per bucket
+    state_before = table_state(spark, table)
+
+    r = table.compact(spark, max_files_per_bucket=1)
+    assert r["buckets_compacted"] > 0
+    after_files = len(table.snapshot()["files"])
+    assert after_files <= 4  # ≤ one file per bucket
+    assert after_files < before_files
+    assert table_state(spark, table) == state_before
+
+    # second compact is a no-op
+    r2 = table.compact(spark, max_files_per_bucket=1)
+    assert r2["buckets_compacted"] == 0
+
+
+def test_compact_expires_old_tombstones(spark, scratch):
+    import json
+
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f = os.path.join(d, "b.jsonl")
+    with open(f, "w") as fh:
+        fh.write(
+            json.dumps({"op": "insert", "doc_id": "keep", "event_ts": "2026-01-01T00:00:01.000000",
+                        "lsn": 1, "schema_version": 1,
+                        "payload": {"tokens": [1], "tokens_raw": None, "n_tok": 1, "source": "crawl"},
+                        "schema_change": None}) + "\n")
+        fh.write(
+            json.dumps({"op": "delete", "doc_id": "gone", "event_ts": "2026-01-01T00:00:02.000000",
+                        "lsn": 2, "schema_version": 1, "payload": None, "schema_change": None}) + "\n")
+    table = make_table(scratch, n_buckets=2)
+    replay_batch(spark, [f], table)
+    with_tomb = table.read(spark, include_deleted=True, with_system_cols=True)
+    assert with_tomb.filter("_deleted").count() == 1
+    table.compact(spark, expire_tombstones_below_lsn=100)
+    with_tomb2 = table.read(spark, include_deleted=True, with_system_cols=True)
+    assert with_tomb2.filter("_deleted").count() == 0
+    assert table_state(spark, table).keys() == {"keep"}
