@@ -45,25 +45,24 @@ BENCH_QUERIES = [
 ]
 
 
-def _binlog_dir() -> str:
-    """Generate (or reuse) the deterministic bench binlog."""
-    from concept_catalog_etl_spark.sources.binlog import generate_binlog
-
-    key = f"ev{N_EVENTS}_d{N_DOCS}_f{N_FILES}_t{MAX_TOKENS}_s42"
+def _binlog_files(spark) -> list[str]:
+    """Generate (or reuse) the deterministic bench binlog — Spark-native
+    generator (JVM expressions; 10^7 events in seconds)."""
+    key = f"sg_ev{N_EVENTS}_d{N_DOCS}_f{N_FILES}_t{MAX_TOKENS}_s42"
     d = os.path.join(REPO, ".bench", key)
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
+        from concept_catalog_etl_spark.sources.binlog_spark import generate_binlog_files
+
         shutil.rmtree(d, ignore_errors=True)
-        generate_binlog(
-            d,
-            n_events=N_EVENTS,
-            n_docs=N_DOCS,
-            n_files=N_FILES,
-            seed=42,
-            max_tokens=MAX_TOKENS,
+        generate_binlog_files(
+            spark, d, N_EVENTS, n_files=N_FILES, n_docs=N_DOCS,
+            seed=42, max_tokens=MAX_TOKENS,
         )
         open(marker, "w").close()
-    return d
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".txt")
+    )
 
 
 def main() -> None:
@@ -72,8 +71,8 @@ def main() -> None:
     from concept_catalog_etl_spark.session import get_spark
     from concept_catalog_etl_spark.streaming.replay import replay_batch
 
-    log_dir = _binlog_dir()
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    files = _binlog_files(spark)
 
     work = os.path.join(REPO, ".bench", "run")
     shutil.rmtree(work, ignore_errors=True)
@@ -82,9 +81,6 @@ def main() -> None:
         key="doc_id",
     )
     table = LakeTable.create(os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32))
-    files = sorted(
-        os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".jsonl")
-    )
 
     t0 = time.time()
     replay_batch(spark, files, table, files_per_batch=FILES_PER_BATCH)

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from ..lakehouse.schema import TableSchema
 from ..lakehouse.table import LakeTable, bucket_expr
 from .dedup import lww_dedup
-from .envelope import lineage_offsets, parse_raw, split_dlq
+from .envelope import parse_raw, split_dlq
 
 EPOCH = "1970-01-01 00:00:00"
 
@@ -200,60 +200,83 @@ def apply_batch(
     schema = table.schema()
     expect_version = table.current_version()
 
-    parsed0 = parse_raw(raw, schema).persist()
-    sc_rows = sorted(
-        parsed0.filter(
-            (F.col("op") == "schema_change") & F.col("_dlq_reason").isNull()
-        )
-        .select("event_ts", "lsn", "schema_change.*")
-        .collect(),
-        key=lambda r: (r["event_ts"], r["lsn"]),
+    # ---- pass A: ONE summary aggregation over the raw batch -------------
+    # (schema-change events + per-source lineage + structural DLQ counts +
+    # event totals — replaces three separate driver jobs)
+    parsed0 = parse_raw(raw, schema)
+    src0 = next((f.name for f in schema.fields if f.id == cfg.source_fid), None)
+    src_col = (
+        F.coalesce(F.col(f"payload.{src0}"), F.lit("_default")) if src0 else F.lit("_default")
     )
+    summary_rows = (
+        parsed0.groupBy(src_col.alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_dlq_reason").isNotNull().cast("int")).alias("n_dlq"),
+            F.max(F.when(F.col("_dlq_reason").isNull(), F.col("lsn"))).alias("max_lsn"),
+            F.collect_list(
+                F.when(
+                    (F.col("op") == "schema_change") & F.col("_dlq_reason").isNull(),
+                    F.struct("event_ts", "lsn", "schema_change"),
+                )
+            ).alias("scs"),
+        )
+        .collect()
+    )
+    events_total = sum(r["n"] for r in summary_rows)
+    structural_dlq = int(sum(r["n_dlq"] or 0 for r in summary_rows))
+    lineage = {
+        r["src"]: r["max_lsn"] for r in summary_rows if r["max_lsn"] is not None
+    }
+    for k_, v_ in cfg.extra_lineage.items():
+        lineage[k_] = max(lineage.get(k_, v_), v_)
+    sc_rows = sorted(
+        (
+            {"event_ts": s["event_ts"], "lsn": s["lsn"], **s["schema_change"].asDict()}
+            for r in summary_rows
+            for s in r["scs"]
+        ),
+        key=lambda s: (s["event_ts"], s["lsn"]),
+    )
+
     rename_map: dict[str, str] = {}
     new_schema = None
     if sc_rows:
         new_schema, ren = _apply_schema_changes(schema, sc_rows)
         rename_map = ren["map"]
-        parsed = parse_raw(raw, new_schema, extra_names=ren["types"]).persist()
-        parsed0.unpersist()
+        parsed = parse_raw(raw, new_schema, extra_names=ren["types"])
         schema = new_schema
     else:
         parsed = parsed0
 
     key = schema.key_name
-    good, dlq = split_dlq(parsed)
+    good, _dlq_structural = split_dlq(parsed)
     data = good.filter(F.col("op") != "schema_change")
 
     norm = _normalize(data, schema, cfg, rename_map)
     tokens_name = next((f.name for f in schema.fields if f.id == cfg.tokens_fid), None)
-    if tokens_name is not None:
-        is_bad = F.col("op").isin("insert", "update") & F.col(tokens_name).isNull()
-        dlq = dlq.unionByName(
-            norm.filter(is_bad).select(
-                "_raw", F.lit("bad_tokens").alias("_dlq_reason"), "op", F.col(key).alias("doc_id"),
-                "event_ts", "lsn",
-            )
-        )
-        norm = norm.filter(~is_bad)
+    is_bad = (
+        F.col("op").isin("insert", "update") & F.col(tokens_name).isNull()
+        if tokens_name is not None
+        else F.lit(False)
+    )
 
     metric_aggs = [
         F.count(F.lit(1)).alias("events_data"),
         F.coalesce(F.sum(F.col("_ntok_mismatch").cast("int")), F.lit(0)).alias("ntok_repaired"),
         F.coalesce(F.sum((F.col("op") == "delete").cast("int")), F.lit(0)).alias("deletes_seen"),
+        F.coalesce(F.sum(is_bad.cast("int")), F.lit(0)).alias("bad_tokens"),
         F.unix_micros(F.max(F.col("event_ts").cast("timestamp"))).alias("max_event_ts_us"),
     ]
     obs = Observation(f"merge_b{batch_id}") if cfg.collect_metrics else None
     if obs is not None:
         norm = norm.observe(obs, *metric_aggs)
 
-    source_name = next((f.name for f in schema.fields if f.id == cfg.source_fid), None)
-    lineage = lineage_offsets(data, source_name)
-    for k_, v_ in cfg.extra_lineage.items():
-        lineage[k_] = max(lineage.get(k_, v_), v_)
-
     payload_names = [f.name for f in schema.fields if f.id != schema.key_field_id]
-    changes = norm.drop("_raw", "_ntok_mismatch")
-    deduped = lww_dedup(changes, key=key)  # partial-agg absorbs hot-key skew
+    changes = norm.filter(~is_bad).drop("_raw", "_ntok_mismatch")
+    # partial-agg absorbs hot-key skew; persisted so the affected-bucket
+    # collect and the write share one computation (it is tiny: ≤1 row/key)
+    deduped = lww_dedup(changes, key=key).persist()
 
     nb = table.n_buckets()
     affected = [
@@ -310,17 +333,17 @@ def apply_batch(
         )
         files = table.write_data_files(result, schema_override=schema)
 
+    bad_tokens = 0
     if obs is not None:
-        # Observation values become available once the write action ran.
-        # Empty batches can get their CollectMetrics node pruned (empty-
-        # relation propagation), so fall back to a direct aggregation.
+        # Observation values become available once the dedup/write actions
+        # ran. Empty batches can get their CollectMetrics node pruned
+        # (empty-relation propagation) → fall back to a direct aggregation.
         try:
-            if not affected:
-                norm.count()
-            m = dict(obs.get)
+            m = dict(obs.get) if affected else norm.agg(*metric_aggs).collect()[0].asDict()
         except Exception:
             m = norm.agg(*metric_aggs).collect()[0].asDict()
         metrics.update({k: (int(v) if v is not None else 0) for k, v in m.items()})
+        bad_tokens = metrics.get("bad_tokens", 0)
         # ingest lag: wall-clock now vs newest event applied this batch
         import time as _time
 
@@ -330,9 +353,18 @@ def apply_batch(
             )
     metrics["rows_written"] = int(sum(f["rows"] for f in files))
     metrics["buckets_rewritten"] = len(affected)
+    metrics["events_total"] = int(events_total)
 
-    dlq_count = 0
-    if cfg.write_dlq:
+    # ---- DLQ side-output: one extra pass, only when something failed ----
+    dlq_count = structural_dlq + int(bad_tokens)
+    if cfg.write_dlq and (dlq_count > 0 or obs is None):
+        dlq = _dlq_structural
+        if tokens_name is not None:
+            bad_rows = norm.filter(is_bad).select(
+                "_raw", F.lit("bad_tokens").alias("_dlq_reason"), "op",
+                F.col(key).alias("doc_id"), "event_ts", "lsn",
+            )
+            dlq = dlq.unionByName(bad_rows)
         dlq = dlq.persist()
         dlq_count = dlq.count()
         if dlq_count:
@@ -349,5 +381,5 @@ def apply_batch(
         metrics=metrics,
         expect_version=expect_version,
     )
-    parsed.unpersist()
+    deduped.unpersist()
     return metrics
