@@ -22,6 +22,9 @@ def run_at(cpus: int, events: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_EVENTS"] = str(events)
     env["BENCH_QUERIES_SKIP"] = "1"
+    # steady-state measurement: run twice in one (warm) JVM, take the best —
+    # a cluster ingest job is long-running, so JIT warmup is not the metric
+    env.setdefault("BENCH_REPEAT", "2")
     # scaling runs use fewer, bigger batches: the serial per-batch costs
     # (commit, planning, py4j) are what a cluster amortizes the same way
     env.setdefault("BENCH_FILES_PER_BATCH", "4")

@@ -203,8 +203,8 @@ def apply_batch(
     # ---- pass A: ONE summary aggregation over the raw batch -------------
     # (schema-change events + per-source lineage + structural DLQ counts +
     # event totals — replaces three separate driver jobs)
-    parsed0 = parse_raw(raw, schema)
     src0 = next((f.name for f in schema.fields if f.id == cfg.source_fid), None)
+    parsed0 = parse_raw(raw, schema, light=src0 or True)
     src_col = (
         F.coalesce(F.col(f"payload.{src0}"), F.lit("_default")) if src0 else F.lit("_default")
     )
@@ -247,7 +247,7 @@ def apply_batch(
         parsed = parse_raw(raw, new_schema, extra_names=ren["types"])
         schema = new_schema
     else:
-        parsed = parsed0
+        parsed = parse_raw(raw, schema)  # full parse (pass A was light)
 
     key = schema.key_name
     good, _dlq_structural = split_dlq(parsed)
