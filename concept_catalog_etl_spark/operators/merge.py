@@ -6,17 +6,26 @@ sequential per-record ``update_one({'_id': k}, {'$set': payload})`` sink
 
 Physical design (chosen for 100 TB, verified by ``.explain`` in tests):
 
-1. **Parse + DLQ** — one JVM-side ``from_json`` over the raw text batch;
-   malformed events split off with a reason (reference ``fail_log``).
-2. **Schema-change events** apply first (metadata-only), so data events in
-   the same batch parse under the evolved schema; renames accept both old
-   and new payload names within the transition batch.
-3. **Vectorized normalize** — token payload normalization, ``n_tok``
-   recompute, source tagging via pandas/Arrow UDFs (north_star: no per-row
-   Python). Unnormalizable tokens → DLQ (``bad_tokens``).
-4. **LWW pre-dedup of the changes** via ``max_by`` hash aggregation: partial
-   (map-side) aggregation absorbs hot-key skew *before* the shuffle, so a
-   doc_id with 10^6 events in a batch shuffles ~one row per input partition.
+1. **Light summary scan first** — envelope head + source tag only (never
+   the token arrays, ~60% of the bytes): schema-change events, per-source
+   lineage offsets, structural-DLQ counts and event totals in one cheap job.
+   It must precede the full parse because schema_change events decide the
+   parse schema.
+2. **Schema-change events** apply as metadata, so data events in the same
+   batch parse under the evolved schema; renames accept both old and new
+   payload names within the transition batch.
+3. **Full parse ONCE + vectorized normalize** — one JVM-side ``from_json``
+   (the dominant per-batch cost — it runs exactly once), then token payload
+   normalization, ``n_tok`` recompute, source tagging as codegen column
+   expressions (or one Arrow UDF; north_star: no per-row Python). Malformed
+   events keep flowing, tagged with a reason (reference ``fail_log``).
+4. **Fused LWW dedup + DLQ capture** in ONE ``max_by``/filtered-
+   ``collect_list`` hash aggregation: good rows compete for the per-key
+   winner, rejected rows (structural + ``bad_tokens``) are gathered for the
+   dead-letter table — dedup and DLQ share one scan and one shuffle.
+   Partial (map-side) aggregation absorbs hot-key skew *before* the
+   shuffle, so a doc_id with 10^6 events in a batch shuffles ~one row per
+   input partition.
 5. **MERGE as an aggregation, not a join**: the pruned target rows become
    pseudo-changes ``(op='keep', ts=_event_ts, lsn=_lsn)``; union with the
    deduped changes; one ``max_by`` per key picks the survivor; a winning
@@ -45,8 +54,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..lakehouse.schema import TableSchema
 from ..lakehouse.table import LakeTable, bucket_expr
-from .dedup import lww_dedup
-from .envelope import parse_raw, split_dlq
+from .dedup import lww_dedup_with_sideout
+from .envelope import parse_raw
 
 EPOCH = "1970-01-01 00:00:00"
 
@@ -129,7 +138,10 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
     source_f = by_fid.get(cfg.source_fid)
     canonical_ids = {cfg.tokens_fid, cfg.ntok_fid, cfg.source_fid, schema.key_field_id}
 
-    sel = [F.col(key), F.col("op"), F.col("event_ts"), F.col("lsn"), F.col("_raw")]
+    sel = [
+        F.col(key), F.col("op"), F.col("event_ts"), F.col("lsn"),
+        F.col("_raw"), F.col("_dlq_reason"),
+    ]
     for f in schema.fields:
         if f.id in canonical_ids:
             continue
@@ -193,16 +205,29 @@ def apply_batch(
     Idempotent: a batch_id already in the snapshot ledger is a no-op
     (exactly-once; the Spark analog of the reference's idempotent ``$set``).
     """
+    import time as _time
+
     cfg = cfg or MergeConfig()
     if table.is_committed(batch_id):
         return {"batch_id": batch_id, "skipped": True}
 
+    phases: dict[str, float] = {}
+    _t0 = _time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        phases[name] = round(phases.get(name, 0.0) + (now - _t0), 3)
+        _t0 = now
+
     schema = table.schema()
     expect_version = table.current_version()
 
-    # ---- pass A: ONE summary aggregation over the raw batch -------------
-    # (schema-change events + per-source lineage + structural DLQ counts +
-    # event totals — replaces three separate driver jobs)
+    # ---- pass A: ONE light summary aggregation over the raw batch -------
+    # Parses only the envelope head + source tag (never token arrays — ~60%
+    # of the bytes): schema-change events + per-source lineage + structural
+    # DLQ counts + event totals in a single cheap job. It must run before
+    # the full parse because schema_change events decide the parse schema.
     src0 = next((f.name for f in schema.fields if f.id == cfg.source_fid), None)
     parsed0 = parse_raw(raw, schema, light=src0 or True)
     src_col = (
@@ -223,6 +248,7 @@ def apply_batch(
         )
         .collect()
     )
+    _mark("summary_agg")
     events_total = sum(r["n"] for r in summary_rows)
     structural_dlq = int(sum(r["n_dlq"] or 0 for r in summary_rows))
     lineage = {
@@ -250,39 +276,73 @@ def apply_batch(
         parsed = parse_raw(raw, schema)  # full parse (pass A was light)
 
     key = schema.key_name
-    good, _dlq_structural = split_dlq(parsed)
-    data = good.filter(F.col("op") != "schema_change")
+    # keep structurally-bad rows in the flow: the fused dedup aggregation
+    # captures them for the DLQ in the same pass (only clean schema_change
+    # rows leave here — they were consumed as metadata above)
+    data = parsed.filter(
+        F.col("_dlq_reason").isNotNull() | (F.col("op") != "schema_change")
+    )
 
     norm = _normalize(data, schema, cfg, rename_map)
     tokens_name = next((f.name for f in schema.fields if f.id == cfg.tokens_fid), None)
-    is_bad = (
-        F.col("op").isin("insert", "update") & F.col(tokens_name).isNull()
+    is_bad_tokens = (
+        F.col("_dlq_reason").isNull()
+        & F.col("op").isin("insert", "update")
+        & F.col(tokens_name).isNull()
         if tokens_name is not None
         else F.lit(False)
     )
+    norm = norm.withColumn(
+        "_dlq_reason",
+        F.coalesce(F.col("_dlq_reason"), F.when(is_bad_tokens, F.lit("bad_tokens"))),
+    )
+    goodish = F.col("_dlq_reason").isNull() | (F.col("_dlq_reason") == "bad_tokens")
 
     metric_aggs = [
-        F.count(F.lit(1)).alias("events_data"),
+        F.coalesce(F.sum(goodish.cast("int")), F.lit(0)).alias("events_data"),
         F.coalesce(F.sum(F.col("_ntok_mismatch").cast("int")), F.lit(0)).alias("ntok_repaired"),
-        F.coalesce(F.sum((F.col("op") == "delete").cast("int")), F.lit(0)).alias("deletes_seen"),
-        F.coalesce(F.sum(is_bad.cast("int")), F.lit(0)).alias("bad_tokens"),
-        F.unix_micros(F.max(F.col("event_ts").cast("timestamp"))).alias("max_event_ts_us"),
+        F.coalesce(
+            F.sum(((F.col("op") == "delete") & F.col("_dlq_reason").isNull()).cast("int")),
+            F.lit(0),
+        ).alias("deletes_seen"),
+        F.coalesce(
+            F.sum((F.col("_dlq_reason") == "bad_tokens").cast("int")), F.lit(0)
+        ).alias("bad_tokens"),
+        F.unix_micros(
+            F.max(F.when(goodish, F.col("event_ts").cast("timestamp")))
+        ).alias("max_event_ts_us"),
     ]
     obs = Observation(f"merge_b{batch_id}") if cfg.collect_metrics else None
     if obs is not None:
         norm = norm.observe(obs, *metric_aggs)
 
     payload_names = [f.name for f in schema.fields if f.id != schema.key_field_id]
-    changes = norm.filter(~is_bad).drop("_raw", "_ntok_mismatch")
-    # partial-agg absorbs hot-key skew; persisted so the affected-bucket
-    # collect and the write share one computation (it is tiny: ≤1 row/key)
-    deduped = lww_dedup(changes, key=key).persist()
+    # ONE hash aggregation computes both the per-key LWW winner (good rows)
+    # and the DLQ row capture (rejected rows) — dedup and dead-letter share
+    # one scan + one shuffle; partial agg absorbs hot-key skew. Persisted so
+    # the affected-bucket collect, the merge write and the DLQ write share
+    # the computation (it is tiny: ≤1 winner row + rare bad rows per key).
+    deduped_all = lww_dedup_with_sideout(
+        norm,
+        key=key,
+        winner_cols=["op", "event_ts", "lsn", *payload_names],
+        sideout_cols=[
+            F.col("_raw"),
+            F.col("_dlq_reason"),
+            F.col("op"),
+            F.col(key).alias("doc_id"),
+            F.col("event_ts"),
+            F.col("lsn"),
+        ],
+    ).persist()
+    deduped = deduped_all.filter(F.col("_w").isNotNull()).select(key, "_w.*")
 
     nb = table.n_buckets()
     affected = [
         r[0]
         for r in deduped.select(bucket_expr(key, nb).alias("b")).distinct().collect()
     ]
+    _mark("dedup_and_affected")
 
     metrics: dict = {"batch_id": batch_id, "skipped": False, "schema_changes": len(sc_rows)}
     files: list[dict] = []
@@ -332,6 +392,7 @@ def apply_batch(
             "_bucket",
         )
         files = table.write_data_files(result, schema_override=schema)
+        _mark("merge_write")
 
     bad_tokens = 0
     if obs is not None:
@@ -351,26 +412,21 @@ def apply_batch(
             metrics["ingest_lag_sec"] = round(
                 _time.time() - metrics["max_event_ts_us"] / 1e6, 3
             )
+    _mark("observe_metrics")
     metrics["rows_written"] = int(sum(f["rows"] for f in files))
     metrics["buckets_rewritten"] = len(affected)
     metrics["events_total"] = int(events_total)
 
-    # ---- DLQ side-output: one extra pass, only when something failed ----
+    # ---- DLQ side-output: explode the captured bad rows (no re-scan) ----
     dlq_count = structural_dlq + int(bad_tokens)
     if cfg.write_dlq and (dlq_count > 0 or obs is None):
-        dlq = _dlq_structural
-        if tokens_name is not None:
-            bad_rows = norm.filter(is_bad).select(
-                "_raw", F.lit("bad_tokens").alias("_dlq_reason"), "op",
-                F.col(key).alias("doc_id"), "event_ts", "lsn",
-            )
-            dlq = dlq.unionByName(bad_rows)
-        dlq = dlq.persist()
-        dlq_count = dlq.count()
+        bad_df = deduped_all.select(F.explode("_bad").alias("b")).select("b.*")
+        if obs is None:
+            dlq_count = bad_df.count()
         if dlq_count:
-            table.write_dlq(dlq, batch_id)
-        dlq.unpersist()
+            table.write_dlq(bad_df, batch_id)
     metrics["dlq_count"] = int(dlq_count)
+    _mark("dlq")
 
     table.commit(
         add_files=files,
@@ -381,5 +437,7 @@ def apply_batch(
         metrics=metrics,
         expect_version=expect_version,
     )
-    deduped.unpersist()
+    _mark("commit")
+    metrics["phase_sec"] = phases
+    deduped_all.unpersist()
     return metrics
