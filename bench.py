@@ -25,10 +25,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "1500000"))
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "6000000"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 N_FILES = int(os.environ.get("BENCH_FILES", "8"))
-FILES_PER_BATCH = int(os.environ.get("BENCH_FILES_PER_BATCH", "2"))
+FILES_PER_BATCH = int(os.environ.get("BENCH_FILES_PER_BATCH", "4"))
 MAX_TOKENS = int(os.environ.get("BENCH_MAX_TOKENS", "24"))
 
 BENCH_QUERIES = [
@@ -71,7 +71,21 @@ def main() -> None:
     from concept_catalog_etl_spark.session import get_spark
     from concept_catalog_etl_spark.streaming.replay import replay_batch
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    extra = {}
+    if os.environ.get("BENCH_MPB"):
+        # finer input splits: several task waves per core at bench scale
+        extra["spark.sql.files.maxPartitionBytes"] = os.environ["BENCH_MPB"]
+    if os.environ.get("BENCH_GC_PIN"):
+        # fair cluster proxy: a k-core executor JVM gets k GC threads, not
+        # the host's 32 — otherwise small-k runs borrow the whole machine's
+        # GC bandwidth and understate scaling efficiency
+        extra["spark.driver.extraJavaOptions"] = (
+            f"-XX:ParallelGCThreads={CPUS} -XX:ConcGCThreads={max(1, CPUS // 4)}"
+        )
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf=extra,
+    )
     files = _binlog_files(spark)
 
     work = os.path.join(REPO, ".bench", "run")
@@ -82,7 +96,7 @@ def main() -> None:
     )
     table = LakeTable.create(os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32))
 
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     runs = []
     for r in range(repeat):
         if r > 0:  # fresh table per run; JVM/JIT stays warm (steady-state)
