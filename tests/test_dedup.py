@@ -98,3 +98,40 @@ def test_partial_aggregation_in_plan(spark):
     plan = lww_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan, plan
     assert "max_by" in plan.split("Exchange")[0], "final agg above the exchange"
+
+
+def test_lww_sideout_fused(spark):
+    """Fused dedup + DLQ capture: winners over good rows only; every
+    rejected row captured; all-bad keys yield a NULL winner."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from concept_catalog_etl_spark.operators.dedup import lww_dedup_with_sideout
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("k1", "update", ts, 1, "good-old", None),
+        ("k1", "update", ts, 2, "good-new", None),
+        ("k1", "update", ts, 9, "bad-latest", "bad_tokens"),
+        ("k2", "insert", ts, 5, "bad-only", "unparseable"),
+        ("k3", "insert", ts, 7, "clean", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, op string, event_ts timestamp, lsn long, "
+              "payload string, _dlq_reason string",
+    )
+    out = lww_dedup_with_sideout(
+        df, key="doc_id",
+        winner_cols=["op", "event_ts", "lsn", "payload"],
+        sideout_cols=[F.col("_dlq_reason"), F.col("payload")],
+    ).collect()
+    by_key = {r["doc_id"]: r for r in out}
+    # bad rows never win LWW, even with the max (ts, lsn)
+    assert by_key["k1"]["_w"]["payload"] == "good-new"
+    assert [b["payload"] for b in by_key["k1"]["_bad"]] == ["bad-latest"]
+    # all-bad key: null winner, rows still captured
+    assert by_key["k2"]["_w"] is None
+    assert [b["_dlq_reason"] for b in by_key["k2"]["_bad"]] == ["unparseable"]
+    # clean key: winner, empty side-output
+    assert by_key["k3"]["_w"]["payload"] == "clean" and by_key["k3"]["_bad"] == []

@@ -73,3 +73,46 @@ def test_lww_maxby_has_partial_aggregation(spark, sf_dir="/root/testdata/sf0.001
 
     plan = _plan(q_lww_dedup_maxby(spark, sf_dir))
     assert "partial_max_by" in plan, plan
+
+
+def test_envelope_parsed_exactly_once(spark):
+    """from_json must appear exactly once in the merge pipeline's physical
+    plan. parse_raw's Generate barrier guarantees it; without the barrier,
+    Catalyst's per-field JSON pruning re-lexes every line ~12x across the
+    pipeline (measured ~2x total replay wall at 6M events)."""
+    from concept_catalog_etl_spark.lakehouse.schema import TableSchema
+    from concept_catalog_etl_spark.operators.dedup import lww_dedup_with_sideout
+    from concept_catalog_etl_spark.operators.envelope import parse_raw
+    from concept_catalog_etl_spark.operators.merge import MergeConfig, _normalize
+
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int"),
+         ("source", "string")],
+        key="doc_id",
+    )
+    raw = spark.createDataFrame(
+        [('{"op": "insert", "doc_id": "d1", "event_ts": "2026-01-01T00:00:00", '
+          '"lsn": 1, "schema_version": 1, '
+          '"payload": {"tokens": [1, 2], "n_tok": 2, "source": "crawl"}}',)],
+        "value string",
+    )
+    parsed = parse_raw(raw, schema)
+    data = parsed.filter(
+        F.col("_dlq_reason").isNotNull() | (F.col("op") != "schema_change")
+    )
+    norm = _normalize(data, schema, MergeConfig(), {})
+    is_bad = (F.col("_dlq_reason").isNull() & F.col("op").isin("insert", "update")
+              & F.col("tokens").isNull())
+    norm = norm.withColumn(
+        "_dlq_reason",
+        F.coalesce(F.col("_dlq_reason"), F.when(is_bad, F.lit("bad_tokens"))),
+    )
+    agg = lww_dedup_with_sideout(
+        norm, key="doc_id",
+        winner_cols=["op", "event_ts", "lsn", "tokens", "n_tok", "source"],
+        sideout_cols=[F.col("_raw"), F.col("_dlq_reason"), F.col("op"),
+                      F.col("doc_id").alias("doc_id"), F.col("event_ts"),
+                      F.col("lsn")],
+    )
+    plan = _plan(agg)
+    assert plan.count("from_json") == 1, plan
