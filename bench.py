@@ -96,7 +96,7 @@ def main() -> None:
     )
     table = LakeTable.create(os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32))
 
-    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "4"))
     runs = []
     for r in range(repeat):
         if r > 0:  # fresh table per run; JVM/JIT stays warm (steady-state)
