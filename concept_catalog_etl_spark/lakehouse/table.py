@@ -150,6 +150,7 @@ class LakeTable:
         df: DataFrame,
         key_col: str | None = None,
         schema_override: TableSchema | None = None,
+        delta: bool = False,
     ) -> list[dict]:
         """Write `df` (logical+system columns) bucketed by key; return file entries.
 
@@ -158,7 +159,9 @@ class LakeTable:
         otherwise one shuffle on the bucket column. File stats (rows, key
         min/max) are read back from parquet footers — no extra Spark job.
         ``schema_override`` lets a not-yet-committed evolved schema stamp the
-        files' ``name_by_id`` mapping.
+        files' ``name_by_id`` mapping. ``delta=True`` marks the files as
+        merge-on-read deltas: readers LWW-resolve them against the base
+        (see ``read``), and compaction folds them in.
         """
         snap = self.snapshot()
         schema = schema_override or TableSchema.from_json(snap["schema"])
@@ -174,9 +177,10 @@ class LakeTable:
             npart = min(nb, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
             out = out.repartition(npart, "_bucket")
         out.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
-        return self._collect_file_entries(rel_dir, schema, key)
+        return self._collect_file_entries(rel_dir, schema, key, delta=delta)
 
-    def _collect_file_entries(self, rel_dir: str, schema: TableSchema, key: str) -> list[dict]:
+    def _collect_file_entries(self, rel_dir: str, schema: TableSchema, key: str,
+                              delta: bool = False) -> list[dict]:
         import pyarrow.parquet as pq
 
         entries: list[dict] = []
@@ -213,6 +217,7 @@ class LakeTable:
                         "name_by_id": {str(f.id): f.name for f in schema.fields},
                         "types_by_id": {str(f.id): f.type for f in schema.fields},
                         "schema_version": schema.schema_version,
+                        **({"delta": True} if delta else {}),
                     }
                 )
         return entries
@@ -294,7 +299,14 @@ class LakeTable:
         """Snapshot read with bucket + key-range file pruning and
         id-based schema reconciliation (rename/add/widen safe).
         ``schema_override`` reads old files AS an evolved (uncommitted) schema.
-        Tombstone rows are hidden unless ``include_deleted``."""
+        Tombstone rows are hidden unless ``include_deleted``.
+
+        Merge-on-read: when any selected file is a delta (written by the MoR
+        ingest fast path), the scan keeps every row version and resolves one
+        live row per key with the same LWW ``max_by`` the merge uses —
+        tombstones are filtered only *after* the resolve (a delta delete must
+        beat an older base row). Base-only reads keep the fast path: the
+        tombstone predicate is pushed into the parquet scan, no shuffle."""
         snap = self.snapshot(version)
         schema = schema_override or TableSchema.from_json(snap["schema"])
         files = snap["files"]
@@ -309,6 +321,8 @@ class LakeTable:
         target_struct = schema.spark_struct(extra=extra)
         if not files:
             return spark.createDataFrame([], schema=target_struct)
+        has_delta = any(f.get("delta") for f in files)
+        need_sys = with_system_cols or has_delta
         need_tombstone_filter = not include_deleted
 
         # group files by write-time schema fingerprint → one scan per group
@@ -321,7 +335,7 @@ class LakeTable:
         for grp in groups.values():
             paths = [os.path.join(self.root, f["path"]) for f in grp]
             raw = spark.read.parquet(*paths)
-            if need_tombstone_filter and "_deleted" in raw.columns:
+            if need_tombstone_filter and not has_delta and "_deleted" in raw.columns:
                 # pushed down to the parquet scan (boolean predicate)
                 raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             name_by_id = grp[0]["name_by_id"]
@@ -333,13 +347,33 @@ class LakeTable:
                     cols.append(F.col(phys).cast(tgt_t).alias(fld.name))
                 else:  # column added after these files were written
                     cols.append(F.lit(None).cast(tgt_t).alias(fld.name))
-            if with_system_cols:
+            if need_sys:
                 for n, t in SYS_COLS:
                     cols.append(
                         (F.col(n) if n in raw.columns else F.lit(None)).cast(t).alias(n)
                     )
             parts.append(raw.select(cols))
-        return reduce(DataFrame.unionByName, parts)
+        out = reduce(DataFrame.unionByName, parts)
+
+        if has_delta:
+            key = schema.key_name
+            others = [c for c in out.columns if c != key]
+            # null ordering state (pre-MoR base rows) sorts below any real
+            # (ts, lsn) — same EPOCH/-1 floor the merge uses for pseudo-rows
+            order = F.struct(
+                F.coalesce(F.col("_event_ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")),
+                F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")),
+            )
+            out = (
+                out.groupBy(key)
+                .agg(F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_w"))
+                .select(key, "_w.*")
+            )
+            if need_tombstone_filter:
+                out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            if not with_system_cols:
+                out = out.drop(*SYS_NAMES)
+        return out
 
     # ------------------------------------------------------------------- dlq
     def write_dlq(self, df: DataFrame, batch_id: int) -> None:

@@ -74,6 +74,15 @@ class MergeConfig:
     # Identical semantics, parity-tested.
     impl: str = "jvm"
     extra_lineage: dict[str, int] = field(default_factory=dict)
+    # 'cow' (copy-on-write): read + rewrite affected buckets per batch —
+    #   reads stay shuffle-free, writes amplify with touched-bucket size.
+    # 'mor' (merge-on-read): append batch winners as LWW delta files — NO
+    #   target read, NO rewrite; ingest cost is O(batch) regardless of
+    #   table size; readers resolve per-key max_by until compaction folds
+    #   deltas into the base. The CDC fast path at 100 TB: a batch whose
+    #   keys touch every bucket costs a bucket-wide rewrite under cow but
+    #   only its own winners under mor.
+    write_mode: str = "cow"
 
 
 def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict[str, str]]:
@@ -338,15 +347,36 @@ def apply_batch(
     deduped = deduped_all.filter(F.col("_w").isNotNull()).select(key, "_w.*")
 
     nb = table.n_buckets()
-    affected = [
-        r[0]
-        for r in deduped.select(bucket_expr(key, nb).alias("b")).distinct().collect()
-    ]
-    _mark("dedup_and_affected")
-
     metrics: dict = {"batch_id": batch_id, "skipped": False, "schema_changes": len(sc_rows)}
     files: list[dict] = []
-    if affected:
+    is_del = F.col("op") == "delete"
+
+    if cfg.write_mode == "mor":
+        # merge-on-read fast path: append the batch winners (deletes as
+        # tombstones) as LWW delta files — no target read, no bucket
+        # rewrite, no affected-bucket job; readers resolve per-key max_by.
+        result = deduped.select(
+            F.col(key),
+            *[
+                F.when(is_del, F.lit(None)).otherwise(F.col(n)).alias(n)
+                for n in payload_names
+            ],
+            F.col("event_ts").alias("_event_ts"),
+            F.col("lsn").alias("_lsn"),
+            is_del.alias("_deleted"),
+        )
+        files = table.write_data_files(result, schema_override=schema, delta=True)
+        affected = sorted({f["bucket"] for f in files})
+        _mark("dedup_and_affected")
+        _mark("merge_write")
+    else:
+        affected = [
+            r[0]
+            for r in deduped.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+        ]
+        _mark("dedup_and_affected")
+
+    if cfg.write_mode != "mor" and affected:
         tgt = table.read(
             spark,
             buckets=set(affected),
@@ -379,7 +409,6 @@ def apply_batch(
         )
         # Deletes persist as tombstone rows (payload nulled) so their
         # (ts, lsn) keeps beating late updates; read() hides them.
-        is_del = F.col("op") == "delete"
         result = winners.select(
             key,
             *[
@@ -399,8 +428,9 @@ def apply_batch(
         # Observation values become available once the dedup/write actions
         # ran. Empty batches can get their CollectMetrics node pruned
         # (empty-relation propagation) → fall back to a direct aggregation.
+        acted = bool(affected) or bool(files)
         try:
-            m = dict(obs.get) if affected else norm.agg(*metric_aggs).collect()[0].asDict()
+            m = dict(obs.get) if acted else norm.agg(*metric_aggs).collect()[0].asDict()
         except Exception:
             m = norm.agg(*metric_aggs).collect()[0].asDict()
         metrics.update({k: (int(v) if v is not None else 0) for k, v in m.items()})
@@ -416,6 +446,7 @@ def apply_batch(
     metrics["rows_written"] = int(sum(f["rows"] for f in files))
     metrics["buckets_rewritten"] = len(affected)
     metrics["events_total"] = int(events_total)
+    metrics["write_mode"] = cfg.write_mode
 
     # ---- DLQ side-output: explode the captured bad rows (no re-scan) ----
     dlq_count = structural_dlq + int(bad_tokens)
@@ -430,7 +461,8 @@ def apply_batch(
 
     table.commit(
         add_files=files,
-        remove_buckets=set(affected),
+        # mor appends deltas — the base (and older deltas) stay referenced
+        remove_buckets=None if cfg.write_mode == "mor" else set(affected),
         batch_id=batch_id,
         lineage=lineage,
         new_schema=new_schema,
