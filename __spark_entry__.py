@@ -74,16 +74,13 @@ def entry(spark: SparkSession) -> DataFrame:
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     log_dir = os.path.join(work, "binlog")
-    os.makedirs(log_dir)
-    # materialize as JSONL micro-batch files (the binlog)
-    rows = lines.collect()
-    per = max(1, len(rows) // 4)
-    paths = []
-    for i in range(0, len(rows), per):
-        p = os.path.join(log_dir, f"b-{i:08d}.jsonl")
-        with open(p, "w") as f:
-            f.write("\n".join(r["value"] for r in rows[i : i + per]) + "\n")
-        paths.append(p)
+    # materialize as text micro-batch files (the binlog) — Spark-side write,
+    # no driver collect loop; batch assignment is irrelevant to the final
+    # state (LWW total order), only determinism of content matters
+    lines.repartitionByRange(4, F.xxhash64("value")).write.mode("overwrite").text(log_dir)
+    paths = sorted(
+        os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".txt")
+    )
 
     schema = TableSchema.create(
         [("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int"), ("source", "string")],

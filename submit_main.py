@@ -5,6 +5,7 @@
         --binlog-dir /data/binlog --table /lake/concepts \
         --checkpoint /lake/_ckpt/concepts [--mode stream|batch] \
         [--n-buckets 1024] [--files-per-batch 10] [--impl jvm|arrow]
+        [--write-mode cow|mor]
 
 On a cluster the session comes from the cluster manager (no .master here);
 locally it falls back to local[*]. Replaces the reference's Makefile
@@ -29,6 +30,7 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=1024)
     ap.add_argument("--files-per-batch", type=int, default=10)
     ap.add_argument("--impl", choices=["jvm", "arrow"], default="jvm")
+    ap.add_argument("--write-mode", choices=["cow", "mor"], default="cow")
     args = ap.parse_args()
 
     from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
@@ -58,7 +60,7 @@ def main() -> None:
         )
         table = LakeTable.create(args.table, schema, n_buckets=args.n_buckets)
 
-    cfg = MergeConfig(impl=args.impl)
+    cfg = MergeConfig(impl=args.impl, write_mode=args.write_mode)
     if args.mode == "stream":
         metrics = replay_stream(
             spark, args.binlog_dir, table, args.checkpoint,
