@@ -144,9 +144,12 @@ def replay(files: list[str]) -> tuple[dict[str, dict], OracleSchema, dict]:
 
 
 def replay_dir(binlog_dir: str) -> tuple[dict[str, dict], OracleSchema, dict]:
+    # .jsonl = python generator; .txt = Spark-native generator output
     files = [
         os.path.join(binlog_dir, f)
         for f in os.listdir(binlog_dir)
-        if f.endswith(".jsonl")
+        if f.endswith((".jsonl", ".txt"))
     ]
+    if not files:
+        raise FileNotFoundError(f"no .jsonl/.txt binlog files in {binlog_dir}")
     return replay(files)
