@@ -95,3 +95,36 @@ def test_time_travel_read(spark, scratch):
     table.commit(add_files=f2, remove_buckets={0, 1})
     assert table.read(spark).count() == 30
     assert table.read(spark, version=s1["version"]).count() == 10
+
+
+def test_crash_between_write_and_commit_leaves_only_orphans(spark, scratch):
+    """Simulated crash: data files written but the snapshot pointer never
+    swapped. Readers see the old state; replaying the batch re-commits;
+    vacuum reclaims the orphans."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    table = make_table(scratch, n_buckets=4)
+    seed = spark.range(10).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("crawl").alias("source"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+        F.col("id").alias("_lsn"),
+        F.lit(False).alias("_deleted"),
+    )
+    table.commit(add_files=table.write_data_files(seed))
+    v = table.current_version()
+    state = {r["doc_id"] for r in table.read(spark).collect()}
+
+    # "crash": files land on disk, commit never happens
+    orphans = table.write_data_files(seed.withColumn("n_tok", F.lit(99)))
+    assert orphans and table.current_version() == v
+    assert {r["doc_id"] for r in table.read(spark).collect()} == state
+    assert all(r["n_tok"] == 1 for r in table.read(spark).collect())
+
+    removed = table.vacuum()
+    assert removed >= len(orphans)
+    assert {r["doc_id"] for r in table.read(spark).collect()} == state

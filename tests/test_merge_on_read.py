@@ -129,3 +129,44 @@ def test_mor_then_cow_mixed_lifecycle(spark, scratch):
     replay_batch(spark, paths[3:], table, files_per_batch=3, start_batch_id=1)
     oracle_state, _s, _o = replay_dir(d)
     assert_state_equals_oracle(spark, table, oracle_state)
+
+
+def test_mor_with_schema_evolution(spark, scratch):
+    """Delta files written under an evolved schema resolve against
+    old-schema base files (field-id reconciliation + read-side LWW)."""
+    import json as _json
+
+    def ev(op, doc, ts, lsn, payload=None, sc=None):
+        return _json.dumps({"op": op, "doc_id": doc, "event_ts": ts, "lsn": lsn,
+                            "schema_version": 1, "payload": payload,
+                            "schema_change": sc})
+
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    batches = [
+        [ev("insert", "d1", "2026-01-01T00:00:01", 1,
+            {"tokens": [1], "n_tok": 1, "source": "crawl"}),
+         ev("insert", "d2", "2026-01-01T00:00:02", 2,
+            {"tokens": [2], "n_tok": 1, "source": "crawl"})],
+        # add a column, then update d1 under the evolved schema
+        [ev("schema_change", None, "2026-01-01T00:00:03", 3,
+            sc={"kind": "add", "column": "quality", "new_name": None,
+                "new_type": "double"}),
+         ev("update", "d1", "2026-01-01T00:00:04", 4,
+            {"tokens": [9, 9], "n_tok": 2, "source": "curated", "quality": 0.5})],
+    ]
+    files = []
+    for i, lines in enumerate(batches):
+        p = os.path.join(d, f"b{i}.txt")
+        open(p, "w").write("\n".join(lines) + "\n")
+        files.append(p)
+
+    table = make_table(scratch)
+    replay_batch(spark, files, table, files_per_batch=1, cfg=MOR)
+    rows = {r["doc_id"]: r.asDict() for r in table.read(spark).collect()}
+    assert list(rows["d1"]["tokens"]) == [9, 9] and rows["d1"]["quality"] == 0.5
+    assert list(rows["d2"]["tokens"]) == [2] and rows["d2"]["quality"] is None
+    # compaction folds evolved deltas + old base into one generation
+    table.compact(spark, max_files_per_bucket=1)
+    rows2 = {r["doc_id"]: r.asDict() for r in table.read(spark).collect()}
+    assert rows2 == rows
