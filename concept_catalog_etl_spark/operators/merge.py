@@ -83,6 +83,10 @@ class MergeConfig:
     #   keys touch every bucket costs a bucket-wide rewrite under cow but
     #   only its own winners under mor.
     write_mode: str = "cow"
+    # steady-state fast path: skip the light summary scan when a raw-text
+    # probe proves the batch has no schema_change events; lineage and
+    # structural counts then ride the main pipeline's observe().
+    fast_summary: bool = True
 
 
 def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict[str, str]]:
@@ -151,6 +155,8 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
         F.col(key), F.col("op"), F.col("event_ts"), F.col("lsn"),
         F.col("_raw"), F.col("_dlq_reason"),
     ]
+    if "_src_raw" in data.columns:  # lineage passthrough (fast-summary path)
+        sel.append(F.col("_src_raw"))
     for f in schema.fields:
         if f.id in canonical_ids:
             continue
@@ -232,47 +238,68 @@ def apply_batch(
     schema = table.schema()
     expect_version = table.current_version()
 
-    # ---- pass A: ONE light summary aggregation over the raw batch -------
-    # Parses only the envelope head + source tag (never token arrays — ~60%
-    # of the bytes): schema-change events + per-source lineage + structural
-    # DLQ counts + event totals in a single cheap job. It must run before
-    # the full parse because schema_change events decide the parse schema.
+    # ---- pass A: summary of the raw batch -------------------------------
+    # Schema-change events must be known BEFORE the full parse (they decide
+    # the parse schema). Steady state (no schema changes, known source
+    # vocabulary) uses the FAST path: a substring probe over raw text (no
+    # JSON parse) proves no schema_change event exists — the probe cannot
+    # miss (an op of "schema_change" must contain that substring unless
+    # unicode-escaped, and any line containing "\u" falls back) — and
+    # per-source lineage + structural counts ride the main pipeline's
+    # observe() against the table's known source vocabulary (new sources →
+    # one tiny exact follow-up aggregation). Probe-positive or large-
+    # vocabulary batches take the EXACT light-summary aggregation instead.
     src0 = next((f.name for f in schema.fields if f.id == cfg.source_fid), None)
-    parsed0 = parse_raw(raw, schema, light=src0 or True)
-    src_col = (
-        F.coalesce(F.col(f"payload.{src0}"), F.lit("_default")) if src0 else F.lit("_default")
+    known_sources = sorted(table.properties().get("lineage_offsets", {}).keys())
+    fast_summary = (
+        cfg.fast_summary
+        and cfg.collect_metrics  # lineage rides the observe()
+        # a brand-new table takes the exact path once to discover the source
+        # vocabulary (otherwise the new-source follow-up re-parses the batch)
+        and 0 < len(known_sources) <= 64
+        and raw.filter(
+            F.col("value").contains("schema_change") | F.col("value").contains("\\u")
+        ).isEmpty()
     )
-    summary_rows = (
-        parsed0.groupBy(src_col.alias("src"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("_dlq_reason").isNotNull().cast("int")).alias("n_dlq"),
-            F.max(F.when(F.col("_dlq_reason").isNull(), F.col("lsn"))).alias("max_lsn"),
-            F.collect_list(
-                F.when(
-                    (F.col("op") == "schema_change") & F.col("_dlq_reason").isNull(),
-                    F.struct("event_ts", "lsn", "schema_change"),
-                )
-            ).alias("scs"),
+
+    events_total = None
+    structural_dlq = None
+    lineage: dict = {}
+    sc_rows: list = []
+    if not fast_summary:
+        parsed0 = parse_raw(raw, schema, light=src0 or True)
+        src_col = (
+            F.coalesce(F.col(f"payload.{src0}"), F.lit("_default")) if src0 else F.lit("_default")
         )
-        .collect()
-    )
+        summary_rows = (
+            parsed0.groupBy(src_col.alias("src"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_dlq_reason").isNotNull().cast("int")).alias("n_dlq"),
+                F.max(F.when(F.col("_dlq_reason").isNull(), F.col("lsn"))).alias("max_lsn"),
+                F.collect_list(
+                    F.when(
+                        (F.col("op") == "schema_change") & F.col("_dlq_reason").isNull(),
+                        F.struct("event_ts", "lsn", "schema_change"),
+                    )
+                ).alias("scs"),
+            )
+            .collect()
+        )
+        events_total = sum(r["n"] for r in summary_rows)
+        structural_dlq = int(sum(r["n_dlq"] or 0 for r in summary_rows))
+        lineage = {
+            r["src"]: r["max_lsn"] for r in summary_rows if r["max_lsn"] is not None
+        }
+        sc_rows = sorted(
+            (
+                {"event_ts": s["event_ts"], "lsn": s["lsn"], **s["schema_change"].asDict()}
+                for r in summary_rows
+                for s in r["scs"]
+            ),
+            key=lambda s: (s["event_ts"], s["lsn"]),
+        )
     _mark("summary_agg")
-    events_total = sum(r["n"] for r in summary_rows)
-    structural_dlq = int(sum(r["n_dlq"] or 0 for r in summary_rows))
-    lineage = {
-        r["src"]: r["max_lsn"] for r in summary_rows if r["max_lsn"] is not None
-    }
-    for k_, v_ in cfg.extra_lineage.items():
-        lineage[k_] = max(lineage.get(k_, v_), v_)
-    sc_rows = sorted(
-        (
-            {"event_ts": s["event_ts"], "lsn": s["lsn"], **s["schema_change"].asDict()}
-            for r in summary_rows
-            for s in r["scs"]
-        ),
-        key=lambda s: (s["event_ts"], s["lsn"]),
-    )
 
     rename_map: dict[str, str] = {}
     new_schema = None
@@ -291,6 +318,15 @@ def apply_batch(
     data = parsed.filter(
         F.col("_dlq_reason").isNotNull() | (F.col("op") != "schema_change")
     )
+    if fast_summary:
+        # raw (pre-tagging) source value — the lineage key, same semantics
+        # as the exact summary's coalesce(payload.source, '_default')
+        data = data.withColumn(
+            "_src_raw",
+            F.coalesce(F.col(f"payload.{src0}"), F.lit("_default"))
+            if src0
+            else F.lit("_default"),
+        )
 
     norm = _normalize(data, schema, cfg, rename_map)
     tokens_name = next((f.name for f in schema.fields if f.id == cfg.tokens_fid), None)
@@ -321,6 +357,26 @@ def apply_batch(
             F.max(F.when(goodish, F.col("event_ts").cast("timestamp")))
         ).alias("max_event_ts_us"),
     ]
+    if fast_summary:
+        good_lin = F.col("_dlq_reason").isNull()
+        metric_aggs.append(
+            F.coalesce(
+                F.sum((F.col("_dlq_reason").isNotNull()
+                       & (F.col("_dlq_reason") != "bad_tokens")).cast("int")),
+                F.lit(0),
+            ).alias("_structural_dlq")
+        )
+        for i, s in enumerate(known_sources):
+            metric_aggs.append(
+                F.max(F.when(good_lin & (F.col("_src_raw") == s), F.col("lsn")))
+                .alias(f"_lin_{i}")
+            )
+        is_new_src = good_lin & (
+            ~F.col("_src_raw").isin(*known_sources) if known_sources else F.lit(True)
+        )
+        metric_aggs.append(
+            F.collect_set(F.when(is_new_src, F.col("_src_raw"))).alias("_lin_new")
+        )
     obs = Observation(f"merge_b{batch_id}") if cfg.collect_metrics else None
     if obs is not None:
         norm = norm.observe(obs, *metric_aggs)
@@ -433,6 +489,26 @@ def apply_batch(
             m = dict(obs.get) if acted else norm.agg(*metric_aggs).collect()[0].asDict()
         except Exception:
             m = norm.agg(*metric_aggs).collect()[0].asDict()
+        if fast_summary:
+            structural_dlq = int(m.pop("_structural_dlq", 0) or 0)
+            new_srcs = [s for s in (m.pop("_lin_new", []) or []) if s is not None]
+            for i, s in enumerate(known_sources):
+                v = m.pop(f"_lin_{i}", None)
+                if v is not None:
+                    lineage[s] = int(v)
+            if new_srcs:
+                # rare: first sighting of a source — one exact follow-up agg
+                for r in (
+                    norm.filter(
+                        F.col("_dlq_reason").isNull() & F.col("_src_raw").isin(new_srcs)
+                    )
+                    .groupBy("_src_raw")
+                    .agg(F.max("lsn").alias("mx"))
+                    .collect()
+                ):
+                    if r["mx"] is not None:
+                        lineage[r["_src_raw"]] = int(r["mx"])
+            events_total = int(m.get("events_data", 0) or 0) + structural_dlq
         metrics.update({k: (int(v) if v is not None else 0) for k, v in m.items()})
         bad_tokens = metrics.get("bad_tokens", 0)
         # ingest lag: wall-clock now vs newest event applied this batch
@@ -459,6 +535,8 @@ def apply_batch(
     metrics["dlq_count"] = int(dlq_count)
     _mark("dlq")
 
+    for k_, v_ in cfg.extra_lineage.items():
+        lineage[k_] = max(lineage.get(k_, v_), v_)
     table.commit(
         add_files=files,
         # mor appends deltas — the base (and older deltas) stay referenced

@@ -128,3 +128,25 @@ def test_delete_removes_row_and_bucket_rewrite_is_scoped(spark, scratch, binlog)
     state2 = table_state(spark, table)
     assert victim not in state2
     assert {k: v for k, v in state.items() if k != victim} == state2
+
+
+def test_fast_summary_equals_exact_summary(spark, scratch, binlog):
+    """The steady-state fast path (schema-change probe + observe-borne
+    lineage/counts) must produce identical table state, lineage offsets and
+    batch accounting to the exact light-summary aggregation."""
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    _d, paths = binlog
+    t_fast = make_table(os.path.join(scratch, "fast"))
+    t_exact = make_table(os.path.join(scratch, "exact"))
+    m_fast = replay_batch(spark, paths, t_fast, files_per_batch=3,
+                          cfg=MergeConfig(fast_summary=True))
+    m_exact = replay_batch(spark, paths, t_exact, files_per_batch=3,
+                           cfg=MergeConfig(fast_summary=False))
+    assert table_state(spark, t_fast) == table_state(spark, t_exact)
+    assert (t_fast.properties()["lineage_offsets"]
+            == t_exact.properties()["lineage_offsets"])
+    for a, b in zip(m_fast, m_exact):
+        for k in ("events_total", "events_data", "dlq_count", "deletes_seen",
+                  "bad_tokens", "rows_written"):
+            assert a[k] == b[k], (k, a[k], b[k])
