@@ -6,11 +6,12 @@ sequential per-record ``update_one({'_id': k}, {'$set': payload})`` sink
 
 Physical design (chosen for 100 TB, verified by ``.explain`` in tests):
 
-1. **Light summary scan first** — envelope head + source tag only (never
-   the token arrays, ~60% of the bytes): schema-change events, per-source
-   lineage offsets, structural-DLQ counts and event totals in one cheap job.
-   It must precede the full parse because schema_change events decide the
-   parse schema.
+1. **Summary first** — schema-change events must be known before the full
+   parse (they decide the parse schema). Steady state: a raw-text substring
+   probe proves no schema_change exists and per-source lineage + structural
+   counts ride the main pipeline's ``observe()`` (zero extra parse jobs).
+   Probe-positive / new-source / brand-new-table batches take the exact
+   light-summary aggregation (envelope head only, never token arrays).
 2. **Schema-change events** apply as metadata, so data events in the same
    batch parse under the evolved schema; renames accept both old and new
    payload names within the transition batch.
