@@ -375,6 +375,69 @@ class LakeTable:
                 out = out.drop(*SYS_NAMES)
         return out
 
+    # --------------------------------------------------------- change feed
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots (Iceberg incremental scan /
+        Delta CDF analog): one row per key whose live state differs, with
+        ``_change_type`` ∈ {insert, update, delete} and the *new* state's
+        logical columns (NULL payload for deletes).
+
+        Works because every row carries its LWW coordinate ``(_event_ts,
+        _lsn)``: a key changed between versions iff its resolved coordinate
+        (or liveness) changed — no log replay needed, just a key-join of the
+        two snapshot reads (both sides bucket-pruned and, for merge-on-read
+        versions, LWW-resolved by ``read``). Downstream CDC consumers chain
+        from this the same way this engine tails an upstream binlog."""
+        key = self.schema().key_name
+        dead = F.coalesce(F.col("_deleted"), F.lit(False))
+        live = F.when(~dead, F.lit(True)).otherwise(F.lit(False))
+
+        def side(version, alias):
+            df = self.read(
+                spark, version=version, with_system_cols=True, include_deleted=True
+            )
+            return df.select(
+                F.col(key),
+                F.struct(
+                    live.alias("live"), F.col("_event_ts"), F.col("_lsn"),
+                    *[c for c in df.columns if c not in (key, *SYS_NAMES)],
+                ).alias(alias),
+            )
+
+        old = side(from_version, "_o")
+        new = side(to_version, "_n")
+        j = old.join(new, on=key, how="full_outer")
+        o_live = F.coalesce(F.col("_o.live"), F.lit(False))
+        n_live = F.coalesce(F.col("_n.live"), F.lit(False))
+        same = (
+            o_live
+            & n_live
+            & F.col("_o._event_ts").eqNullSafe(F.col("_n._event_ts"))
+            & F.col("_o._lsn").eqNullSafe(F.col("_n._lsn"))
+        )
+        change = (
+            F.when(~o_live & n_live, F.lit("insert"))
+            # covers both a visible tombstone and a key whose tombstone was
+            # already expired/compacted away within the window
+            .when(o_live & ~n_live, F.lit("delete"))
+            .when(o_live & n_live & ~same, F.lit("update"))
+        )
+        to_schema = TableSchema.from_json(self.snapshot(to_version)["schema"])
+        payload = [f.name for f in to_schema.fields if f.id != to_schema.key_field_id]
+        out = j.select(
+            F.col(key),
+            change.alias("_change_type"),
+            F.col("_n._event_ts").alias("_event_ts"),
+            F.col("_n._lsn").alias("_lsn"),
+            *[F.col(f"_n.{c}").alias(c) for c in payload],
+        )
+        return out.filter(F.col("_change_type").isNotNull())
+
     # ------------------------------------------------------------------- dlq
     def write_dlq(self, df: DataFrame, batch_id: int) -> None:
         out = os.path.join(self.root, "_dlq", f"batch_id={batch_id}")

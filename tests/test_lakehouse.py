@@ -128,3 +128,44 @@ def test_crash_between_write_and_commit_leaves_only_orphans(spark, scratch):
     removed = table.vacuum()
     assert removed >= len(orphans)
     assert {r["doc_id"] for r in table.read(spark).collect()} == state
+
+
+def test_read_changes_between_snapshots(spark, scratch):
+    """Change-data-feed: read_changes(v1, v2) equals the diff of the oracle
+    states at the two points, with correct insert/update/delete typing."""
+    import os
+
+    from concept_catalog_etl_spark.oracle import replay as oracle_replay
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(d, n_events=3000, n_docs=250, n_files=6, seed=31)
+    table = make_table(scratch)
+    replay_batch(spark, paths[:3], table, files_per_batch=3)
+    v1 = table.current_version()
+    replay_batch(spark, paths[3:], table, files_per_batch=3, start_batch_id=1)
+    v2 = table.current_version()
+
+    changes = {
+        r["doc_id"]: r for r in table.read_changes(spark, v1, v2).collect()
+    }
+    s1, _sc1, _st1 = oracle_replay(paths[:3])
+    s2, _sc2, _st2 = oracle_replay(paths)
+
+    expected = {}
+    for k in set(s1) | set(s2):
+        if k not in s1 and k in s2:
+            expected[k] = "insert"
+        elif k in s1 and k not in s2:
+            expected[k] = "delete"
+        elif s1[k] != s2[k]:
+            expected[k] = "update"
+    got = {k: r["_change_type"] for k, r in changes.items()}
+    assert got == expected
+    # new-state payload carried for upserts, nulled for deletes
+    for k, r in changes.items():
+        if r["_change_type"] == "delete":
+            assert r["tokens"] is None
+        else:
+            assert list(r["tokens"]) == list(s2[k]["tokens"])
