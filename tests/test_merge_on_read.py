@@ -170,3 +170,20 @@ def test_mor_with_schema_evolution(spark, scratch):
     table.compact(spark, max_files_per_bucket=1)
     rows2 = {r["doc_id"]: r.asDict() for r in table.read(spark).collect()}
     assert rows2 == rows
+
+
+def test_mor_stream_resume(spark, scratch):
+    """Structured Streaming replay in MoR mode survives stop/append/resume
+    with exactly-once apply (checkpoint + ledger), matching the oracle."""
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=1500, n_docs=150, n_files=4, seed=51)
+    table = make_table(scratch)
+    ckpt = os.path.join(scratch, "ckpt")
+    replay_stream(spark, d, table, ckpt, cfg=MOR, max_files_per_trigger=2)
+    generate_binlog(d, n_events=1500, n_docs=150, n_files=4, seed=52,
+                    start_lsn=10_000, prefix="binlog-w2")
+    replay_stream(spark, d, table, ckpt, cfg=MOR, max_files_per_trigger=2)
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, table, oracle_state)
