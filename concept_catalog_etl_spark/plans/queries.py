@@ -721,6 +721,68 @@ def q_ann_lsh(spark, sf):
     )
 
 
+def q_ann_ivf(spark, sf):
+    """IVF-bucketed ANN: MLlib KMeans (fixed seed) learns a coarse
+    quantizer; each vector lands in its nearest-centroid cell; a query
+    probes its ``nprobe`` closest cells and ranks candidates by exact
+    cosine. The 100 TB posture: the KMeans fit samples, the assignment is
+    one narrow pass, and search touches only probed cells. Approximate by
+    construction → rows-only check (cell boundaries, not hashes, decide
+    recall)."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 16, 4
+    e = _t(spark, sf, "embeddings")
+    feats = e.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=42, maxIter=10).fit(feats)
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+
+    # JVM-expression assignment (no Python in the scan path): squared L2 to
+    # each centroid via dot products; argmin by greatest-of structs
+    def sq_dist(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        # ||v - c||^2 = ||v||^2 - 2<v,c> + ||c||^2 ; ||v||^2 common → drop
+        return -2.0 * _dot(F.col("embedding"), arr) + float(np.dot(c, c))
+
+    dists = F.array(*[F.struct(sq_dist(c).alias("d"), F.lit(i).alias("i")) for i, c in enumerate(centroids)])
+    cell_of = F.array_min(dists)["i"]
+    assigned = e.select("vec_id", "embedding", cell_of.alias("cell"))
+
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    )
+    # nprobe nearest cells per query (tiny: k structs per query row)
+    def probe_cells(col_v):
+        ds = F.array(*[
+            F.struct(
+                (-2.0 * _dot(col_v, F.array(*[F.lit(float(x)) for x in c])) + float(np.dot(c, c))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ])
+        return F.slice(F.array_sort(ds), 1, nprobe)
+
+    q = q.select("qid", "qv", F.explode(probe_cells(F.col("qv"))["i"]).alias("cell"))
+    cand = assigned.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "cell")
+    sims = (
+        cand.join(F.broadcast(q), "cell")
+        .select(
+            "qid", "nid",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6).alias("sim"),
+        )
+        .groupBy("qid", "nid").agg(F.max("sim").alias("sim"))  # de-dup multi-probe hits
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nid", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary columns + mapInPandas decode)
 # ---------------------------------------------------------------------------
@@ -777,6 +839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_embed_cosine_dup": q_embed_cosine_dup,
     "q_multimodal_meta": q_multimodal_meta,
 }

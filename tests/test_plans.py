@@ -116,3 +116,18 @@ def test_envelope_parsed_exactly_once(spark):
     )
     plan = _plan(agg)
     assert plan.count("from_json") == 1, plan
+
+
+def test_ann_variants_recall_floor(spark):
+    """Approximate ANN paths (LSH buckets, IVF cells) must retrieve a
+    reasonable share of the brute-force cosine top-5 — guards against a
+    broken quantizer/banding silently returning plausible-but-wrong
+    neighbors."""
+    from concept_catalog_etl_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r["qid"], r["nid"])
+          for r in QUERIES["q_ann_topk"](spark, sf).collect()}
+    ivf = {(r["qid"], r["nid"])
+           for r in QUERIES["q_ann_ivf"](spark, sf).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.4, (len(bf & ivf), len(bf))
