@@ -20,10 +20,11 @@ Physical design (chosen for 100 TB, verified by ``.explain`` in tests):
    normalization, ``n_tok`` recompute, source tagging as codegen column
    expressions (or one Arrow UDF; north_star: no per-row Python). Malformed
    events keep flowing, tagged with a reason (reference ``fail_log``).
-4. **Fused LWW dedup + DLQ capture** in ONE ``max_by``/filtered-
+4. **Fused LWW dedup + DLQ capture** in ONE struct-``max``/filtered-
    ``collect_list`` hash aggregation: good rows compete for the per-key
-   winner, rejected rows (structural + ``bad_tokens``) are gathered for the
-   dead-letter table — dedup and DLQ share one scan and one shuffle.
+   winner (lexicographic ``max(struct(ts, lsn, payload))``), rejected rows
+   (structural + ``bad_tokens``) are gathered for the dead-letter table —
+   dedup and DLQ share one scan and one shuffle.
    Partial (map-side) aggregation absorbs hot-key skew *before* the
    shuffle, so a doc_id with 10^6 events in a batch shuffles ~one row per
    input partition.
@@ -457,9 +458,8 @@ def apply_batch(
         winners = (
             bucketed.groupBy("_bucket", key)
             .agg(
-                F.max_by(
-                    F.struct("op", "event_ts", "lsn", *payload_names),
-                    F.struct("event_ts", "lsn"),
+                F.max(
+                    F.struct("event_ts", "lsn", "op", *payload_names)
                 ).alias("_w")
             )
             .select("_bucket", key, "_w.*")
