@@ -33,7 +33,8 @@ def test_merge_aggregation_single_shuffle(spark):
     )
     winners = (
         bucketed.groupBy("_bucket", "doc_id")
-        .agg(F.max_by(F.struct(*payload), F.struct("event_ts", "lsn")).alias("_w"))
+        .agg(F.max(F.struct("event_ts", "lsn", *[c for c in payload
+                                                 if c not in ("event_ts", "lsn")])).alias("_w"))
         .select("_bucket", "doc_id", "_w.*")
     )
     plan = _plan(winners)
