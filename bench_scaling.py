@@ -94,9 +94,18 @@ understates real multi-executor scaling for shuffle- and IO-bound stages
 (each real executor adds its own memory bandwidth and disks); per-batch
 fixed costs (snapshot commit, planning) are amortized by batch size, the
 same knob a cluster deployment turns.
+
+<!-- sections below this marker are preserved across bench_scaling runs -->
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- sections below this marker are preserved across bench_scaling runs -->"
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            tail = prev.split(marker, 1)[1]
+    with open(out_path, "w") as f:
+        f.write(md + tail)
     print(json.dumps({"n": n, "n4": n4, "thr_n": thr_small, "thr_n4": thr_big,
                       "efficiency": round(eff, 3)}))
 
