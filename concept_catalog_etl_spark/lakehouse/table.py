@@ -278,6 +278,15 @@ class LakeTable:
         self._write_manifest(new_snap)
         return new_snap
 
+    def read_metrics(self, spark: SparkSession) -> DataFrame | None:
+        """Per-batch ingest metrics (events applied/failed, rows merged,
+        ingest lag, phase timings...) as a DataFrame — the queryable form of
+        the reference's applied/failed counters (files/load.py:23-30)."""
+        p = os.path.join(self.root, "_metrics", "metrics.jsonl")
+        if not os.path.exists(p):
+            return None
+        return spark.read.json(p)
+
     def _append_metrics(self, metrics: dict) -> None:
         mdir = os.path.join(self.root, "_metrics")
         os.makedirs(mdir, exist_ok=True)

@@ -169,3 +169,24 @@ def test_read_changes_between_snapshots(spark, scratch):
             assert r["tokens"] is None
         else:
             assert list(r["tokens"]) == list(s2[k]["tokens"])
+
+
+def test_read_metrics_table(spark, scratch):
+    """Per-batch metrics land in a queryable table: one row per applied
+    batch with the applied/failed accounting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(d, n_events=1000, n_docs=100, n_files=4, seed=41)
+    table = make_table(scratch)
+    replay_batch(spark, paths, table, files_per_batch=2)
+    m = table.read_metrics(spark)
+    assert m is not None and m.count() == 2
+    row = m.agg(F.sum("events_total").alias("s")).collect()[0]
+    assert row["s"] == 1000
+    assert {"batch_id", "dlq_count", "rows_written"} <= set(m.columns)

@@ -132,3 +132,4 @@ def test_ann_variants_recall_floor(spark):
     ivf = {(r["qid"], r["nid"])
            for r in QUERIES["q_ann_ivf"](spark, sf).collect()}
     assert len(bf & ivf) / len(bf) >= 0.4, (len(bf & ivf), len(bf))
+
