@@ -464,11 +464,16 @@ class LakeTable:
         spark: SparkSession,
         max_files_per_bucket: int = 1,
         expire_tombstones_below_lsn: int | None = None,
+        max_buckets_per_run: int | None = None,
     ) -> dict:
         """Rewrite fragmented buckets (and optionally expire tombstones older
         than the out-of-orderness horizon). Metadata-atomic like any commit;
         at scale this is the background maintenance job that keeps file
-        counts O(buckets) and bounds tombstone storage."""
+        counts O(buckets) and bounds tombstone storage.
+        ``max_buckets_per_run`` caps one run's work to the worst offenders
+        (incremental compaction — at 100 TB a maintenance tick must be
+        bounded; repeated ticks converge because each rewrite resets its
+        bucket's file count)."""
         snap = self.snapshot()
         by_bucket: dict[int, int] = {}
         for f in snap["files"]:
@@ -476,6 +481,10 @@ class LakeTable:
         todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
         if expire_tombstones_below_lsn is not None:
             todo = set(by_bucket)  # must scan every bucket to expire
+        if max_buckets_per_run is not None and len(todo) > max_buckets_per_run:
+            todo = set(
+                sorted(todo, key=lambda b: -by_bucket[b])[:max_buckets_per_run]
+            )
         if not todo:
             return {"buckets_compacted": 0, "files_before": len(snap["files"])}
         df = self.read(spark, buckets=todo, with_system_cols=True, include_deleted=True)

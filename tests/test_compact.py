@@ -68,3 +68,36 @@ def test_compact_expires_old_tombstones(spark, scratch):
     with_tomb2 = table.read(spark, include_deleted=True, with_system_cols=True)
     assert with_tomb2.filter("_deleted").count() == 0
     assert table_state(spark, table).keys() == {"keep"}
+
+
+def test_incremental_compaction_bounded_and_converges(spark, scratch):
+    """max_buckets_per_run caps one tick's work to the worst buckets;
+    repeated ticks converge to fully-compacted state with unchanged data."""
+    import os
+
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+    from helpers import make_table, table_state
+
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(d, n_events=2000, n_docs=200, n_files=6, seed=61)
+    table = make_table(scratch)
+    replay_batch(spark, paths, table, files_per_batch=1,
+                 cfg=MergeConfig(write_mode="mor"))
+    before = table_state(spark, table)
+
+    ticks = 0
+    while any(
+        n > 1
+        for n in __import__("collections").Counter(
+            f["bucket"] for f in table.snapshot()["files"]
+        ).values()
+    ):
+        stats = table.compact(spark, max_files_per_bucket=1, max_buckets_per_run=3)
+        assert stats["buckets_compacted"] <= 3
+        ticks += 1
+        assert ticks < 20, "compaction did not converge"
+    assert ticks >= 2  # the cap actually forced multiple ticks
+    assert table_state(spark, table) == before
