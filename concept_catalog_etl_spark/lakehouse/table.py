@@ -7,14 +7,17 @@ sink needs:
 * **Layout** ::
 
       <root>/data/commit-<uuid>/_bucket=<b>/part-*.parquet   data files
-      <root>/meta/v<N>.json                                  snapshot manifests
+      <root>/meta/v<N>.json                 snapshot: O(n_buckets) manifest list
+      <root>/meta/m-<bucket>-<uuid>.json    immutable per-bucket file manifests
       <root>/meta/_current                                   pointer (atomic swap)
       <root>/_dlq/batch_id=<id>/*.parquet                    dead-letter side-output
       <root>/_metrics/metrics.jsonl                          per-batch metrics
 
-* **Snapshots** are immutable JSON manifests: full file list with per-file
-  key min/max + row count + bucket + write-time ``name_by_id`` (for
-  rename-safe reads), the current ``TableSchema``, and a ``properties`` dict
+* **Snapshots** are immutable and two-level: ``v<N>.json`` holds an
+  O(n_buckets) manifest list pointing at immutable per-bucket manifest
+  files (each the bucket's file entries with per-file key min/max + row
+  count + write-time ``name_by_id`` for rename-safe reads), plus the
+  current ``TableSchema`` and a ``properties`` dict
   carrying the **batch-id ledger** and **per-source lineage offsets** — the
   exactly-once mechanism: data files + ledger entry become visible in ONE
   atomic pointer swap, so a replayed micro-batch either sees its own id in
@@ -30,10 +33,12 @@ sink needs:
 * **Pruning**: the table is hash-bucketed on the key column
   (``pmod(xxhash64(key), n_buckets)``). A MERGE touches only the buckets its
   batch keys hash into; within a bucket, per-file key min/max prunes point
-  lookups. At 100 TB the same manifest scales by raising ``n_buckets``
-  (thousands) and keeping files ~256 MB — the manifest is O(files) JSON and
-  would graduate to Avro manifests + a manifest list exactly like Iceberg;
-  the commit protocol and reader logic are unchanged.
+  lookups. Pruning applies to METADATA too: a bucket-pruned read opens only
+  its buckets' manifest files, and a commit rewrites only touched buckets'
+  manifests — commit cost is O(affected buckets), never O(table files). At
+  100 TB: raise ``n_buckets`` into the thousands, keep files ~256 MB; the
+  commit protocol and reader logic are unchanged (swap JSON for Avro
+  manifests if metadata volume ever warrants it).
 
 Reference lineage: this replaces the MongoDB collection + per-record
 ``update_one`` sink (``/root/reference/files/load.py:20-22``) with bulk,
@@ -90,7 +95,7 @@ class LakeTable:
             "parent": None,
             "n_buckets": n_buckets,
             "schema": schema.to_json(),
-            "files": [],
+            "manifests": [],
             "properties": {
                 "committed_batch_ids": [],
                 "max_batch_id": None,
@@ -122,6 +127,37 @@ class LakeTable:
 
     def properties(self) -> dict:
         return self.snapshot()["properties"]
+
+    # -------------------------------------------------- two-level manifests
+    # The snapshot pointer file (v{N}.json) stays O(n_buckets): it lists one
+    # immutable per-bucket manifest file per non-empty bucket. A commit
+    # rewrites only the manifests of buckets it touched — commit metadata
+    # cost is O(affected buckets), not O(table files) — and a bucket-pruned
+    # read loads only its buckets' manifests (Iceberg's manifest-list idea,
+    # one level, keyed by the same bucketing the data layout uses).
+    def _load_bucket_manifest(self, rel_path: str) -> list[dict]:
+        with open(os.path.join(self.root, rel_path)) as f:
+            return json.load(f)["files"]
+
+    def _write_bucket_manifest(self, bucket: int, entries: list[dict]) -> str:
+        rel = os.path.join("meta", f"m-{bucket}-{uuid.uuid4().hex[:12]}.json")
+        with open(os.path.join(self.root, rel), "x") as f:
+            json.dump({"bucket": bucket, "files": entries}, f)
+        return rel
+
+    def files(
+        self, version: int | None = None, buckets: set[int] | None = None,
+        snap: dict | None = None,
+    ) -> list[dict]:
+        """Flattened file entries of a snapshot; with ``buckets`` given, only
+        those buckets' manifests are even opened."""
+        snap = snap or self.snapshot(version)
+        out: list[dict] = []
+        for m in snap["manifests"]:
+            if buckets is not None and m["bucket"] not in buckets:
+                continue
+            out.extend(self._load_bucket_manifest(m["path"]))
+        return out
 
     def _write_manifest(self, snap: dict) -> None:
         path = os.path.join(self.meta_dir, f"v{snap['version']}.json")
@@ -244,13 +280,40 @@ class LakeTable:
             raise RuntimeError(
                 f"concurrent commit: expected v{expect_version}, found v{snap['version']}"
             )
-        files = [
-            f
-            for f in snap["files"]
-            if (remove_buckets is None or f["bucket"] not in remove_buckets)
-            and (remove_paths is None or f["path"] not in remove_paths)
-        ]
-        files.extend(add_files or [])
+        # touched buckets: additions, removals, and (rare) path removals
+        touched: set[int] = {f["bucket"] for f in (add_files or [])}
+        if remove_buckets:
+            touched |= set(remove_buckets)
+        if remove_paths:
+            touched |= {
+                f["bucket"] for f in self.files(snap=snap) if f["path"] in remove_paths
+            }
+        by_bucket: dict[int, list[dict]] = {}
+        manifests = []
+        for m in snap["manifests"]:
+            if m["bucket"] in touched:  # load + rewrite only touched buckets
+                by_bucket[m["bucket"]] = self._load_bucket_manifest(m["path"])
+            else:
+                manifests.append(m)  # untouched: reuse the immutable manifest
+        for b in touched:
+            by_bucket.setdefault(b, [])
+        for b in touched:
+            entries = [
+                f
+                for f in by_bucket[b]
+                if (remove_buckets is None or f["bucket"] not in remove_buckets)
+                and (remove_paths is None or f["path"] not in remove_paths)
+            ]
+            entries.extend(f for f in (add_files or []) if f["bucket"] == b)
+            if entries:
+                manifests.append(
+                    {
+                        "bucket": b,
+                        "path": self._write_bucket_manifest(b, entries),
+                        "n_files": len(entries),
+                    }
+                )
+        manifests.sort(key=lambda m: m["bucket"])
         props = dict(snap["properties"])
         if batch_id is not None:
             ring = list(props.get("committed_batch_ids", []))
@@ -272,7 +335,7 @@ class LakeTable:
             "parent": snap["version"],
             "n_buckets": snap["n_buckets"],
             "schema": (new_schema or TableSchema.from_json(snap["schema"])).to_json(),
-            "files": files,
+            "manifests": manifests,
             "properties": props,
         }
         self._write_manifest(new_snap)
@@ -318,9 +381,9 @@ class LakeTable:
         tombstone predicate is pushed into the parquet scan, no shuffle."""
         snap = self.snapshot(version)
         schema = schema_override or TableSchema.from_json(snap["schema"])
-        files = snap["files"]
-        if buckets is not None:
-            files = [f for f in files if f["bucket"] in buckets]
+        # bucket pruning happens at the METADATA level too: only the selected
+        # buckets' manifest files are opened
+        files = self.files(snap=snap, buckets=buckets)
         if key_min is not None:
             files = [f for f in files if f["max_key"] is None or f["max_key"] >= key_min]
         if key_max is not None:
@@ -475,9 +538,10 @@ class LakeTable:
         bounded; repeated ticks converge because each rewrite resets its
         bucket's file count)."""
         snap = self.snapshot()
-        by_bucket: dict[int, int] = {}
-        for f in snap["files"]:
-            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        by_bucket: dict[int, int] = {
+            m["bucket"]: m["n_files"] for m in snap["manifests"]
+        }
+        n_files_before = sum(by_bucket.values())
         todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
         if expire_tombstones_below_lsn is not None:
             todo = set(by_bucket)  # must scan every bucket to expire
@@ -486,7 +550,7 @@ class LakeTable:
                 sorted(todo, key=lambda b: -by_bucket[b])[:max_buckets_per_run]
             )
         if not todo:
-            return {"buckets_compacted": 0, "files_before": len(snap["files"])}
+            return {"buckets_compacted": 0, "files_before": n_files_before}
         df = self.read(spark, buckets=todo, with_system_cols=True, include_deleted=True)
         if expire_tombstones_below_lsn is not None:
             df = df.filter(
@@ -499,14 +563,15 @@ class LakeTable:
         self.commit(add_files=files, remove_buckets=todo)
         return {
             "buckets_compacted": len(todo),
-            "files_before": len(snap["files"]),
-            "files_after": len(self.snapshot()["files"]),
+            "files_before": n_files_before,
+            "files_after": sum(m["n_files"] for m in self.snapshot()["manifests"]),
         }
 
     # ---------------------------------------------------------------- vacuum
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot."""
-        live = {f["path"] for f in self.snapshot()["files"]}
+        snap = self.snapshot()
+        live = {f["path"] for f in self.files(snap=snap)}
         removed = 0
         data_root = os.path.join(self.root, "data")
         for cdir in list(os.listdir(data_root)):
@@ -519,4 +584,10 @@ class LakeTable:
                         removed += 1
             if not any(f.endswith(".parquet") for _r, _d, fs in os.walk(cpath) for f in fs):
                 shutil.rmtree(cpath, ignore_errors=True)
+        # GC per-bucket manifest files not referenced by the current snapshot
+        live_m = {m["path"] for m in snap["manifests"]}
+        for fn in list(os.listdir(self.meta_dir)):
+            rel = os.path.join("meta", fn)
+            if fn.startswith("m-") and fn.endswith(".json") and rel not in live_m:
+                os.remove(os.path.join(self.meta_dir, fn))
         return removed

@@ -29,13 +29,13 @@ def test_compact_preserves_state_and_reduces_files(spark, scratch):
             )
         )
         table.commit(add_files=table.write_data_files(seed))  # append, no remove
-    before_files = len(table.snapshot()["files"])
+    before_files = len(table.files())
     assert before_files > 4  # fragmented: 2 files per bucket
     state_before = table_state(spark, table)
 
     r = table.compact(spark, max_files_per_bucket=1)
     assert r["buckets_compacted"] > 0
-    after_files = len(table.snapshot()["files"])
+    after_files = len(table.files())
     assert after_files <= 4  # ≤ one file per bucket
     assert after_files < before_files
     assert table_state(spark, table) == state_before
@@ -92,7 +92,7 @@ def test_incremental_compaction_bounded_and_converges(spark, scratch):
     while any(
         n > 1
         for n in __import__("collections").Counter(
-            f["bucket"] for f in table.snapshot()["files"]
+            f["bucket"] for f in table.files()
         ).values()
     ):
         stats = table.compact(spark, max_files_per_bucket=1, max_buckets_per_run=3)

@@ -37,7 +37,7 @@ def test_bucket_pruning_reads_fewer_files(spark, scratch):
     files = table.write_data_files(_seed_rows(spark, 200))
     table.commit(add_files=files)
     snap = table.snapshot()
-    all_buckets = {f["bucket"] for f in snap["files"]}
+    all_buckets = {f["bucket"] for f in table.files(snap=snap)}
     assert all_buckets == {0, 1, 2, 3}
     one = table.read(spark, buckets={2})
     # every row in bucket-2 files must actually hash to bucket 2
@@ -190,3 +190,40 @@ def test_read_metrics_table(spark, scratch):
     row = m.agg(F.sum("events_total").alias("s")).collect()[0]
     assert row["s"] == 1000
     assert {"batch_id", "dlq_count", "rows_written"} <= set(m.columns)
+
+
+def test_commit_metadata_is_o_affected_buckets(spark, scratch):
+    """A commit touching one bucket writes exactly one new per-bucket
+    manifest; all other buckets' manifest files are reused byte-identical
+    (commit metadata cost O(affected buckets), never O(table files))."""
+    from pyspark.sql import functions as F
+
+    table = make_table(scratch, n_buckets=8)
+    seed = spark.range(200).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("crawl").alias("source"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+        F.col("id").alias("_lsn"),
+        F.lit(False).alias("_deleted"),
+    )
+    table.commit(add_files=table.write_data_files(seed))
+    before = {m["bucket"]: m["path"] for m in table.snapshot()["manifests"]}
+    assert len(before) == 8
+
+    one = spark.createDataFrame(
+        [("doc-000000", [9], 1, "crawl")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).select(
+        "*",
+        F.lit("2026-01-02 00:00:00").cast("timestamp").alias("_event_ts"),
+        F.lit(10_000).alias("_lsn").cast("bigint"),
+        F.lit(False).alias("_deleted"),
+    )
+    add = table.write_data_files(one, delta=True)
+    assert len({f["bucket"] for f in add}) == 1
+    table.commit(add_files=add)
+    after = {m["bucket"]: m["path"] for m in table.snapshot()["manifests"]}
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert changed == {add[0]["bucket"]}, (changed, add[0]["bucket"])

@@ -40,7 +40,7 @@ def test_mor_replay_matches_oracle_and_cow(spark, scratch):
     assert table_state(spark, t_mor) == table_state(spark, t_cow)
     # ingest never rewrote the base: every snapshot only ever ADDED files
     snap = t_mor.snapshot()
-    assert all(f.get("delta") for f in snap["files"])
+    assert all(f.get("delta") for f in t_mor.files(snap=snap))
     assert all(mm["write_mode"] == "mor" for mm in m)
     # DLQ parity with the oracle drop count (same fused capture path)
     dlq = t_mor.read_dlq(spark)
@@ -97,11 +97,11 @@ def test_mor_compaction_folds_deltas(spark, scratch):
     table = make_table(scratch)
     replay_batch(spark, paths, table, files_per_batch=1, cfg=MOR)
     before = table_state(spark, table)
-    n_files_before = len(table.snapshot()["files"])
+    n_files_before = len(table.files())
     stats = table.compact(spark, max_files_per_bucket=1)
     assert stats["files_after"] < n_files_before
     # post-compaction: no deltas left, read takes the base fast path
-    assert not any(f.get("delta") for f in table.snapshot()["files"])
+    assert not any(f.get("delta") for f in table.files())
     assert table_state(spark, table) == before
     # vacuum drops the superseded delta files from disk
     assert table.vacuum() > 0
@@ -125,7 +125,7 @@ def test_mor_then_cow_mixed_lifecycle(spark, scratch):
     d, paths = _binlog(scratch, n_events=3000, n_files=6)
     table = make_table(scratch)
     replay_batch(spark, paths[:3], table, files_per_batch=3, cfg=MOR)
-    assert any(f.get("delta") for f in table.snapshot()["files"])
+    assert any(f.get("delta") for f in table.files())
     replay_batch(spark, paths[3:], table, files_per_batch=3, start_batch_id=1)
     oracle_state, _s, _o = replay_dir(d)
     assert_state_equals_oracle(spark, table, oracle_state)

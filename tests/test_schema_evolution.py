@@ -129,7 +129,7 @@ def test_schema_only_batch_is_metadata_only(spark, scratch):
     assert m[1]["schema_changes"] == 1
     # no data files rewritten: file set unchanged between v after b0 and now
     snap = table.snapshot()
-    assert len(snap["files"]) == len(table.snapshot(snap["parent"])["files"])
+    assert len(table.files(snap=snap)) == len(table.files(version=snap["parent"]))
 
 
 def test_generator_driven_evolution_matches_oracle(spark, scratch):
