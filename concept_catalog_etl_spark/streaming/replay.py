@@ -39,9 +39,22 @@ def replay_stream(
     cfg: MergeConfig | None = None,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    trigger_interval: str | None = None,
+    maintenance_every: int | None = None,
+    maintenance_max_buckets: int | None = 16,
 ):
-    """Structured Streaming replay. With ``availableNow`` semantics: drains
-    everything currently in the directory, then stops (resumable later)."""
+    """Structured Streaming replay.
+
+    Default trigger is ``availableNow``: drain everything currently in the
+    directory, then stop (resumable later). Pass ``trigger_interval``
+    (e.g. ``"30 seconds"``) to tail the directory continuously instead —
+    the long-running service mode.
+
+    ``maintenance_every=N`` runs the background-maintenance tick (bounded
+    incremental compaction + vacuum) after every N applied batches, inside
+    the same single-writer loop — at merge-on-read cadence this is what
+    holds file counts at O(buckets) indefinitely (see bench_soak.py).
+    """
     reader = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger or 10)
@@ -53,14 +66,23 @@ def replay_stream(
     def _sink(df, batch_id: int):
         m = apply_batch(df.sparkSession, table, df, batch_id, cfg)
         batch_metrics.append(m)
+        applied = sum(1 for x in batch_metrics if not x.get("skipped"))
+        if maintenance_every and applied and applied % maintenance_every == 0:
+            table.compact(
+                spark, max_files_per_bucket=1,
+                max_buckets_per_run=maintenance_max_buckets,
+            )
+            table.vacuum()
 
-    q = (
-        raw.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = raw.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
     )
-    if await_termination:
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    else:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if await_termination and not trigger_interval:
         q.awaitTermination()
         return batch_metrics
     return q

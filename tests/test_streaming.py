@@ -68,3 +68,27 @@ def test_stream_restart_reapplies_idempotently(spark, scratch):
     assert all(x["skipped"] for x in m)
     assert table.current_version() == v
     assert table_state(spark, table) == state
+
+
+def test_stream_with_inline_maintenance(spark, scratch):
+    """maintenance_every runs bounded compaction+vacuum inside the stream's
+    single-writer loop; state stays oracle-exact and file count bounded."""
+    from collections import Counter
+
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=2000, n_docs=150, n_files=8, seed=71)
+    table = make_table(scratch)
+    metrics = replay_stream(
+        spark, d, table, os.path.join(scratch, "ckpt"),
+        cfg=MergeConfig(write_mode="mor"), max_files_per_trigger=1,
+        maintenance_every=3, maintenance_max_buckets=None,
+    )
+    assert len([m for m in metrics if not m.get("skipped")]) == 8
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    per_bucket = Counter(f["bucket"] for f in table.files())
+    # 8 delta generations without maintenance; with a tick every 3 batches
+    # the worst bucket holds at most the 2 batches since the last tick + 1
+    assert max(per_bucket.values()) <= 3, per_bucket
