@@ -58,7 +58,7 @@ def main() -> None:
         replay_batch(spark, files[i : i + 2], table, files_per_batch=2,
                      cfg=cfg, start_batch_id=i // 2)
         batch_walls.append(round(time.time() - t0, 2))
-        file_counts.append(len(table.snapshot()["files"]))
+        file_counts.append(len(table.files()))
         if (i // 2) % 4 == 3:  # maintenance cadence: every 4th batch
             t0 = time.time()
             table.compact(spark, max_files_per_bucket=1)
@@ -75,7 +75,7 @@ def main() -> None:
         "batch_walls": batch_walls,
         "compact_walls": compact_walls,
         "files_trajectory": file_counts,
-        "files_final": len(table.snapshot()["files"]),
+        "files_final": len(table.files()),
         "final_rows": final_rows,
         "table_version": table.current_version(),
     }
