@@ -406,16 +406,24 @@ def q_minhash_pairs(spark, sf):
         for b in range(bands)
     ]
     banded = mh.select("doc_id", *band_cols)
-    pairs = None
-    for b in range(bands):
-        bb = banded.select("doc_id", F.col(f"band{b}").alias("bk"))
-        cand = (
-            bb.alias("x")
-            .join(bb.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    cands = pairs.distinct()
+    # all bands in ONE self-join: explode (band_id, bucket) pairs and join on
+    # both — a single shuffle keyed by (band, bucket) instead of `bands`
+    # separate self-joins; at corpus scale this is the difference between 1
+    # and 8 passes over the signature table
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bk"))
+        for b in range(bands)
+    ])
+    ex = banded.select("doc_id", F.explode(bands_arr).alias("x")).select(
+        "doc_id", "x.band", "x.bk"
+    )
+    cands = (
+        ex.alias("x")
+        .join(ex.alias("y"), ["band", "bk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
     # verify candidates with the minhash Jaccard estimate
     ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
