@@ -20,12 +20,14 @@ from pyspark.sql import DataFrame
 META_SCHEMA = "doc_id bigint, n_bytes bigint, width bigint, height bigint"
 
 
-def _fake_decode(b: bytes) -> tuple[int, int, int]:
-    """DETERMINISTIC FAKE decode: derives (n_bytes, width, height) from the
-    payload bytes. A real decoder (PIL.Image.open etc.) would replace this;
-    it is arithmetic-only so the DuckDB oracle can verify the plumbing."""
-    n = len(b)
-    return n, n % 64 + 1, (n // 64) % 64 + 1
+def _fake_decode_series(blobs: pd.Series) -> pd.DataFrame:
+    """DETERMINISTIC FAKE decode, vectorized over the whole Arrow batch:
+    derives (n_bytes, width, height) from the payload length. A real decoder
+    (PIL.Image.open etc.) would replace this one function; it is
+    arithmetic-only so the DuckDB oracle can verify the plumbing. No
+    Python-per-blob loop — one ``len`` map then pure pandas arithmetic."""
+    n = blobs.map(len).astype("int64")
+    return pd.DataFrame({"n_bytes": n, "width": n % 64 + 1, "height": (n // 64) % 64 + 1})
 
 
 def extract_meta(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
@@ -33,15 +35,9 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(b) for b in pdf[blob_col]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [m[0] for m in metas],
-                    "width": [m[1] for m in metas],
-                    "height": [m[2] for m in metas],
-                }
-            )
+            meta = _fake_decode_series(pdf[blob_col])
+            meta.insert(0, "doc_id", pdf[id_col].astype("int64").values)
+            yield meta
 
     return df.mapInPandas(op, schema=META_SCHEMA)
 
@@ -54,13 +50,21 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
     Output can fan out >1 row per input row (tested)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, fidx, payload = [], [], []
-            for i, b in zip(pdf[id_col], pdf[blob_col]):
-                for j, off in enumerate(range(0, max(len(b), 1), every)):
-                    ids.append(i)
-                    fidx.append(j)
-                    payload.append(bytes(b[off : off + every]))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": fidx, "frame": payload})
+            lens = pdf[blob_col].map(len).clip(lower=1).to_numpy()
+            nfr = -(-lens // every)  # ceil-div: frames per blob
+            ids = np.repeat(pdf[id_col].to_numpy(), nfr)
+            fidx = np.concatenate([np.arange(n) for n in nfr]) if len(nfr) else np.array([], "int64")
+            # per-frame byte-window slice (variable-length blobs are ragged —
+            # this comprehension is over FRAMES, bounded by the fan-out, not a
+            # per-byte decode loop; a real demuxer replaces it wholesale)
+            payload = [
+                bytes(b[j * every : (j + 1) * every])
+                for b, n in zip(pdf[blob_col], nfr)
+                for j in range(n)
+            ]
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": fidx.astype("int32"), "frame": payload})
 
     return df.mapInPandas(op, schema="doc_id bigint, frame_idx int, frame binary")

@@ -168,7 +168,7 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(brk) AS n_sessions FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 """
 
 
@@ -343,10 +343,10 @@ def _shingles(col, n=3):
     return F.array_distinct(F.transform(idx, lambda i: lo.substr(i, F.lit(n))))
 
 
-def q_jaccard_ngram(spark, sf):
+def q_jaccard_ngram(spark, sf, cap=2000):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.3). Quadratic
     verifier — capped input; the scale path is q_minhash_pairs (LSH)."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
     sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -384,16 +384,19 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
 """
 
 
-def q_minhash_pairs(spark, sf):
+def q_minhash_pairs(spark, sf, cap=2000):
     """MinHash + LSH banding near-dup candidates (the 100 TB dedup path):
-    shingle → 32 minhashes → 8 bands × 4 → bucket join → verified Jaccard
-    estimate. No SQL oracle (hash functions are engine-specific) → driver
-    records the rows-only check."""
-    k, bands, rows_per_band = 32, 8, 4
+    shingle → 32 minhashes → 16 bands × 2 → bucket join → verified Jaccard
+    estimate. Same 3-gram shingles as the exact verifier q_jaccard_ngram so
+    recall is measurable against it (pytest pins it); banding s-curve
+    midpoint (1/16)^(1/2) = 0.25 matches the 0.25 estimate threshold. No SQL
+    oracle (hash functions are engine-specific) → driver records the
+    rows-only check; tests/test_recall_crosschecks.py is the real gate."""
+    k, bands, rows_per_band = 32, 16, 2
     p = 2_147_483_647
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
     sh = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"), 4)).alias("s")
+        "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("s")
     ).withColumn("h", F.abs(F.xxhash64("s")) % p)
     aggs = [
         F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * 7919)) % p).alias(f"mh{i}")
@@ -439,37 +442,48 @@ def q_minhash_pairs(spark, sf):
     )
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64(words):
-    """Vectorized 64-bit SimHash over word arrays (numpy bit votes)."""
-    import numpy as np
-    import pandas as pd
+# Little-endian bit weights for packing a 64-bit signature into a signed
+# long: bit 63 is the sign bit, so its weight is -(2^63) in two's complement.
+_SIMHASH_POWERS = [1 << i for i in range(63)] + [-(1 << 63)]
 
-    out = []
-    for ws in words:
-        if ws is None or len(ws) == 0:
-            out.append(0)
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        for w in ws:
-            h = 14695981039346656037  # FNV-1a 64
-            for ch in w.encode("utf-8"):
-                h = (h ^ ch) * 1099511628211 % (1 << 64)
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "little"), np.uint8), bitorder="little"
-            )
-            votes += 2 * bits.astype(np.int64) - 1
-        sig_bytes = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
-        sig = int.from_bytes(sig_bytes.tobytes(), "little")
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-    return pd.Series(out, dtype="int64")
+
+def simhash64_expr(words_col):
+    """64-bit SimHash as a pure JVM expression tree — zero Python on the
+    data path (fixes the round-1 per-row FNV loop flagged in VERDICT.md).
+
+    Per word: ``xxhash64`` (JVM, codegen'd). Bit votes: one pass over the
+    hash array with an ``aggregate`` whose accumulator is a 64-long vote
+    vector (``zip_with`` adds ±1 per bit via ``getbit``). Packing: weight
+    each positive vote by its little-endian bit value and sum. Documents
+    with null/empty word lists get signature 0.
+    """
+    hashes = F.transform(words_col, lambda w: F.xxhash64(w))
+    bitpos = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bitpos, lambda i: F.getbit(h, i).cast("long") * 2 - 1),
+            lambda a, b: a + b,
+        ),
+    )
+    pows = F.array(*[F.lit(p).cast("long") for p in _SIMHASH_POWERS])
+    sig = F.aggregate(
+        F.zip_with(votes, pows, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return F.coalesce(sig, F.lit(0).cast("long"))
 
 
 def q_simhash(spark, sf):
-    """SimHash document fingerprints (near-dup family; rows-only check)."""
+    """SimHash document fingerprints (near-dup family; rows-only driver
+    check — the hash is engine-specific xxhash64, so no SQL oracle — but
+    pytest cross-checks Hamming-close pairs against q_jaccard_ngram)."""
     d = _t(spark, sf, "documents")
     words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-    return d.select("doc_id", _simhash64(words).alias("simhash"))
+    return d.select("doc_id", simhash64_expr(words).alias("simhash"))
 
 
 def q_fingerprint(spark, sf):
@@ -701,29 +715,54 @@ WHERE round(
 """
 
 
-def q_ann_lsh(spark, sf):
-    """LSH-bucketed ANN (random-hyperplane signatures, deterministic planes):
-    the 100 TB scale path — candidates only meet within a bucket. Approximate
-    by construction → rows-only check."""
+def q_ann_lsh(spark, sf, n_tables=16, bits=4):
+    """Multi-table random-hyperplane LSH near-dup pairs (the 100 TB scale
+    path for q_embed_cosine_dup): ``n_tables`` independent hash tables of
+    ``bits`` hyperplane bits each (OR-construction). A pair is a candidate
+    if it collides in ANY table — for cosine 0.3 (θ≈72.5°, per-bit collision
+    ≈0.6) one 8-bit table recalls ~2%; 16 tables × 4 bits recall ≈0.9.
+    All tables meet in ONE shuffle: explode (table, bucket) and self-join on
+    both, exactly like MinHash banding. Candidates are then verified with
+    the exact cosine, so output ⊆ q_embed_cosine_dup by construction
+    (precision 1.0 — pytest pins this plus recall ≥0.6). Approximate by
+    construction → rows-only driver check. ``bits`` scales with corpus size
+    (buckets ~ n/2^bits) — at 10^10 vectors you'd run 24-28 bits."""
     import numpy as np
 
     rng = np.random.default_rng(42)
-    planes = rng.standard_normal((8, 64)).tolist()  # 8 planes → 256 buckets
+    planes = rng.standard_normal((n_tables * bits, 64))
     e = _t(spark, sf, "embeddings")
-    sig = None
-    for j, pl in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in pl])
-        bit = (_dot(F.col("embedding"), arr) > 0).cast("int")
-        sig = bit if sig is None else sig * 2 + bit
-    e = e.select("vec_id", "embedding", sig.alias("bucket"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket")
+
+    def bucket_of(t):
+        sig = None
+        for b in range(bits):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t * bits + b]])
+            bit = (_dot(F.col("embedding"), arr) > 0).cast("int")
+            sig = bit if sig is None else sig * 2 + bit
+        return sig
+
+    tables_arr = F.array(*[
+        F.struct(F.lit(t).alias("tbl"), bucket_of(t).alias("bk")) for t in range(n_tables)
+    ])
+    ex = e.select("vec_id", F.explode(tables_arr).alias("x")).select(
+        "vec_id", "x.tbl", "x.bk"
+    )
+    cands = (
+        ex.alias("a")
+        .join(ex.alias("b"), ["tbl", "bk"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # exact-cosine verification of the candidate set only
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     sim = F.round(
         _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.3)
     )
