@@ -74,6 +74,19 @@ SYS_NAMES = [n for n, _ in SYS_COLS]
 LEDGER_KEEP = 1024  # ring size of explicitly remembered batch ids
 
 
+class VersionVacuumedError(RuntimeError):
+    """A time-travel / change-feed read asked for a snapshot whose files or
+    manifests were garbage-collected by ``vacuum`` (outside the retention
+    window). Raised eagerly at metadata-load time with a clear message
+    instead of surfacing as FileNotFoundError mid-scan."""
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency commit lost the race AND the winning commit(s)
+    touched an overlapping bucket set — the caller must recompute its merge
+    against the new snapshot (a blind retry would lose the winner's rows)."""
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic key→bucket assignment (same expr at write and prune time)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
@@ -116,8 +129,15 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise VersionVacuumedError(
+                f"snapshot v{v} was expired by vacuum(retain_last=...); "
+                f"oldest retained version decides how far back read(version=)/"
+                f"read_changes(from_version=) can reach"
+            ) from None
 
     def schema(self) -> TableSchema:
         return TableSchema.from_json(self.snapshot()["schema"])
@@ -136,8 +156,14 @@ class LakeTable:
     # read loads only its buckets' manifests (Iceberg's manifest-list idea,
     # one level, keyed by the same bucketing the data layout uses).
     def _load_bucket_manifest(self, rel_path: str) -> list[dict]:
-        with open(os.path.join(self.root, rel_path)) as f:
-            return json.load(f)["files"]
+        try:
+            with open(os.path.join(self.root, rel_path)) as f:
+                return json.load(f)["files"]
+        except FileNotFoundError:
+            raise VersionVacuumedError(
+                f"bucket manifest {rel_path} was removed by vacuum — this "
+                f"version is older than the retention window"
+            ) from None
 
     def _write_bucket_manifest(self, bucket: int, entries: list[dict]) -> str:
         rel = os.path.join("meta", f"m-{bucket}-{uuid.uuid4().hex[:12]}.json")
@@ -269,6 +295,7 @@ class LakeTable:
         new_schema: TableSchema | None = None,
         metrics: dict | None = None,
         expect_version: int | None = None,
+        extra_props: dict | None = None,
     ) -> dict:
         """Build + atomically publish the next snapshot.
 
@@ -328,8 +355,8 @@ class LakeTable:
                 cur = lo.get(src)
                 lo[src] = off if cur is None else max(cur, off)
             props["lineage_offsets"] = lo
-        if metrics:
-            self._append_metrics(metrics)
+        if extra_props:
+            props.update(extra_props)
         new_snap = {
             "version": snap["version"] + 1,
             "parent": snap["version"],
@@ -339,7 +366,71 @@ class LakeTable:
             "properties": props,
         }
         self._write_manifest(new_snap)
+        # after the swap: a commit attempt that loses the version race must
+        # not leave a metrics line behind (commit_with_retry re-invokes)
+        if metrics:
+            self._append_metrics(metrics)
         return new_snap
+
+    def _touched_buckets(self, snap: dict) -> set[int]:
+        """Buckets whose manifest changed between ``snap`` and its parent —
+        the commit's write set, recoverable from metadata alone (manifests
+        are immutable, so identity of the path pins identity of content)."""
+        parent = snap.get("parent")
+        cur = {m["bucket"]: m["path"] for m in snap["manifests"]}
+        if parent is None:
+            return set(cur)
+        prev = {m["bucket"]: m["path"] for m in self.snapshot(parent)["manifests"]}
+        return {b for b in set(prev) | set(cur) if prev.get(b) != cur.get(b)}
+
+    def commit_with_retry(
+        self, *, expect_version: int | None = None, max_retries: int = 5, **kwargs
+    ) -> dict:
+        """Optimistic-concurrency commit (Iceberg-style): on losing the
+        version race, reload the snapshot and retry — data files are already
+        on disk; only manifests rebuild, so a retry is O(affected buckets).
+
+        Retry is UNCONDITIONAL for pure appends (``remove_buckets`` and
+        ``remove_paths`` both None — e.g. merge-on-read delta commits):
+        appends commute, whatever the winner touched. A rewrite commit
+        (compaction / copy-on-write merge) retries only if every winning
+        commit's touched-bucket set is disjoint from ours; an overlap means
+        the winner rewrote rows we computed against, so a blind retry would
+        lose its writes → ``CommitConflictError`` tells the caller to redo
+        the merge. If a racing writer already landed OUR ``batch_id``, the
+        commit degrades to the idempotent skip (exactly-once holds)."""
+        is_append = (
+            kwargs.get("remove_buckets") is None and kwargs.get("remove_paths") is None
+        )
+        ours = {f["bucket"] for f in (kwargs.get("add_files") or [])} | set(
+            kwargs.get("remove_buckets") or []
+        )
+        batch_id = kwargs.get("batch_id")
+        ev = expect_version
+        if ev is None and not is_append:
+            ev = self.current_version()  # rewrites always validate overlap
+        for attempt in range(max_retries + 1):
+            try:
+                return self.commit(expect_version=ev, **kwargs)
+            except (FileExistsError, RuntimeError) as e:
+                conflict = isinstance(e, FileExistsError) or "concurrent commit" in str(e)
+                if not conflict or attempt == max_retries:
+                    raise
+                if batch_id is not None and self.is_committed(batch_id):
+                    return self.snapshot()  # another writer landed our batch
+                cur = self.current_version()
+                if not is_append and ev is not None:
+                    for v in range(ev + 1, cur + 1):
+                        theirs = self._touched_buckets(self.snapshot(v))
+                        if theirs & ours:
+                            raise CommitConflictError(
+                                f"commit v{v} touched buckets "
+                                f"{sorted(theirs & ours)} that this rewrite "
+                                f"also touches — recompute the merge against "
+                                f"v{cur}"
+                            ) from None
+                ev = cur
+        raise AssertionError("unreachable")
 
     def read_metrics(self, spark: SparkSession) -> DataFrame | None:
         """Per-batch ingest metrics (events applied/failed, rows merged,
@@ -393,59 +484,76 @@ class LakeTable:
         target_struct = schema.spark_struct(extra=extra)
         if not files:
             return spark.createDataFrame([], schema=target_struct)
-        has_delta = any(f.get("delta") for f in files)
-        need_sys = with_system_cols or has_delta
         need_tombstone_filter = not include_deleted
 
-        # group files by write-time schema fingerprint → one scan per group
-        groups: dict[str, list[dict]] = {}
-        for f in files:
-            fp = json.dumps([f["name_by_id"], f["types_by_id"]], sort_keys=True)
-            groups.setdefault(fp, []).append(f)
+        # MoR resolve is BUCKET-LOCAL: only buckets that actually contain a
+        # delta file pay the LWW groupBy (shuffling just their rows); every
+        # base-only bucket keeps the zero-shuffle path with the tombstone
+        # predicate pushed into the parquet scan. Buckets partition the key
+        # space, so resolving each class independently is exact. In steady
+        # state (compaction folds deltas in) the resolve touches only the
+        # recently-written tail, not the table.
+        delta_buckets = {f["bucket"] for f in files if f.get("delta")}
+        base_files = [f for f in files if f["bucket"] not in delta_buckets]
+        resolve_files = [f for f in files if f["bucket"] in delta_buckets]
 
-        parts: list[DataFrame] = []
-        for grp in groups.values():
-            paths = [os.path.join(self.root, f["path"]) for f in grp]
-            raw = spark.read.parquet(*paths)
-            if need_tombstone_filter and not has_delta and "_deleted" in raw.columns:
-                # pushed down to the parquet scan (boolean predicate)
-                raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-            name_by_id = grp[0]["name_by_id"]
-            cols = []
-            for fld in schema.fields:
-                phys = name_by_id.get(str(fld.id))
-                tgt_t = parse_type(fld.type)
-                if phys is not None and phys in raw.columns:
-                    cols.append(F.col(phys).cast(tgt_t).alias(fld.name))
-                else:  # column added after these files were written
-                    cols.append(F.lit(None).cast(tgt_t).alias(fld.name))
-            if need_sys:
-                for n, t in SYS_COLS:
-                    cols.append(
-                        (F.col(n) if n in raw.columns else F.lit(None)).cast(t).alias(n)
-                    )
-            parts.append(raw.select(cols))
-        out = reduce(DataFrame.unionByName, parts)
+        def scan(file_list: list[dict], need_sys: bool, push_tombstone: bool) -> DataFrame:
+            # group files by write-time schema fingerprint → one scan per group
+            groups: dict[str, list[dict]] = {}
+            for f in file_list:
+                fp = json.dumps([f["name_by_id"], f["types_by_id"]], sort_keys=True)
+                groups.setdefault(fp, []).append(f)
+            parts: list[DataFrame] = []
+            for grp in groups.values():
+                paths = [os.path.join(self.root, f["path"]) for f in grp]
+                raw = spark.read.parquet(*paths)
+                if push_tombstone and "_deleted" in raw.columns:
+                    # pushed down to the parquet scan (boolean predicate)
+                    raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                name_by_id = grp[0]["name_by_id"]
+                cols = []
+                for fld in schema.fields:
+                    phys = name_by_id.get(str(fld.id))
+                    tgt_t = parse_type(fld.type)
+                    if phys is not None and phys in raw.columns:
+                        cols.append(F.col(phys).cast(tgt_t).alias(fld.name))
+                    else:  # column added after these files were written
+                        cols.append(F.lit(None).cast(tgt_t).alias(fld.name))
+                if need_sys:
+                    for n, t in SYS_COLS:
+                        cols.append(
+                            (F.col(n) if n in raw.columns else F.lit(None)).cast(t).alias(n)
+                        )
+                parts.append(raw.select(cols))
+            return reduce(DataFrame.unionByName, parts)
 
-        if has_delta:
+        outs: list[DataFrame] = []
+        if base_files:
+            outs.append(
+                scan(base_files, need_sys=with_system_cols,
+                     push_tombstone=need_tombstone_filter)
+            )
+        if resolve_files:
             key = schema.key_name
-            others = [c for c in out.columns if c != key]
+            rs = scan(resolve_files, need_sys=True, push_tombstone=False)
+            others = [c for c in rs.columns if c != key]
             # null ordering state (pre-MoR base rows) sorts below any real
             # (ts, lsn) — same EPOCH/-1 floor the merge uses for pseudo-rows
             order = F.struct(
                 F.coalesce(F.col("_event_ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")),
                 F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")),
             )
-            out = (
-                out.groupBy(key)
+            resolved = (
+                rs.groupBy(key)
                 .agg(F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_w"))
                 .select(key, "_w.*")
             )
             if need_tombstone_filter:
-                out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                resolved = resolved.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             if not with_system_cols:
-                out = out.drop(*SYS_NAMES)
-        return out
+                resolved = resolved.drop(*SYS_NAMES)
+            outs.append(resolved)
+        return reduce(DataFrame.unionByName, outs)
 
     # --------------------------------------------------------- change feed
     def read_changes(
@@ -465,19 +573,23 @@ class LakeTable:
         two snapshot reads (both sides bucket-pruned and, for merge-on-read
         versions, LWW-resolved by ``read``). Downstream CDC consumers chain
         from this the same way this engine tails an upstream binlog."""
-        key = self.schema().key_name
+        # the key column may have been RENAMED between the two versions —
+        # resolve each side's key name from that version's own schema (ids
+        # are stable) and alias both to the new-side name before the join
+        key = TableSchema.from_json(self.snapshot(to_version)["schema"]).key_name
         dead = F.coalesce(F.col("_deleted"), F.lit(False))
         live = F.when(~dead, F.lit(True)).otherwise(F.lit(False))
 
         def side(version, alias):
+            side_key = TableSchema.from_json(self.snapshot(version)["schema"]).key_name
             df = self.read(
                 spark, version=version, with_system_cols=True, include_deleted=True
             )
             return df.select(
-                F.col(key),
+                F.col(side_key).alias(key),
                 F.struct(
                     live.alias("live"), F.col("_event_ts"), F.col("_lsn"),
-                    *[c for c in df.columns if c not in (key, *SYS_NAMES)],
+                    *[c for c in df.columns if c not in (side_key, *SYS_NAMES)],
                 ).alias(alias),
             )
 
@@ -543,12 +655,25 @@ class LakeTable:
         }
         n_files_before = sum(by_bucket.values())
         todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
+        cursor_props: dict | None = None
         if expire_tombstones_below_lsn is not None:
             todo = set(by_bucket)  # must scan every bucket to expire
         if max_buckets_per_run is not None and len(todo) > max_buckets_per_run:
-            todo = set(
-                sorted(todo, key=lambda b: -by_bucket[b])[:max_buckets_per_run]
-            )
+            if expire_tombstones_below_lsn is not None:
+                # bounded tick + full eventual coverage: rotate a cursor
+                # through the bucket space so successive maintenance ticks
+                # expire every bucket's tombstones, K buckets at a time
+                nb = int(snap["n_buckets"])
+                cur = int(snap["properties"].get("maintenance_cursor", 0))
+                order = sorted(todo, key=lambda b: (b - cur) % nb)
+                todo = set(order[:max_buckets_per_run])
+                cursor_props = {
+                    "maintenance_cursor": (max((b - cur) % nb for b in todo) + cur + 1) % nb
+                }
+            else:
+                todo = set(
+                    sorted(todo, key=lambda b: -by_bucket[b])[:max_buckets_per_run]
+                )
         if not todo:
             return {"buckets_compacted": 0, "files_before": n_files_before}
         df = self.read(spark, buckets=todo, with_system_cols=True, include_deleted=True)
@@ -560,7 +685,9 @@ class LakeTable:
                 )
             )
         files = self.write_data_files(df)
-        self.commit(add_files=files, remove_buckets=todo)
+        self.commit_with_retry(
+            add_files=files, remove_buckets=todo, extra_props=cursor_props
+        )
         return {
             "buckets_compacted": len(todo),
             "files_before": n_files_before,
@@ -568,10 +695,34 @@ class LakeTable:
         }
 
     # ---------------------------------------------------------------- vacuum
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the current snapshot."""
-        snap = self.snapshot()
-        live = {f["path"] for f in self.files(snap=snap)}
+    def oldest_retained_version(self) -> int:
+        """Lowest version whose v<N>.json still exists (0 if never expired)."""
+        vs = [
+            int(fn[1:-5])
+            for fn in os.listdir(self.meta_dir)
+            if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+        ]
+        return min(vs) if vs else 0
+
+    def vacuum(self, retain_last: int = 8) -> int:
+        """Delete data files / bucket manifests not referenced by the last
+        ``retain_last`` snapshots, and expire older snapshot files (Delta/
+        Iceberg-style retention window). Time-travel reads and
+        ``read_changes(from_version=...)`` keep working for any version
+        within the window; older versions raise ``VersionVacuumedError``
+        with a clear message instead of a mid-scan FileNotFoundError.
+        ``retain_last=1`` reproduces the round-1 current-snapshot-only GC."""
+        cur = self.current_version()
+        floor = max(0, cur - max(retain_last, 1) + 1)
+        floor = max(floor, self.oldest_retained_version())
+        live: set[str] = set()
+        live_m: set[str] = set()
+        for v in range(floor, cur + 1):
+            snap = self.snapshot(v)
+            live_m |= {m["path"] for m in snap["manifests"]}
+        # each retained manifest is opened once even if many snapshots share it
+        for rel in live_m:
+            live |= {f["path"] for f in self._load_bucket_manifest(rel)}
         removed = 0
         data_root = os.path.join(self.root, "data")
         for cdir in list(os.listdir(data_root)):
@@ -584,10 +735,13 @@ class LakeTable:
                         removed += 1
             if not any(f.endswith(".parquet") for _r, _d, fs in os.walk(cpath) for f in fs):
                 shutil.rmtree(cpath, ignore_errors=True)
-        # GC per-bucket manifest files not referenced by the current snapshot
-        live_m = {m["path"] for m in snap["manifests"]}
         for fn in list(os.listdir(self.meta_dir)):
             rel = os.path.join("meta", fn)
             if fn.startswith("m-") and fn.endswith(".json") and rel not in live_m:
                 os.remove(os.path.join(self.meta_dir, fn))
+            elif (
+                fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+                and int(fn[1:-5]) < floor
+            ):
+                os.remove(os.path.join(self.meta_dir, fn))  # expire snapshot
         return removed

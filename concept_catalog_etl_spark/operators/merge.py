@@ -360,7 +360,11 @@ def apply_batch(
         ).alias("max_event_ts_us"),
     ]
     if fast_summary:
-        good_lin = F.col("_dlq_reason").isNull()
+        # lineage counts rows the EXACT light-summary path would count: its
+        # max_lsn is taken pre-normalization where bad_tokens is undetectable
+        # (structurally clean), so bad_tokens rows must advance lineage here
+        # too — use `goodish` (null-or-bad_tokens), not isNull()
+        good_lin = goodish
         metric_aggs.append(
             F.coalesce(
                 F.sum((F.col("_dlq_reason").isNotNull()
@@ -451,6 +455,16 @@ def apply_batch(
             F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")).alias("lsn"),
             *[F.col(n) for n in payload_names],
         )
+        # EVENT CONTRACT: (event_ts, lsn) is unique per key — lsn is a
+        # binlog/WAL sequence number, so two DIFFERENT events never share a
+        # coordinate; only at-least-once re-delivery duplicates one, and a
+        # re-delivered event carries an identical payload. Under that
+        # contract the lexicographic struct-max below agrees with the
+        # oracle's first-seen-wins strict `>` (oracle.py:132) for every
+        # reachable input: on a coordinate tie the contenders are the same
+        # event, so op/payload tie-break picks between equal rows. (A
+        # parallel engine cannot reproduce "first seen" for genuinely
+        # different events — no total order exists — hence the contract.)
         unioned = deduped.select(pseudo.columns).unionByName(pseudo)
         bucketed = unioned.withColumn("_bucket", bucket_expr(key, nb))
         npart = min(nb, int(spark.conf.get("spark.sql.shuffle.partitions")))
@@ -499,10 +513,9 @@ def apply_batch(
                     lineage[s] = int(v)
             if new_srcs:
                 # rare: first sighting of a source — one exact follow-up agg
+                # (goodish, like good_lin: bad_tokens rows advance lineage)
                 for r in (
-                    norm.filter(
-                        F.col("_dlq_reason").isNull() & F.col("_src_raw").isin(new_srcs)
-                    )
+                    norm.filter(goodish & F.col("_src_raw").isin(new_srcs))
                     .groupBy("_src_raw")
                     .agg(F.max("lsn").alias("mx"))
                     .collect()
@@ -538,7 +551,10 @@ def apply_batch(
 
     for k_, v_ in cfg.extra_lineage.items():
         lineage[k_] = max(lineage.get(k_, v_), v_)
-    table.commit(
+    # optimistic-concurrency commit: MoR deltas are pure appends (always
+    # retryable); COW rewrites retry only across disjoint-bucket winners and
+    # raise CommitConflictError on overlap (the merge must be recomputed)
+    table.commit_with_retry(
         add_files=files,
         # mor appends deltas — the base (and older deltas) stay referenced
         remove_buckets=None if cfg.write_mode == "mor" else set(affected),

@@ -42,6 +42,8 @@ def replay_stream(
     trigger_interval: str | None = None,
     maintenance_every: int | None = None,
     maintenance_max_buckets: int | None = 16,
+    tombstone_horizon_lsns: int | None = None,
+    vacuum_retain_last: int = 8,
 ):
     """Structured Streaming replay.
 
@@ -54,6 +56,20 @@ def replay_stream(
     incremental compaction + vacuum) after every N applied batches, inside
     the same single-writer loop — at merge-on-read cadence this is what
     holds file counts at O(buckets) indefinitely (see bench_soak.py).
+
+    ``tombstone_horizon_lsns`` is the out-of-orderness horizon (the
+    watermark analog, in LSN units): each maintenance tick derives an expiry
+    floor from the per-source lineage offsets — ``min(high-water LSN over
+    sources) - horizon`` — and drops tombstones older than that floor while
+    rewriting buckets (rotating through the bucket space so every tick stays
+    bounded but coverage is eventual). A delete's tombstone is only needed
+    to defeat late-arriving older updates; once no source can still deliver
+    an event that old, the tombstone is dead weight, and expiring it keeps
+    tombstone storage O(recent-deletes) instead of O(all-deletes-ever).
+
+    ``vacuum_retain_last`` bounds snapshot/file GC so downstream CDC
+    consumers can chain ``read_changes(from_version=...)`` across at least
+    that many versions (older asks raise ``VersionVacuumedError``).
     """
     reader = (
         spark.readStream.format("text")
@@ -68,11 +84,19 @@ def replay_stream(
         batch_metrics.append(m)
         applied = sum(1 for x in batch_metrics if not x.get("skipped"))
         if maintenance_every and applied and applied % maintenance_every == 0:
+            expire_below = None
+            if tombstone_horizon_lsns is not None:
+                offsets = table.properties().get("lineage_offsets", {})
+                if offsets:
+                    expire_below = min(offsets.values()) - tombstone_horizon_lsns
+                    if expire_below <= 0:
+                        expire_below = None
             table.compact(
                 spark, max_files_per_bucket=1,
                 max_buckets_per_run=maintenance_max_buckets,
+                expire_tombstones_below_lsn=expire_below,
             )
-            table.vacuum()
+            table.vacuum(retain_last=vacuum_retain_last)
 
     writer = raw.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

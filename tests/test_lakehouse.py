@@ -82,7 +82,10 @@ def test_vacuum_removes_replaced_files(spark, scratch):
         for _r, _d, fns in os.walk(os.path.join(table.root, "data"))
         for fn in fns
     )
-    removed = table.vacuum()
+    # default retention (8 versions) keeps the replaced files: time travel
+    # to the previous snapshot still works
+    assert table.vacuum() == 0
+    removed = table.vacuum(retain_last=1)
     assert removed > 0
     assert table.read(spark).count() == 20  # current snapshot unaffected
 

@@ -103,8 +103,9 @@ def test_mor_compaction_folds_deltas(spark, scratch):
     # post-compaction: no deltas left, read takes the base fast path
     assert not any(f.get("delta") for f in table.files())
     assert table_state(spark, table) == before
-    # vacuum drops the superseded delta files from disk
-    assert table.vacuum() > 0
+    # vacuum drops the superseded delta files from disk once they fall out
+    # of the retention window (retain_last=1 → current snapshot only)
+    assert table.vacuum(retain_last=1) > 0
     assert table_state(spark, table) == before
 
 
