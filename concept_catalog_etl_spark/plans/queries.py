@@ -141,6 +141,36 @@ SELECT event_type, event_id, value, rnk FROM r WHERE rnk <= 3
 """
 
 
+def q_windowed_throughput(spark, sf):
+    """Tumbling-window ingest throughput per event type — the BATCH form of
+    ``streaming.metrics.windowed_throughput`` (same window semantics; the
+    streaming variant adds a watermark and is pytest-verified, this variant
+    gives the driver an oracle-checked entry for the computation shape).
+    Window start exported as epoch micros so both engines hash identically."""
+    ev = _t(spark, sf, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("event_id").alias("max_event_id"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "max_event_id",
+        )
+    )
+
+
+SQL_WINDOWED_THROUGHPUT = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark, sf):
     """Gap-based sessionization (lag window + cumulative breaks)."""
     ev = _t(spark, sf, "events")
@@ -868,6 +898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lww_dedup": q_lww_dedup,
     "q_lww_dedup_maxby": q_lww_dedup_maxby,
     "q_topk_per_group": q_topk_per_group,
+    "q_windowed_throughput": q_windowed_throughput,
     "q_sessionize": q_sessionize,
     "q_merge_anti": q_merge_anti,
     "q_merge_semi": q_merge_semi,
@@ -899,6 +930,7 @@ ORACLES: dict[str, str] = {
     "q_lww_dedup": _LWW_SQL,
     "q_lww_dedup_maxby": _LWW_SQL,
     "q_topk_per_group": SQL_TOPK,
+    "q_windowed_throughput": SQL_WINDOWED_THROUGHPUT,
     "q_sessionize": SQL_SESSIONIZE,
     "q_merge_anti": SQL_MERGE_ANTI,
     "q_merge_semi": SQL_MERGE_SEMI,
