@@ -37,8 +37,14 @@ def run_at(cpus: int, events: int) -> dict:
         env=env,
         timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(
+            f"bench.py at local[{cpus}] produced no JSON (rc={out.returncode});"
+            f" stderr tail:\n" + "\n".join(out.stderr.splitlines()[-15:]) + "\n"
+        )
+        raise RuntimeError(f"bench run failed at local[{cpus}]")
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -259,6 +259,13 @@ def apply_batch(
         # a brand-new table takes the exact path once to discover the source
         # vocabulary (otherwise the new-source follow-up re-parses the batch)
         and 0 < len(known_sources) <= 64
+        # COST NOTE: this probe is a second pass over the batch's raw text,
+        # but a cheap one — substring `contains` on the unparsed line (no
+        # JSON lexing), early-exits on first hit (isEmpty → Limit 1), and it
+        # must run pre-parse because its outcome decides which parse plan we
+        # build. At bench scale the probe is ~5% of batch wall; it buys
+        # skipping the exact light-parse summary aggregation (~2× that cost)
+        # on every schema-stable batch.
         and raw.filter(
             F.col("value").contains("schema_change") | F.col("value").contains("\\u")
         ).isEmpty()

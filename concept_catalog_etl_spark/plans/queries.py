@@ -652,18 +652,24 @@ def _norm(a):
 
 def q_ann_topk(spark, sf):
     """Brute-force cosine top-5 per query vector (the correctness baseline
-    for ANN; rank output with deterministic tie-break)."""
+    for ANN; rank output with deterministic tie-break). Norms are
+    precomputed PER SIDE before the join — computing them inside the pair
+    expression would redo an O(dim) fold per (query, candidate) pair."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    b = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
     sims = (
         b.crossJoin(F.broadcast(q))
         .select(
             "qid",
             "nid",
-            F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6).alias("sim"),
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
@@ -697,14 +703,69 @@ WHERE rn <= 5
 """
 
 
+def q_ann_topk_gemm(spark, sf):
+    """Brute-force cosine top-5 via Arrow-batched BLOCK MATMUL — the shape a
+    100 TB brute-force actually takes: broadcast the (tiny) normalized query
+    matrix, run one numpy GEMM per Arrow batch of candidates inside
+    ``mapInPandas``, emit only each batch's LOCAL top-k per query, and let a
+    final window pick the global top-k. The shuffle carries
+    O(batches × queries × k) rows instead of O(candidates × queries) — the
+    partial top-k is to ANN search what map-side combine is to aggregation.
+    Same output contract and oracle as q_ann_topk (ranking on round(sim, 6)
+    makes GEMM's float reassociation immaterial)."""
+    import numpy as np
+    import pandas as pd
+
+    k = 5
+    e = _t(spark, sf, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    )  # bounded: 10 query vectors
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, Qn))
+
+    def op(batches):
+        bqids, bQn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round(M @ bQn.T, 6)  # (batch, n_queries)
+            nids = pdf["vec_id"].to_numpy()
+            take = min(k, len(nids))
+            out = []
+            for j in range(S.shape[1]):
+                # local top-k: sim desc, nid asc (same tie-break as global)
+                order = np.lexsort((nids, -S[:, j]))[:take]
+                out.append(pd.DataFrame({
+                    "qid": bqids[j], "nid": nids[order], "sim": S[order, j],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    partial = e.select("vec_id", "embedding").mapInPandas(
+        op, schema="qid long, nid long, sim double"
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "rnk")
+    )
+
+
 def q_embed_cosine_dup(spark, sf):
     """Embedding near-duplicate pairs (cosine ≥ 0.3), capped input;
     scale path = q_ann_lsh bucketing."""
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+                 _norm(F.col("embedding")).alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+                 _norm(F.col("embedding")).alias("nb"))
     sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.crossJoin(b)
@@ -784,11 +845,14 @@ def q_ann_lsh(spark, sf, n_tables=16, bits=4):
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    # exact-cosine verification of the candidate set only
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    # exact-cosine verification of the candidate set only; norms precomputed
+    # per side (once per vector, not once per candidate pair)
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+                  _norm(F.col("embedding")).alias("na"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+                  _norm(F.col("embedding")).alias("nb"))
     sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         cands.join(va, "vec_a")
@@ -842,13 +906,15 @@ def q_ann_ivf(spark, sf):
         ])
         return F.slice(F.array_sort(ds), 1, nprobe)
 
-    q = q.select("qid", "qv", F.explode(probe_cells(F.col("qv"))["i"]).alias("cell"))
-    cand = assigned.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "cell")
+    q = q.select("qid", "qv", _norm(F.col("qv")).alias("qn"),
+                 F.explode(probe_cells(F.col("qv"))["i"]).alias("cell"))
+    cand = assigned.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+                           _norm(F.col("embedding")).alias("nn"), "cell")
     sims = (
         cand.join(F.broadcast(q), "cell")
         .select(
             "qid", "nid",
-            F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6).alias("sim"),
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
         )
         .groupBy("qid", "nid").agg(F.max("sim").alias("sim"))  # de-dup multi-probe hits
     )
@@ -916,6 +982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_ann_topk": q_ann_topk,
+    "q_ann_topk_gemm": q_ann_topk_gemm,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_embed_cosine_dup": q_embed_cosine_dup,
@@ -948,6 +1015,7 @@ ORACLES: dict[str, str] = {
     "q_quality_score": SQL_QUALITY_SCORE,
     "q_lang_id": SQL_LANG_ID,
     "q_ann_topk": SQL_ANN_TOPK,
+    "q_ann_topk_gemm": SQL_ANN_TOPK,  # same contract, GEMM physical plan
     "q_embed_cosine_dup": SQL_EMBED_COSINE_DUP,
     "q_multimodal_meta": SQL_MULTIMODAL_META,
 }

@@ -80,6 +80,15 @@ def test_ann_lsh_subset_and_recall(spark):
     assert recall >= 0.6, f"LSH recall {recall:.3f} < 0.6 of {len(exact)} exact pairs"
 
 
+def test_ann_gemm_equals_bruteforce(spark):
+    """The Arrow/GEMM physical plan must produce the exact same ranked
+    top-5 as the JVM-expression brute force (both rank on round(sim, 6)
+    with nid tie-break, so float reassociation cannot show through)."""
+    a = sorted(tuple(r) for r in Q.q_ann_topk(spark, SF).collect())
+    b = sorted(tuple(r) for r in Q.q_ann_topk_gemm(spark, SF).collect())
+    assert a == b
+
+
 def test_ann_ivf_recall_at_5(spark):
     """IVF (nprobe=4 of 16 cells) must recall >=0.55 of the brute-force
     top-5 neighbours, and return exactly 5 ranked rows per query."""
