@@ -414,6 +414,94 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
 """
 
 
+def q_jaccard_ngram_gemm(spark, sf, cap=2000, n_blocks=8):
+    """Exact n-gram Jaccard pairs via BLOCK-GEMM — same contract and oracle
+    as q_jaccard_ngram, different physical plan. The explode-self-join
+    formulation materializes Σ_s n_s² intermediate rows (ruinous when the
+    shingle vocabulary is small and shared); here each doc ships its
+    distinct-shingle array ONCE per block pair, and a per-group numpy bit-
+    matrix matmul computes every intersection count in one GEMM:
+
+      docs → (block = doc_id % B) → replicate to the B block-pairs the
+      block participates in → groupBy(pair) applyInPandas:
+      local vocab (np.unique over strings — exact, no hash collisions),
+      0/1 matrices, inter = A @ Bᵀ, emit pairs with jac ≥ 0.3.
+
+    Shuffle volume is O(docs × B × shingles-per-doc), independent of how
+    skewed the shingle frequencies are. Intersection counts are integers
+    (float32 GEMM of 0/1 is exact to 2^24), and the jac division + rounding
+    happen Spark-side with the same expressions as the join formulation, so
+    the result is oracle-identical bit-for-bit. At corpus scale, B grows as
+    sqrt(pairs)/block-budget — the classic block-nested-loop layout."""
+    import numpy as np
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+    docs = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    blk = (F.col("doc_id") % n_blocks).cast("int")
+    pair_structs = F.array(*[
+        F.struct(
+            F.least(blk, F.lit(j)).alias("pa"),
+            F.greatest(blk, F.lit(j)).alias("pb"),
+            (blk <= F.lit(j)).alias("is_a"),
+        )
+        for j in range(n_blocks)
+    ])
+    rep = docs.select(
+        "doc_id", "sh", F.explode(pair_structs).alias("p")
+    ).select("doc_id", "sh", "p.pa", "p.pb", "p.is_a")
+
+    out_schema = "doc_a long, doc_b long, inter long, na long, nb long"
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                              for c in ("doc_a", "doc_b", "inter", "na", "nb")})
+        a = pdf[pdf["is_a"]]
+        b = a if pa == pb else pdf[~pdf["is_a"]]
+        if a.empty or b.empty:
+            return empty
+
+        def matrix(part):
+            arrs = [np.asarray(x) for x in part["sh"]]
+            lens = np.array([len(x) for x in arrs])
+            flat = np.concatenate(arrs) if arrs else np.array([], dtype=object)
+            return arrs, lens, flat
+
+        arrs_a, na, flat_a = matrix(a)
+        arrs_b, nb, flat_b = matrix(b)
+        vocab = np.unique(np.concatenate([flat_a, flat_b]))
+
+        def dense(lens, flat, n):
+            M = np.zeros((n, len(vocab)), dtype=np.float32)
+            M[np.repeat(np.arange(n), lens), np.searchsorted(vocab, flat)] = 1.0
+            return M
+
+        Ma = dense(na, flat_a, len(a))
+        Mb = Ma if pa == pb else dense(nb, flat_b, len(b))
+        inter = (Ma @ Mb.T).astype(np.int64)
+        ids_a = a["doc_id"].to_numpy()
+        ids_b = b["doc_id"].to_numpy()
+        union = na[:, None] + nb[None, :] - inter
+        mask = inter / union >= 0.3
+        if pa == pb:
+            # same set on both sides: strict upper triangle dedups (u,v)/(v,u)
+            mask &= ids_a[:, None] < ids_b[None, :]
+        # cross-block: every unordered pair appears in exactly ONE
+        # orientation (u from side a, v from side b) — canonicalize by
+        # min/max instead of dropping the half where id_a > id_b
+        r, c = np.nonzero(mask)
+        da, db = ids_a[r], ids_b[c]
+        return pd.DataFrame({
+            "doc_a": np.minimum(da, db), "doc_b": np.maximum(da, db),
+            "inter": inter[r, c], "na": na[r], "nb": nb[c],
+        })
+
+    counts = rep.groupBy("pa", "pb").applyInPandas(gemm, schema=out_schema)
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return counts.select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
+
+
 def q_minhash_pairs(spark, sf, cap=2000):
     """MinHash + LSH banding near-dup candidates (the 100 TB dedup path):
     shingle → 32 minhashes → 16 bands × 2 → bucket join → verified Jaccard
@@ -806,6 +894,73 @@ WHERE round(
 """
 
 
+def q_embed_cosine_dup_gemm(spark, sf, cap=2000, n_blocks=4):
+    """Exact cosine near-dup pairs via block-GEMM PRUNE + JVM-exact verify —
+    same contract and oracle as q_embed_cosine_dup. The GEMM computes every
+    pairwise cosine in one matmul per block pair but is used only to select
+    CANDIDATES (sim ≥ 0.3 − 1e-6: the margin covers both float64 GEMM
+    error AND the final round-to-6-decimals, whose half-step is 5e-7 — a
+    pair at unrounded 0.2999996 rounds to 0.300000 and must survive);
+    the emitted sims are then recomputed with the same sequential JVM fold
+    the baseline uses, so reassociation can never show through in the
+    rounded output. Lossless pruning: a qualifying pair cannot fall below
+    the margin, a non-qualifying pair is re-filtered exactly."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < cap)
+    vecs = e.select("vec_id", "embedding")
+    blk = (F.col("vec_id") % n_blocks).cast("int")
+    pair_structs = F.array(*[
+        F.struct(
+            F.least(blk, F.lit(j)).alias("pa"),
+            F.greatest(blk, F.lit(j)).alias("pb"),
+            (blk <= F.lit(j)).alias("is_a"),
+        )
+        for j in range(n_blocks)
+    ])
+    rep = vecs.select(
+        "vec_id", "embedding", F.explode(pair_structs).alias("p")
+    ).select("vec_id", "embedding", "p.pa", "p.pb", "p.is_a")
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64")})
+        a = pdf[pdf["is_a"]]
+        b = a if pa == pb else pdf[~pdf["is_a"]]
+        if a.empty or b.empty:
+            return empty
+
+        def mat(part):
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in part["embedding"]])
+            return M / np.linalg.norm(M, axis=1, keepdims=True)
+
+        Ma = mat(a)
+        Mb = Ma if pa == pb else mat(b)
+        S = Ma @ Mb.T
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        mask = S >= 0.3 - 1e-6
+        if pa == pb:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        r, c = np.nonzero(mask)
+        da, db = ids_a[r], ids_b[c]
+        return pd.DataFrame({"vec_a": np.minimum(da, db), "vec_b": np.maximum(da, db)})
+
+    cands = rep.groupBy("pa", "pb").applyInPandas(gemm, schema="vec_a long, vec_b long")
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+                  _norm(F.col("embedding")).alias("na"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+                  _norm(F.col("embedding")).alias("nb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cands.join(va, "vec_a").join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
 def q_ann_lsh(spark, sf, n_tables=16, bits=4):
     """Multi-table random-hyperplane LSH near-dup pairs (the 100 TB scale
     path for q_embed_cosine_dup): ``n_tables`` independent hash tables of
@@ -975,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vectorized_ntok": q_vectorized_ntok,
     "q_dedup_exact": q_dedup_exact,
     "q_jaccard_ngram": q_jaccard_ngram,
+    "q_jaccard_ngram_gemm": q_jaccard_ngram_gemm,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
     "q_fingerprint": q_fingerprint,
@@ -986,6 +1142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_embed_cosine_dup": q_embed_cosine_dup,
+    "q_embed_cosine_dup_gemm": q_embed_cosine_dup_gemm,
     "q_multimodal_meta": q_multimodal_meta,
 }
 
@@ -1008,6 +1165,7 @@ ORACLES: dict[str, str] = {
     "q_vectorized_ntok": SQL_VECTORIZED_NTOK,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_jaccard_ngram": SQL_JACCARD_NGRAM,
+    "q_jaccard_ngram_gemm": SQL_JACCARD_NGRAM,  # same contract, GEMM plan
     # q_minhash_pairs, q_simhash, q_ann_lsh: engine-specific hashes /
     # approximate-by-construction → rows-only checks (deliberate)
     "q_fingerprint": SQL_FINGERPRINT,
@@ -1017,5 +1175,6 @@ ORACLES: dict[str, str] = {
     "q_ann_topk": SQL_ANN_TOPK,
     "q_ann_topk_gemm": SQL_ANN_TOPK,  # same contract, GEMM physical plan
     "q_embed_cosine_dup": SQL_EMBED_COSINE_DUP,
+    "q_embed_cosine_dup_gemm": SQL_EMBED_COSINE_DUP,  # GEMM-pruned plan
     "q_multimodal_meta": SQL_MULTIMODAL_META,
 }

@@ -42,14 +42,18 @@ def _tupleset(rows):
 
 
 def test_jaccard_ngram_capped_matches_oracle_at_sf01(spark, duck):
-    got = _tupleset(Q.q_jaccard_ngram(spark, SF).collect())
     want = _tupleset(duck.execute(Q.SQL_JACCARD_NGRAM).fetchall())
-    assert len(got) > 100_000, "cap made the result trivial at sf0.1"
+    assert len(want) > 100_000, "cap made the result trivial at sf0.1"
+    got_gemm = _tupleset(Q.q_jaccard_ngram_gemm(spark, SF).collect())
+    assert got_gemm == want
+    got = _tupleset(Q.q_jaccard_ngram(spark, SF).collect())
     assert got == want
 
 
 def test_embed_cosine_dup_capped_matches_oracle_at_sf01(spark, duck):
-    got = _tupleset(Q.q_embed_cosine_dup(spark, SF).collect())
     want = _tupleset(duck.execute(Q.SQL_EMBED_COSINE_DUP).fetchall())
-    assert len(got) > 5_000, "cap made the result trivial at sf0.1"
+    assert len(want) > 5_000, "cap made the result trivial at sf0.1"
+    got_gemm = _tupleset(Q.q_embed_cosine_dup_gemm(spark, SF).collect())
+    assert got_gemm == want
+    got = _tupleset(Q.q_embed_cosine_dup(spark, SF).collect())
     assert got == want
