@@ -61,8 +61,16 @@ def main() -> None:
         file_counts.append(len(table.files()))
         if (i // 2) % 4 == 3:  # maintenance cadence: every 4th batch
             t0 = time.time()
-            table.compact(spark, max_files_per_bucket=1)
-            table.vacuum()
+            # same tick replay_stream runs: compaction + lineage-derived
+            # tombstone expiry (horizon = min source high-water − slack) +
+            # retention-windowed vacuum
+            offsets = table.properties().get("lineage_offsets", {})
+            expire = (min(offsets.values()) - 2_000_000) if offsets else None
+            table.compact(
+                spark, max_files_per_bucket=1,
+                expire_tombstones_below_lsn=expire if expire and expire > 0 else None,
+            )
+            table.vacuum(retain_last=4)
             compact_walls.append(round(time.time() - t0, 2))
     wall = time.time() - t_total
     final_rows = table.read(spark).count()
