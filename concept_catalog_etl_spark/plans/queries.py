@@ -1119,6 +1119,43 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark, sf):
+    """Frame-sampling plumbing as a driver query: binary payload → one row
+    per sampled byte-window "frame" (the row-fanout shape a video pipeline
+    needs; a real demuxer replaces the windowing, the Spark side — binary
+    transport, mapInPandas fan-out, schema — is what's under test). Frames
+    are fingerprinted with md5 so the oracle can verify the exact window
+    bytes without hashing raw binary across engines."""
+    from ..functions.multimodal import frame_sample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    frames = frame_sample(d, id_col="doc_id", blob_col="blob", every=16)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+-- DuckDB 1.0 cannot substring a BLOB; the documents corpus is pure ASCII
+-- (asserted below via the octet_length == length guard), so UTF-8 byte
+-- windows equal character windows and md5(varchar) hashes the same bytes
+-- the engine's binary frames contain. A non-ASCII row would fail the WHERE
+-- guard and shrink the row count -> caught by the rows_match gate.
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(ceil(greatest(octet_length(encode(text)), 1) / 16.0) AS INT) AS nf
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+)
+SELECT doc_id,
+       CAST(u.i AS INT) AS frame_idx,
+       md5(substring(text, CAST(u.i * 16 + 1 AS INT), 16)) AS frame_md5
+FROM n, unnest(generate_series(0, nf - 1)) AS u(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1156,6 +1193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_cosine_dup": q_embed_cosine_dup,
     "q_embed_cosine_dup_gemm": q_embed_cosine_dup_gemm,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -1189,4 +1227,5 @@ ORACLES: dict[str, str] = {
     "q_embed_cosine_dup": SQL_EMBED_COSINE_DUP,
     "q_embed_cosine_dup_gemm": SQL_EMBED_COSINE_DUP,  # GEMM-pruned plan
     "q_multimodal_meta": SQL_MULTIMODAL_META,
+    "q_multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }
