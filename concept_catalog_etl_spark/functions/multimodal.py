@@ -42,6 +42,27 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
     return df.mapInPandas(op, schema=META_SCHEMA)
 
 
+def resize_blob(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
+                factor: int = 2) -> DataFrame:
+    """Fake RESIZE: deterministic downsample keeping every ``factor``-th
+    byte (a real impl decodes, bilinear-resamples and re-encodes — this
+    preserves the Spark shape: binary in, smaller binary + refreshed typed
+    metadata out, one Arrow batch at a time, no Python-per-byte loop —
+    ``b[::factor]`` is a single C-level slice per payload)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            small = pdf[blob_col].map(lambda b: bytes(b[::factor]))
+            meta = _fake_decode_series(small)
+            meta.insert(0, "doc_id", pdf[id_col].astype("int64").values)
+            meta["blob"] = small
+            yield meta
+
+    return df.mapInPandas(
+        op, schema=META_SCHEMA + ", blob binary"
+    )
+
+
 def frame_sample(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
                  every: int = 16) -> DataFrame:
     """Frame-sampling plumbing: emits one row per sampled 'frame' (byte

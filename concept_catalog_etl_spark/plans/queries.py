@@ -1156,6 +1156,39 @@ FROM n, unnest(generate_series(0, nf - 1)) AS u(i)
 """
 
 
+def q_multimodal_resize(spark, sf):
+    """Resize plumbing as a driver query: binary payload → downsampled
+    binary (every 2nd byte — the fake stand-in for decode+resample+encode)
+    with refreshed typed metadata, md5-fingerprinted for the oracle. The
+    DuckDB twin exploits ASCII text: ``b[::2]`` over UTF-8-of-ASCII equals
+    ``regexp_replace(text, '(.).', '\\1', 'g')`` (each pair → its first
+    char; a trailing odd char survives unmatched)."""
+    from ..functions.multimodal import resize_blob
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    r = resize_blob(d, id_col="doc_id", blob_col="blob", factor=2)
+    return r.select(
+        "doc_id", "n_bytes", "width", "height", F.md5("blob").alias("blob_md5")
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH r AS (
+  SELECT doc_id, regexp_replace(text, '(.).', '\\1', 'g') AS small
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text)  -- ASCII guard (see frames)
+)
+SELECT doc_id,
+       CAST(length(small) AS BIGINT) AS n_bytes,
+       CAST(length(small) % 64 + 1 AS BIGINT) AS width,
+       CAST((length(small) // 64) % 64 + 1 AS BIGINT) AS height,
+       md5(small) AS blob_md5
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1194,6 +1227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_cosine_dup_gemm": q_embed_cosine_dup_gemm,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1228,4 +1262,5 @@ ORACLES: dict[str, str] = {
     "q_embed_cosine_dup_gemm": SQL_EMBED_COSINE_DUP,  # GEMM-pruned plan
     "q_multimodal_meta": SQL_MULTIMODAL_META,
     "q_multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "q_multimodal_resize": SQL_MULTIMODAL_RESIZE,
 }

@@ -42,3 +42,14 @@ def test_multimodal_query_matches_bytes(spark):
     )
     r = extract_meta(df).collect()[0]
     assert r["n_bytes"] == 5  # ø is 2 bytes
+
+
+def test_resize_blob_downsamples(spark):
+    from concept_catalog_etl_spark.functions.multimodal import resize_blob
+
+    out = {r["doc_id"]: r for r in resize_blob(_blob_df(spark), factor=2).collect()}
+    assert bytes(out[1]["blob"]) == b"x" * 50 and out[1]["n_bytes"] == 50
+    assert out[1]["width"] == 50 % 64 + 1 and out[1]["height"] == (50 // 64) % 64 + 1
+    # odd length keeps the trailing byte: 17 -> 9
+    assert out[2]["n_bytes"] == 9
+    assert out[3]["n_bytes"] == 0 and bytes(out[3]["blob"]) == b""

@@ -1,0 +1,85 @@
+"""Property-based replay equivalence (SURVEY.md §5: observational
+invariants): for ARBITRARY small event sequences — mixed ops, colliding
+event timestamps (lsn breaks ties), wrapped-token payloads, malformed
+lines, arbitrary batch split points — the engine's final table state must
+equal the single-threaded oracle replay, and the DLQ counts must agree.
+
+Complements the fixed-seed binlog suites with hypothesis-driven inputs;
+examples are kept small (Spark job per example) but adversarial: few keys
+(forced key collisions), few distinct timestamps (forced LWW ties).
+"""
+
+import json
+import os
+import shutil
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from concept_catalog_etl_spark.oracle import replay_dir
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+from helpers import make_table, table_state
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".scratch", "replay_property")
+
+event_st = st.fixed_dictionaries({
+    "op": st.sampled_from(["insert", "update", "update", "delete"]),
+    "doc": st.integers(0, 5),              # few keys → collisions guaranteed
+    "ts_s": st.integers(0, 3),             # few timestamps → LWW ties on ts
+    "kind": st.sampled_from(["plain", "plain", "wrapped", "null_ntok", "malformed"]),
+    "toks": st.lists(st.integers(0, 99), min_size=0, max_size=5),
+})
+
+
+def _line(ev, lsn):
+    doc = f"doc-{ev['doc']:06d}"
+    ts = f"1970-01-01T00:00:{ev['ts_s']:02d}.000000"
+    if ev["kind"] == "malformed":
+        return '{"op": "update", "doc_id": "%s", broken' % doc
+    if ev["op"] == "delete":
+        return json.dumps({"op": "delete", "doc_id": doc, "event_ts": ts, "lsn": lsn})
+    payload = {"n_tok": len(ev["toks"]), "source": "crawl"}
+    if ev["kind"] == "wrapped":
+        payload["tokens_raw"] = "{'no': '%s'}" % " ".join(map(str, ev["toks"]))
+    else:
+        payload["tokens"] = ev["toks"]
+    if ev["kind"] == "null_ntok":
+        payload["n_tok"] = None
+    return json.dumps({
+        "op": ev["op"], "doc_id": doc, "event_ts": ts, "lsn": lsn,
+        "payload": payload,
+    })
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(event_st, min_size=1, max_size=25),
+       split=st.integers(1, 24), seed=st.integers(0, 10**6))
+def test_random_replay_matches_oracle(spark, events, split, seed):
+    d = os.path.join(SCRATCH, f"ex_{seed}_{len(events)}_{split}")
+    shutil.rmtree(d, ignore_errors=True)
+    binlog = os.path.join(d, "binlog")
+    os.makedirs(binlog)
+    lines = [_line(ev, lsn) for lsn, ev in enumerate(events)]
+    # arbitrary file split → arbitrary micro-batch boundaries
+    cut = min(split, len(lines))
+    for i, chunk in enumerate((lines[:cut], lines[cut:])):
+        if chunk:
+            with open(os.path.join(binlog, f"f{i}.jsonl"), "w") as f:
+                f.write("\n".join(chunk) + "\n")
+    paths = sorted(os.path.join(binlog, f) for f in os.listdir(binlog))
+
+    table = make_table(d, n_buckets=4)
+    metrics = replay_batch(spark, paths, table, files_per_batch=1)
+
+    oracle_state, _schema, ostats = replay_dir(binlog)
+    got = table_state(spark, table)
+    want = {
+        k: {f: (list(v[f]) if isinstance(v.get(f), list) else v.get(f))
+            for f in ("doc_id", "tokens", "n_tok", "source")}
+        for k, v in oracle_state.items()
+    }
+    assert got == want
+    assert sum(m.get("dlq_count", 0) for m in metrics) == ostats["dlq"]
+    shutil.rmtree(d, ignore_errors=True)
