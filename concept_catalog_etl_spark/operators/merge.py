@@ -91,19 +91,33 @@ class MergeConfig:
     fast_summary: bool = True
 
 
-def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict[str, str]]:
+def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict]:
     """Fold ordered schema_change events into the schema.
-    Returns (new_schema, rename_map current_name→old_name this batch)."""
-    rename_old: dict[str, str] = {}
+
+    Returns ``(new_schema, {"map": segments, "types": parse_types})`` where
+    ``segments[current_name] = [(older_name, valid_below_lsn), ...]`` in
+    chronological order. A rename takes effect at its STREAM position: an
+    event before the rename (lsn < rename lsn) is read under the old payload
+    key, an event after it under the new key ONLY — the oracle switches
+    names exactly at the schema_change line, so an event that keeps sending
+    the stale key after the rename must NOT match (its field reads NULL and
+    e.g. source tagging falls back to the default). Chained renames within
+    one batch keep every intermediate name as its own lsn segment."""
+    rename_hist: dict[str, list[tuple[str, int]]] = {}
     old_types = {f.name: f.type for f in schema.fields}
     for r in sc_rows:
         kind, column = r["kind"], r["column"]
         schema = schema.apply_change(kind, column, r["new_name"], r["new_type"])
         if kind == "rename":
-            prev = rename_old.pop(column, None)  # chain renames back to batch-start name
-            rename_old[r["new_name"]] = prev or column
-    rename_types = {old: old_types.get(old, "string") for old in rename_old.values()}
-    return schema, {"map": rename_old, "types": rename_types}
+            hist = rename_hist.pop(column, [])
+            hist.append((column, int(r["lsn"])))
+            rename_hist[r["new_name"]] = hist
+    rename_types = {}
+    for hist in rename_hist.values():
+        t = old_types.get(hist[0][0], "string")  # type at batch start
+        for old, _ in hist:
+            rename_types[old] = t
+    return schema, {"map": rename_hist, "types": rename_types}
 
 
 def _jvm_norm_tokens(tokens_col: F.Column, raw_col: F.Column) -> F.Column:
@@ -129,7 +143,7 @@ def _jvm_tag_source(src: F.Column) -> F.Column:
 
 
 def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
-               rename_map: dict[str, str]) -> DataFrame:
+               rename_map: dict[str, list]) -> DataFrame:
     """Envelope payload → typed change columns. Two vectorized impls with
     identical semantics (parity-tested):
 
@@ -143,9 +157,17 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
     key = schema.key_name
 
     def pv(name: str) -> F.Column:
+        # lsn-segmented name resolution across in-batch renames: an event
+        # reads the payload key that was CURRENT at its stream position
+        # (oracle semantics — a stale key sent after the rename reads NULL)
         c = F.col(f"payload.{name}")
-        old = rename_map.get(name)
-        return F.coalesce(c, F.col(f"payload.{old}")) if old else c
+        hist = rename_map.get(name)
+        if not hist:
+            return c
+        expr = c
+        for old, upto in reversed(hist):
+            expr = F.when(F.col("lsn") < F.lit(upto), F.col(f"payload.{old}")).otherwise(expr)
+        return expr
 
     by_fid = {f.id: f for f in schema.fields}
     tokens_f = by_fid.get(cfg.tokens_fid)
@@ -310,7 +332,7 @@ def apply_batch(
         )
     _mark("summary_agg")
 
-    rename_map: dict[str, str] = {}
+    rename_map: dict[str, list] = {}
     new_schema = None
     if sc_rows:
         new_schema, ren = _apply_schema_changes(schema, sc_rows)

@@ -66,10 +66,18 @@ def test_rename_column(spark, scratch):
         _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1], source="curated")),
     ])
     _write(f2, [
+        # pre-rename event in the same batch (lower lsn, earlier line — a
+        # WAL's line order IS its lsn order) keeps the old key: renames are
+        # lsn-segmented, not batch-global
+        _ev("insert", "doc-4", "2026-01-01T00:00:00.500000", 0,
+            {"tokens": [4], "tokens_raw": None, "n_tok": 1, "source": "synthetic"}),
         _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
             schema_change={"kind": "rename", "column": "source", "new_name": "origin",
                            "new_type": None}),
-        # same-batch event still using the OLD payload name — must be accepted
+        # same-batch event still using the OLD payload name AFTER the
+        # rename's stream position: the oracle switches names exactly at
+        # the schema_change line, so the stale key must NOT match — the
+        # field reads NULL and source tagging falls back to the default
         _ev("insert", "doc-2", "2026-01-01T00:00:03.000000", 3,
             {"tokens": [2], "tokens_raw": None, "n_tok": 1, "source": "synthetic"}),
     ])
@@ -86,8 +94,13 @@ def test_rename_column(spark, scratch):
     state = table_state(spark, table)
     # doc-1 was written under the old physical name; field-id mapping reads it
     assert state["doc-1"]["origin"] == "curated"
-    assert state["doc-2"]["origin"] == "synthetic"
+    # stale old key after the rename's lsn → NULL → default tag (oracle
+    # semantics, pinned by the replay_dir comparison below)
+    assert state["doc-2"]["origin"] == "crawl"
     assert state["doc-3"]["origin"] == "curated"
+    # pre-rename lsn in the same batch → old key still matches
+    assert state["doc-4"]["origin"] == "synthetic"
+    assert_state_equals_oracle(spark, table, replay_dir(d)[0])
 
 
 def test_widen_column(spark, scratch):
@@ -149,3 +162,34 @@ def test_generator_driven_evolution_matches_oracle(spark, scratch):
     oracle_state, oschema, _ = replay_dir(d)
     assert [f["name"] for f in oschema.fields] == table.schema().names()
     assert_state_equals_oracle(spark, table, oracle_state)
+
+
+def test_generator_driven_evolution_matches_oracle_mor(spark, scratch):
+    """Schema evolution under MERGE-ON-READ: evolved delta files coexist
+    with pre-evolution base/delta files, and the read-side LWW resolve must
+    reconcile all of them by field id (add + rename + widen) to the exact
+    oracle state. Compaction afterwards folds everything into the evolved
+    schema and must not change the state."""
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+
+    d = os.path.join(scratch, "log")
+    generate_binlog(
+        d, n_events=1500, n_docs=120, n_files=6, seed=22,
+        schema_changes=[
+            {"at_event": 400, "kind": "add", "column": "quality", "new_type": "double"},
+            {"at_event": 800, "kind": "rename", "column": "source", "new_name": "origin"},
+            {"at_event": 1100, "kind": "widen", "column": "n_tok", "new_type": "bigint"},
+        ],
+    )
+    table = make_table(scratch)
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    replay_batch(spark, files, table, files_per_batch=2,
+                 cfg=MergeConfig(write_mode="mor"))
+    oracle_state, oschema, _ = replay_dir(d)
+    assert [f["name"] for f in oschema.fields] == table.schema().names()
+    assert_state_equals_oracle(spark, table, oracle_state)
+    before = table_state(spark, table)
+    table.compact(spark, max_files_per_bucket=1)
+    assert not any(f.get("delta") for f in table.files())
+    assert table_state(spark, table) == before
