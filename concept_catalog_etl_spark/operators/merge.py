@@ -104,6 +104,7 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSche
     e.g. source tagging falls back to the default). Chained renames within
     one batch keep every intermediate name as its own lsn segment."""
     rename_hist: dict[str, list[tuple[str, int]]] = {}
+    added_at: dict[str, int] = {}
     old_types = {f.name: f.type for f in schema.fields}
     for r in sc_rows:
         kind, column = r["kind"], r["column"]
@@ -112,12 +113,19 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSche
             hist = rename_hist.pop(column, [])
             hist.append((column, int(r["lsn"])))
             rename_hist[r["new_name"]] = hist
+            if column in added_at:  # column added then renamed in one batch
+                added_at[r["new_name"]] = added_at.pop(column)
+        elif kind == "add":
+            # a column ADDED mid-batch doesn't exist for earlier events: an
+            # event before the add line that already carries the key is
+            # ignored by the oracle (unknown field at that stream position)
+            added_at[column] = int(r["lsn"])
     rename_types = {}
     for hist in rename_hist.values():
         t = old_types.get(hist[0][0], "string")  # type at batch start
         for old, _ in hist:
             rename_types[old] = t
-    return schema, {"map": rename_hist, "types": rename_types}
+    return schema, {"map": rename_hist, "types": rename_types, "added_at": added_at}
 
 
 def _jvm_norm_tokens(tokens_col: F.Column, raw_col: F.Column) -> F.Column:
@@ -143,7 +151,7 @@ def _jvm_tag_source(src: F.Column) -> F.Column:
 
 
 def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
-               rename_map: dict[str, list]) -> DataFrame:
+               evolution: dict) -> DataFrame:
     """Envelope payload → typed change columns. Two vectorized impls with
     identical semantics (parity-tested):
 
@@ -156,18 +164,26 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
     """
     key = schema.key_name
 
+    rename_map = evolution.get("map", {})
+    added_at = evolution.get("added_at", {})
+
     def pv(name: str) -> F.Column:
-        # lsn-segmented name resolution across in-batch renames: an event
+        # lsn-segmented name resolution across in-batch evolution: an event
         # reads the payload key that was CURRENT at its stream position
-        # (oracle semantics — a stale key sent after the rename reads NULL)
+        # (oracle semantics): a stale key sent after a rename reads NULL,
+        # and a key for a column ADDED later in the batch reads NULL for
+        # events before the add line (unknown field at that position)
         c = F.col(f"payload.{name}")
         hist = rename_map.get(name)
-        if not hist:
-            return c
-        expr = c
-        for old, upto in reversed(hist):
-            expr = F.when(F.col("lsn") < F.lit(upto), F.col(f"payload.{old}")).otherwise(expr)
-        return expr
+        if hist:
+            expr = c
+            for old, upto in reversed(hist):
+                expr = F.when(F.col("lsn") < F.lit(upto), F.col(f"payload.{old}")).otherwise(expr)
+            return expr
+        add_lsn = added_at.get(name)
+        if add_lsn is not None:
+            return F.when(F.col("lsn") > F.lit(add_lsn), c)
+        return c
 
     by_fid = {f.id: f for f in schema.fields}
     tokens_f = by_fid.get(cfg.tokens_fid)
@@ -332,11 +348,11 @@ def apply_batch(
         )
     _mark("summary_agg")
 
-    rename_map: dict[str, list] = {}
+    evolution: dict = {}
     new_schema = None
     if sc_rows:
         new_schema, ren = _apply_schema_changes(schema, sc_rows)
-        rename_map = ren["map"]
+        evolution = ren
         parsed = parse_raw(raw, new_schema, extra_names=ren["types"])
         schema = new_schema
     else:
@@ -359,7 +375,7 @@ def apply_batch(
             else F.lit("_default"),
         )
 
-    norm = _normalize(data, schema, cfg, rename_map)
+    norm = _normalize(data, schema, cfg, evolution)
     tokens_name = next((f.name for f in schema.fields if f.id == cfg.tokens_fid), None)
     is_bad_tokens = (
         F.col("_dlq_reason").isNull()

@@ -193,3 +193,28 @@ def test_generator_driven_evolution_matches_oracle_mor(spark, scratch):
     table.compact(spark, max_files_per_bucket=1)
     assert not any(f.get("delta") for f in table.files())
     assert table_state(spark, table) == before
+
+
+def test_add_column_is_lsn_gated(spark, scratch):
+    """A column ADDED mid-batch doesn't exist for earlier stream positions:
+    an event BEFORE the add line that already carries the key is ignored
+    (oracle: unknown field at that position), an event after it is read."""
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1 = os.path.join(d, "b0.jsonl")
+    _write(f1, [
+        # carries 'quality' before the column exists → must be dropped
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1,
+            _p([1], quality=0.9)),
+        _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
+            schema_change={"kind": "add", "column": "quality",
+                           "new_name": None, "new_type": "double"}),
+        _ev("insert", "doc-2", "2026-01-01T00:00:03.000000", 3,
+            _p([2], quality=0.5)),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1], table, files_per_batch=1)
+    state = table_state(spark, table)
+    assert state["doc-1"]["quality"] is None
+    assert state["doc-2"]["quality"] == 0.5
+    assert_state_equals_oracle(spark, table, replay_dir(d)[0])
