@@ -338,13 +338,18 @@ def apply_batch(
         lineage = {
             r["src"]: r["max_lsn"] for r in summary_rows if r["max_lsn"] is not None
         }
+        # STREAM order = lsn order (a WAL's line order is its sequence
+        # order). NOT (event_ts, lsn): LWW ranks data rows by event time,
+        # but schema changes apply at their position in the log — the
+        # oracle processes them line-by-line, and an out-of-order event_ts
+        # must not reorder e.g. two chained renames (KeyError / wrong name)
         sc_rows = sorted(
             (
                 {"event_ts": s["event_ts"], "lsn": s["lsn"], **s["schema_change"].asDict()}
                 for r in summary_rows
                 for s in r["scs"]
             ),
-            key=lambda s: (s["event_ts"], s["lsn"]),
+            key=lambda s: s["lsn"],
         )
     _mark("summary_agg")
 

@@ -83,3 +83,100 @@ def test_random_replay_matches_oracle(spark, events, split, seed):
     assert got == want
     assert sum(m.get("dlq_count", 0) for m in metrics) == ostats["dlq"]
     shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- evolution property: random schema changes interleaved with events ----
+
+evo_event_st = st.fixed_dictionaries({
+    "kind": st.sampled_from([
+        "data", "data", "data", "data",       # weight toward data events
+        "sc_add", "sc_rename", "sc_widen",
+    ]),
+    "doc": st.integers(0, 4),
+    "ts_s": st.integers(0, 3),
+    "toks": st.lists(st.integers(0, 99), min_size=0, max_size=4),
+    "stale": st.booleans(),                   # use the PREVIOUS source name
+    "extra": st.booleans(),                   # include the latest added col
+})
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(evo_event_st, min_size=3, max_size=20),
+       split=st.integers(1, 19), seed=st.integers(0, 10**6))
+def test_random_evolution_replay_matches_oracle(spark, events, split, seed):
+    """Random add/rename/widen schema changes at random stream positions,
+    with data events that deliberately use STALE payload keys (pre-rename
+    name after the rename, added column before the add) — engine state must
+    equal the oracle's, including the lsn-gated name resolution."""
+    d = os.path.join(SCRATCH, f"evo_{seed}_{len(events)}_{split}")
+    shutil.rmtree(d, ignore_errors=True)
+    binlog = os.path.join(d, "binlog")
+    os.makedirs(binlog)
+
+    src_names = ["source"]          # rename history of the source column
+    added: list[str] = []           # added columns, in order
+    n_added = 0
+    widened = False
+    lines = []
+    for lsn, ev in enumerate(events):
+        ts = f"1970-01-01T00:00:{ev['ts_s']:02d}.000000"
+        if ev["kind"] == "sc_add":
+            n_added += 1
+            col = f"q{n_added}"
+            added.append(col)
+            lines.append(json.dumps({
+                "op": "schema_change", "event_ts": ts, "lsn": lsn,
+                "schema_change": {"kind": "add", "column": col,
+                                  "new_name": None, "new_type": "double"},
+            }))
+        elif ev["kind"] == "sc_rename":
+            new = f"src{len(src_names)}"
+            lines.append(json.dumps({
+                "op": "schema_change", "event_ts": ts, "lsn": lsn,
+                "schema_change": {"kind": "rename", "column": src_names[-1],
+                                  "new_name": new, "new_type": None},
+            }))
+            src_names.append(new)
+        elif ev["kind"] == "sc_widen" and not widened:
+            widened = True
+            lines.append(json.dumps({
+                "op": "schema_change", "event_ts": ts, "lsn": lsn,
+                "schema_change": {"kind": "widen", "column": "n_tok",
+                                  "new_name": None, "new_type": "bigint"},
+            }))
+        else:
+            src_key = (src_names[-2] if ev["stale"] and len(src_names) > 1
+                       else src_names[-1])
+            payload = {"tokens": ev["toks"], "n_tok": len(ev["toks"]),
+                       src_key: "curated"}
+            if ev["extra"]:
+                # latest added col if any, else a never-added key — both
+                # exercise unknown/known-field handling
+                payload[added[-1] if added else "q_never"] = 0.5
+            lines.append(json.dumps({
+                "op": "update", "doc_id": f"doc-{ev['doc']:06d}",
+                "event_ts": ts, "lsn": lsn, "payload": payload,
+            }))
+
+    cut = min(split, len(lines))
+    for i, chunk in enumerate((lines[:cut], lines[cut:])):
+        if chunk:
+            with open(os.path.join(binlog, f"f{i}.jsonl"), "w") as f:
+                f.write("\n".join(chunk) + "\n")
+    paths = sorted(os.path.join(binlog, f) for f in os.listdir(binlog))
+
+    table = make_table(d, n_buckets=4)
+    replay_batch(spark, paths, table, files_per_batch=1)
+
+    oracle_state, oschema, _ = replay_dir(binlog)
+    assert [f["name"] for f in oschema.fields] == table.schema().names()
+    got = table_state(spark, table)
+    cols = table.schema().names()
+    want = {
+        k: {c: (list(v[c]) if isinstance(v.get(c), list) else v.get(c))
+            for c in cols}
+        for k, v in oracle_state.items()
+    }
+    assert got == want
+    shutil.rmtree(d, ignore_errors=True)
