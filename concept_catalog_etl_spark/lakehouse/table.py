@@ -432,6 +432,39 @@ class LakeTable:
                 ev = cur
         raise AssertionError("unreachable")
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Commit history of the retained snapshots (Iceberg
+        ``table.history()`` analog): one row per version with its parent,
+        touched-bucket count, file/row totals, ledger high-water mark and
+        schema version — recovered purely from the immutable snapshot
+        metadata, O(retained versions × buckets)."""
+        rows = []
+        oldest = self.oldest_retained_version()
+        for v in range(oldest, self.current_version() + 1):
+            snap = self.snapshot(v)
+            files = self.files(snap=snap)
+            props = snap.get("properties", {})
+            parent = snap.get("parent")
+            rows.append({
+                "version": v,
+                "parent": parent,
+                # the oldest retained version's parent may be expired —
+                # its diff is unrecoverable, report its full manifest set
+                "touched_buckets": len(self._touched_buckets(snap))
+                if parent is not None and parent >= oldest else len(snap["manifests"]),
+                "n_files": len(files),
+                "n_rows": int(sum(f["rows"] for f in files)),
+                "n_delta_files": sum(1 for f in files if f.get("delta")),
+                "max_batch_id": props.get("max_batch_id"),
+                "schema_version": TableSchema.from_json(snap["schema"]).schema_version,
+            })
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, touched_buckets int, n_files int, "
+            "n_rows bigint, n_delta_files int, max_batch_id bigint, "
+            "schema_version int",
+        )
+
     def read_metrics(self, spark: SparkSession) -> DataFrame | None:
         """Per-batch ingest metrics (events applied/failed, rows merged,
         ingest lag, phase timings...) as a DataFrame — the queryable form of

@@ -206,6 +206,40 @@ SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 # joins: the MERGE key-join family (anti/semi decomposition)
 # ---------------------------------------------------------------------------
 
+def q_salted_join(spark, sf):
+    """Skew-safe salted equi-join (events × customer): the big side gets a
+    random-salt column, the small side replicates n_salts× via explode, and
+    the join key becomes (key, salt) — a hot key's rows spread over n_salts
+    reducers instead of one. Result is identical to the plain join (the
+    oracle is the unsalted SQL), which is exactly the point: salting is a
+    physical rewrite, not a semantic one. AQE skew-join handles this
+    adaptively at runtime; the explicit rewrite is for engines/paths where
+    the skew is known ahead (e.g. the 1%-hot-docs distribution the binlog
+    generator models)."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("custkey"), "event_type", "value"
+    )
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(ev, c, key="custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_merge_anti(spark, sf):
     """target LEFT ANTI batch — the 'untouched rows' half of a merge
     (customers with no big order; filter on the build side keeps it
@@ -1207,6 +1241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_semi": q_merge_semi,
     "q_merge_final_state": q_merge_final_state,
     "q_join_enrich": q_join_enrich,
+    "q_salted_join": q_salted_join,
     "q_union_evolved": q_union_evolved,
     "q_scalar_funcs": q_scalar_funcs,
     "q_vectorized_ntok": q_vectorized_ntok,
@@ -1244,6 +1279,7 @@ ORACLES: dict[str, str] = {
     "q_merge_semi": SQL_MERGE_SEMI,
     "q_merge_final_state": SQL_MERGE_FINAL_STATE,
     "q_join_enrich": SQL_JOIN_ENRICH,
+    "q_salted_join": SQL_SALTED_JOIN,
     "q_union_evolved": SQL_UNION_EVOLVED,
     "q_scalar_funcs": SQL_SCALAR_FUNCS,
     "q_vectorized_ntok": SQL_VECTORIZED_NTOK,

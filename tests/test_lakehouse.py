@@ -230,3 +230,18 @@ def test_commit_metadata_is_o_affected_buckets(spark, scratch):
     after = {m["bucket"]: m["path"] for m in table.snapshot()["manifests"]}
     changed = {b for b in after if after[b] != before.get(b)}
     assert changed == {add[0]["bucket"]}, (changed, add[0]["bucket"])
+
+
+def test_history_reports_commits(spark, scratch):
+    table = make_table(scratch, n_buckets=2)
+    for v in range(3):
+        rows = _seed_rows(spark, 10 + v * 10)
+        table.commit(add_files=table.write_data_files(rows), batch_id=v)
+    h = {r["version"]: r for r in table.history(spark).collect()}
+    assert sorted(h) == [0, 1, 2, 3]
+    assert h[0]["n_rows"] == 0 and h[3]["max_batch_id"] == 2
+    assert h[2]["parent"] == 1
+    # after retention-expiry, history starts at the oldest retained version
+    table.vacuum(retain_last=2)
+    h2 = sorted(r["version"] for r in table.history(spark).collect())
+    assert h2 == [2, 3]

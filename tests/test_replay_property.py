@@ -55,9 +55,10 @@ def _line(ev, lsn):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(events=st.lists(event_st, min_size=1, max_size=25),
-       split=st.integers(1, 24), seed=st.integers(0, 10**6))
-def test_random_replay_matches_oracle(spark, events, split, seed):
-    d = os.path.join(SCRATCH, f"ex_{seed}_{len(events)}_{split}")
+       split=st.integers(1, 24), seed=st.integers(0, 10**6),
+       mode=st.sampled_from(["cow", "mor"]))
+def test_random_replay_matches_oracle(spark, events, split, seed, mode):
+    d = os.path.join(SCRATCH, f"ex_{seed}_{len(events)}_{split}_{mode}")
     shutil.rmtree(d, ignore_errors=True)
     binlog = os.path.join(d, "binlog")
     os.makedirs(binlog)
@@ -71,7 +72,10 @@ def test_random_replay_matches_oracle(spark, events, split, seed):
     paths = sorted(os.path.join(binlog, f) for f in os.listdir(binlog))
 
     table = make_table(d, n_buckets=4)
-    metrics = replay_batch(spark, paths, table, files_per_batch=1)
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    metrics = replay_batch(spark, paths, table, files_per_batch=1,
+                           cfg=MergeConfig(write_mode=mode))
 
     oracle_state, _schema, ostats = replay_dir(binlog)
     got = table_state(spark, table)
