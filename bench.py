@@ -111,6 +111,20 @@ def main() -> None:
     replay_sec = min(runs)
     final_rows = table.read(spark).count()
 
+    # merge-on-read comparison point (the CDC fast path: O(batch) appends,
+    # read-side resolve) — one warm run, reported alongside the COW headline
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    shutil.rmtree(work, ignore_errors=True)
+    t_mor = LakeTable.create(
+        os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32)
+    )
+    t0 = time.time()
+    replay_batch(spark, files, t_mor, files_per_batch=FILES_PER_BATCH,
+                 cfg=MergeConfig(write_mode="mor"))
+    mor_sec = time.time() - t0
+    assert t_mor.read(spark).count() == final_rows
+
     qtimes: dict[str, float] = {}
     names = [] if os.environ.get("BENCH_QUERIES_SKIP") else BENCH_QUERIES
     for name in names:
@@ -136,6 +150,8 @@ def main() -> None:
         "events": N_EVENTS,
         "events_per_sec": round(N_EVENTS / replay_sec, 1),
         "replay_runs_sec": [round(x, 3) for x in runs],
+        "replay_mor_sec": round(mor_sec, 3),
+        "mor_events_per_sec": round(N_EVENTS / mor_sec, 1),
         "final_rows": final_rows,
         "cpus": CPUS,
         "queries": qtimes,

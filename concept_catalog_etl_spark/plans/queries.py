@@ -536,6 +536,81 @@ def q_jaccard_ngram_gemm(spark, sf, cap=2000, n_blocks=8):
     return counts.select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
 
 
+def q_dedup_clusters(spark, sf, cap=2000, thresh=0.6):
+    """Near-dup CLUSTERS via distributed connected components — the step
+    after pair generation in a real dedup pipeline: pairs → components →
+    one canonical keep-doc per cluster (min doc_id). Iterative min-label
+    propagation over the undirected pair graph; each round is one
+    edges⋈labels join + a min-aggregate, converging in O(log diameter)
+    rounds (near-dup graphs are shallow — dense clusters collapse in 2-3
+    rounds). The loop is driver-side but each iteration is a fully
+    distributed join/agg — the same shape GraphX/Pregel or the
+    alternating-star algorithm runs at petabyte scale. Oracle: DuckDB
+    recursive-CTE transitive closure + min per node (exact — this is one
+    of the 'iterative algorithm' ops, yet still SQL-checkable)."""
+    jac = q_jaccard_ngram_gemm(spark, sf, cap).filter(F.col("jac") >= thresh)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap).select("doc_id")
+    fwd = jac.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = d.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl")).persist()
+    edges.count()
+    for _ in range(25):
+        nbr = edges.alias("e").join(
+            labels.alias("l"), F.col("e.u") == F.col("l.v")
+        ).select(F.col("e.v").alias("v"), F.col("l.lbl").alias("lbl"))
+        new_labels = (
+            labels.union(nbr).groupBy("v").agg(F.min("lbl").alias("lbl")).persist()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), F.col("o.v") == F.col("n.v"))
+            .filter(F.col("o.lbl") != F.col("n.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("v")).alias("is_keep"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), i, 3) AS s
+  FROM (SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 2000),
+       unnest(generate_series(1, greatest(length(text) - 2, 1))) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT doc_a, doc_b
+  FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach (v, l) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT v AS doc_id, min(l) AS cluster_id, min(l) = v AS is_keep
+FROM reach GROUP BY v
+"""
+
+
 def q_minhash_pairs(spark, sf, cap=2000):
     """MinHash + LSH banding near-dup candidates (the 100 TB dedup path):
     shingle → 32 minhashes → 16 bands × 2 → bucket join → verified Jaccard
@@ -1248,6 +1323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_jaccard_ngram": q_jaccard_ngram,
     "q_jaccard_ngram_gemm": q_jaccard_ngram_gemm,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
     "q_fingerprint": q_fingerprint,
@@ -1286,6 +1362,7 @@ ORACLES: dict[str, str] = {
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_jaccard_ngram": SQL_JACCARD_NGRAM,
     "q_jaccard_ngram_gemm": SQL_JACCARD_NGRAM,  # same contract, GEMM plan
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     # q_minhash_pairs, q_simhash, q_ann_lsh: engine-specific hashes /
     # approximate-by-construction → rows-only checks (deliberate)
     "q_fingerprint": SQL_FINGERPRINT,
