@@ -588,6 +588,30 @@ class LakeTable:
             outs.append(resolved)
         return reduce(DataFrame.unionByName, outs)
 
+    def read_keys(self, spark: SparkSession, keys: list[str],
+                  with_system_cols: bool = False) -> DataFrame:
+        """Point lookups: open only the buckets the keys hash into (plus
+        per-file key min/max pruning inside them), then filter exactly.
+        The metadata walk is O(|keys| buckets' manifests), never the table.
+        MoR-correct: a delta-containing bucket still resolves LWW before
+        the key filter (resolve happens in ``read``)."""
+        if not keys:
+            return self.read(spark, buckets=set(), with_system_cols=with_system_cols)
+        nb = self.n_buckets()
+        # same pmod(xxhash64) the writer used — computed Spark-side so the
+        # driver never re-implements the hash (one tiny local job)
+        kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+        buckets = {
+            r["b"] for r in kdf.select(bucket_expr("k", nb).alias("b")).distinct().collect()
+        }
+        key = self.schema().key_name
+        lo, hi = min(keys), max(keys)
+        df = self.read(
+            spark, buckets=buckets, key_min=lo, key_max=hi,
+            with_system_cols=with_system_cols,
+        )
+        return df.filter(F.col(key).isin(keys))
+
     # --------------------------------------------------------- change feed
     def read_changes(
         self,

@@ -245,3 +245,26 @@ def test_history_reports_commits(spark, scratch):
     table.vacuum(retain_last=2)
     h2 = sorted(r["version"] for r in table.history(spark).collect())
     assert h2 == [2, 3]
+
+
+def test_read_keys_point_lookup(spark, scratch):
+    """Point lookups prune to the keys' buckets (metadata and data) and
+    return exactly the requested live rows — including LWW resolve when a
+    looked-up key sits in a delta-containing bucket."""
+    table = make_table(scratch, n_buckets=8)
+    table.commit(add_files=table.write_data_files(_seed_rows(spark, 200)))
+    want = ["doc-000003", "doc-000077", "doc-000123"]
+    got = table.read_keys(spark, want)
+    assert sorted(r["doc_id"] for r in got.collect()) == want
+    # overwrite one looked-up key via a MoR delta: lookup must see the new row
+    delta = spark.createDataFrame(
+        [("doc-000077", [9, 9], 2, "curated", "2026-02-01 00:00:00", 10_000)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "_event_ts string, _lsn long",
+    ).withColumn("_event_ts", F.col("_event_ts").cast("timestamp"))
+    table.commit(add_files=table.write_data_files(delta, delta=True))
+    rows = {r["doc_id"]: r for r in table.read_keys(spark, want).collect()}
+    assert sorted(rows) == want
+    assert rows["doc-000077"]["source"] == "curated"
+    assert table.read_keys(spark, []).count() == 0
+    assert table.read_keys(spark, ["doc-999999"]).count() == 0
