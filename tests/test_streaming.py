@@ -92,3 +92,35 @@ def test_stream_with_inline_maintenance(spark, scratch):
     # 8 delta generations without maintenance; with a tick every 3 batches
     # the worst bucket holds at most the 2 batches since the last tick + 1
     assert max(per_bucket.values()) <= 3, per_bucket
+
+
+def test_stream_resume_across_schema_evolution(spark, scratch):
+    """Schema changes land in wave 1, the stream 'crashes', and wave 2
+    (written under the evolved schema) resumes from checkpoint: the
+    committed table schema drives the resumed parse, and the final state
+    equals the oracle replay of the whole log."""
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(
+        d, n_events=1000, n_docs=150, n_files=4, seed=14,
+        schema_changes=[
+            {"at_event": 300, "kind": "add", "column": "quality", "new_type": "double"},
+            {"at_event": 700, "kind": "rename", "column": "source", "new_name": "origin"},
+        ],
+    )
+    table = make_table(scratch)
+    ckpt = os.path.join(scratch, "ckpt")
+    replay_stream(spark, d, table, ckpt, max_files_per_trigger=2)
+    assert "origin" in table.schema().names()
+
+    generate_binlog(
+        d, n_events=1000, n_docs=150, n_files=4, seed=15, start_lsn=10_000,
+        prefix="binlog-w2",
+        schema_changes=[
+            {"at_event": 500, "kind": "widen", "column": "n_tok", "new_type": "bigint"},
+        ],
+    )
+    replay_stream(spark, d, table, ckpt, max_files_per_trigger=2)
+
+    oracle_state, oschema, _st = replay_dir(d)
+    assert [f["name"] for f in oschema.fields] == table.schema().names()
+    assert_state_equals_oracle(spark, table, oracle_state)
