@@ -70,7 +70,7 @@ def main() -> None:
                 spark, max_files_per_bucket=1,
                 expire_tombstones_below_lsn=expire if expire and expire > 0 else None,
             )
-            table.vacuum(retain_last=4)
+            table.vacuum(retain_last=4, orphan_grace_sec=0)
             compact_walls.append(round(time.time() - t0, 2))
     wall = time.time() - t_total
     final_rows = table.read(spark).count()

@@ -761,14 +761,22 @@ class LakeTable:
         ]
         return min(vs) if vs else 0
 
-    def vacuum(self, retain_last: int = 8) -> int:
+    def vacuum(self, retain_last: int = 8, orphan_grace_sec: float = 3600) -> int:
         """Delete data files / bucket manifests not referenced by the last
         ``retain_last`` snapshots, and expire older snapshot files (Delta/
         Iceberg-style retention window). Time-travel reads and
         ``read_changes(from_version=...)`` keep working for any version
         within the window; older versions raise ``VersionVacuumedError``
         with a clear message instead of a mid-scan FileNotFoundError.
-        ``retain_last=1`` reproduces the round-1 current-snapshot-only GC."""
+        ``retain_last=1`` reproduces the round-1 current-snapshot-only GC.
+
+        ``orphan_grace_sec``: an unreferenced file younger than this is
+        skipped — it may belong to a CONCURRENT writer that has written its
+        data files but not yet won the commit race (``commit_with_retry``);
+        deleting it would break that commit's file references (the same
+        hazard Iceberg's orphan-file cleanup guards with a default 3-day
+        age). A single-writer maintenance loop (streaming tick, soak) may
+        pass 0: between its own batches there are no in-flight files."""
         cur = self.current_version()
         floor = max(0, cur - max(retain_last, 1) + 1)
         floor = max(floor, self.oldest_retained_version())
@@ -781,21 +789,38 @@ class LakeTable:
         for rel in live_m:
             live |= {f["path"] for f in self._load_bucket_manifest(rel)}
         removed = 0
+        import time as _time
+
+        now = _time.time()
         data_root = os.path.join(self.root, "data")
         for cdir in list(os.listdir(data_root)):
             cpath = os.path.join(data_root, cdir)
             for root, _dirs, fns in os.walk(cpath):
                 for fn in fns:
-                    rel = os.path.relpath(os.path.join(root, fn), self.root)
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.root)
                     if fn.endswith(".parquet") and rel not in live:
-                        os.remove(os.path.join(root, fn))
+                        try:
+                            if now - os.path.getmtime(full) < orphan_grace_sec:
+                                continue  # possibly an in-flight commit's file
+                        except OSError:
+                            continue
+                        os.remove(full)
                         removed += 1
             if not any(f.endswith(".parquet") for _r, _d, fs in os.walk(cpath) for f in fs):
                 shutil.rmtree(cpath, ignore_errors=True)
         for fn in list(os.listdir(self.meta_dir)):
             rel = os.path.join("meta", fn)
+            full = os.path.join(self.meta_dir, fn)
             if fn.startswith("m-") and fn.endswith(".json") and rel not in live_m:
-                os.remove(os.path.join(self.meta_dir, fn))
+                # same in-flight hazard: commit() writes bucket manifests
+                # BEFORE winning the pointer race
+                try:
+                    if now - os.path.getmtime(full) < orphan_grace_sec:
+                        continue
+                except OSError:
+                    continue
+                os.remove(full)
             elif (
                 fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
                 and int(fn[1:-5]) < floor

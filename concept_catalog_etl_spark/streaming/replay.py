@@ -96,7 +96,8 @@ def replay_stream(
                 max_buckets_per_run=maintenance_max_buckets,
                 expire_tombstones_below_lsn=expire_below,
             )
-            table.vacuum(retain_last=vacuum_retain_last)
+            # single-writer loop: no in-flight files between our own batches
+            table.vacuum(retain_last=vacuum_retain_last, orphan_grace_sec=0)
 
     writer = raw.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

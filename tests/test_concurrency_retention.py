@@ -42,7 +42,7 @@ def test_vacuum_retention_keeps_cdc_window(spark, scratch):
         files = table.write_data_files(_rows(spark, range(v * 10, v * 10 + 10), lsn0=v * 100))
         table.commit(add_files=files, batch_id=v)
     # retain last 3 versions (v2..v4); v1 expires
-    table.vacuum(retain_last=3)
+    table.vacuum(retain_last=3, orphan_grace_sec=0)
     assert table.oldest_retained_version() == 2
     # within the window: read_changes + time travel still work
     ch = table.read_changes(spark, from_version=2)
@@ -63,7 +63,7 @@ def test_vacuum_retention_survives_compaction_gc(spark, scratch):
     f2 = table.write_data_files(_rows(spark, range(20, 40), lsn0=100))
     table.commit(add_files=f2)
     table.compact(spark)  # rewrites both buckets → old files unreferenced
-    table.vacuum(retain_last=8)
+    table.vacuum(retain_last=8, orphan_grace_sec=0)
     # pre-compaction snapshot still fully readable
     assert table.read(spark, version=s1["version"]).count() == 20
     assert table.read(spark).count() == 40

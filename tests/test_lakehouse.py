@@ -84,8 +84,8 @@ def test_vacuum_removes_replaced_files(spark, scratch):
     )
     # default retention (8 versions) keeps the replaced files: time travel
     # to the previous snapshot still works
-    assert table.vacuum() == 0
-    removed = table.vacuum(retain_last=1)
+    assert table.vacuum(orphan_grace_sec=0) == 0
+    removed = table.vacuum(retain_last=1, orphan_grace_sec=0)
     assert removed > 0
     assert table.read(spark).count() == 20  # current snapshot unaffected
 
@@ -128,7 +128,7 @@ def test_crash_between_write_and_commit_leaves_only_orphans(spark, scratch):
     assert {r["doc_id"] for r in table.read(spark).collect()} == state
     assert all(r["n_tok"] == 1 for r in table.read(spark).collect())
 
-    removed = table.vacuum()
+    removed = table.vacuum(orphan_grace_sec=0)
     assert removed >= len(orphans)
     assert {r["doc_id"] for r in table.read(spark).collect()} == state
 

@@ -105,7 +105,7 @@ def test_mor_compaction_folds_deltas(spark, scratch):
     assert table_state(spark, table) == before
     # vacuum drops the superseded delta files from disk once they fall out
     # of the retention window (retain_last=1 → current snapshot only)
-    assert table.vacuum(retain_last=1) > 0
+    assert table.vacuum(retain_last=1, orphan_grace_sec=0) > 0
     assert table_state(spark, table) == before
 
 
