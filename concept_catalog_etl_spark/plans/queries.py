@@ -1265,6 +1265,45 @@ FROM n, unnest(generate_series(0, nf - 1)) AS u(i)
 """
 
 
+def q_corpus_stats(spark, sf):
+    """Corpus health statistics per (lang, source) — the stats pass every
+    training-data pipeline runs before/after dedup: doc counts, exact
+    distinct-text counts (dup rate), exact length quantiles (p50/p95),
+    mean char length. All exact (no HLL/approx sketches) so the DuckDB
+    oracle matches value-for-value; at 100 TB the count-distinct becomes
+    approx_count_distinct and the percentile becomes percentile_approx —
+    same plan shape, sketch-mergeable map-side."""
+    d = _t(spark, sf, "documents")
+    ln = F.length("text")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.lower("text"))).alias("n_unique"),
+            F.round(F.percentile(ln, F.lit(0.5)), 4).alias("p50_len"),
+            F.round(F.percentile(ln, F.lit(0.95)), 4).alias("p95_len"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 4),
+        )
+    )
+
+
+SQL_CORPUS_STATS = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(lower(text))) AS n_unique,
+       round(quantile_cont(length(text), 0.5), 4) AS p50_len,
+       round(quantile_cont(length(text), 0.95), 4) AS p95_len,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(1 - count(DISTINCT md5(lower(text))) * 1.0 / count(*), 4) AS dup_rate
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def q_multimodal_resize(spark, sf):
     """Resize plumbing as a driver query: binary payload → downsampled
     binary (every 2nd byte — the fake stand-in for decode+resample+encode)
@@ -1339,6 +1378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_resize": q_multimodal_resize,
+    "q_corpus_stats": q_corpus_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1376,4 +1416,5 @@ ORACLES: dict[str, str] = {
     "q_multimodal_meta": SQL_MULTIMODAL_META,
     "q_multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "q_multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "q_corpus_stats": SQL_CORPUS_STATS,
 }
