@@ -213,6 +213,7 @@ class LakeTable:
         key_col: str | None = None,
         schema_override: TableSchema | None = None,
         delta: bool = False,
+        sort_within: bool = False,
     ) -> list[dict]:
         """Write `df` (logical+system columns) bucketed by key; return file entries.
 
@@ -238,6 +239,12 @@ class LakeTable:
             out = df.withColumn("_bucket", bucket_expr(key, nb))
             npart = min(nb, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
             out = out.repartition(npart, "_bucket")
+        if sort_within:
+            # read-optimizing layout (compaction path, NOT the hot ingest
+            # path — Iceberg's split too): key-sorted rows inside each
+            # bucket give tight, near-disjoint parquet row-group min/max, so
+            # point/range lookups skip row groups inside big files
+            out = out.sortWithinPartitions("_bucket", key)
         out.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         return self._collect_file_entries(rel_dir, schema, key, delta=delta)
 
@@ -741,7 +748,7 @@ class LakeTable:
                     & (F.col("_lsn") < expire_tombstones_below_lsn)
                 )
             )
-        files = self.write_data_files(df)
+        files = self.write_data_files(df, sort_within=True)
         self.commit_with_retry(
             add_files=files, remove_buckets=todo, extra_props=cursor_props
         )

@@ -101,3 +101,49 @@ def test_incremental_compaction_bounded_and_converges(spark, scratch):
         assert ticks < 20, "compaction did not converge"
     assert ticks >= 2  # the cap actually forced multiple ticks
     assert table_state(spark, table) == before
+
+
+def test_compaction_sorts_within_buckets_for_rowgroup_pruning(spark, scratch):
+    """Compaction rewrites buckets KEY-SORTED (read-optimizing layout):
+    parquet row groups inside each compacted file carry tight monotonic
+    key min/max, and a point lookup's key predicate is pushed into the
+    parquet scan where those stats enable row-group skipping."""
+    import pyarrow.parquet as pq
+
+    from helpers import make_table
+
+    table = make_table(scratch, n_buckets=2)
+    # several unsorted ingest writes → fragmented, unsorted buckets
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    for b in range(3):
+        ids = rng.sample(range(10_000), 400)
+        df = spark.createDataFrame(
+            [(f"doc-{i:06d}", [i], 1, "crawl", "2026-01-01 00:00:00", b * 10_000 + j)
+             for j, i in enumerate(ids)],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "_event_ts string, _lsn long",
+        ).withColumn("_event_ts", F.col("_event_ts").cast("timestamp"))
+        table.commit(add_files=table.write_data_files(df, delta=True), batch_id=b)
+
+    table.compact(spark, max_files_per_bucket=1)
+    # every compacted file is internally key-sorted (row-group stats monotone)
+    for f in table.files():
+        md = pq.ParquetFile(os.path.join(table.root, f["path"])).metadata
+        kidx = md.schema.names.index("doc_id")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(kidx).statistics
+            mn = st.min.decode() if isinstance(st.min, bytes) else st.min
+            mx = st.max.decode() if isinstance(st.max, bytes) else st.max
+            assert mn <= mx
+            if prev_max is not None:
+                assert mn >= prev_max, "row groups not key-sorted"
+            prev_max = mx
+    # the point-lookup predicate reaches the parquet scan
+    df = table.read_keys(spark, ["doc-000042"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
