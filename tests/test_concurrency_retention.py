@@ -184,3 +184,34 @@ def test_mor_read_resolves_only_delta_buckets(spark, scratch):
     base_only = set(range(4)) - delta_buckets
     plan_base = _plan(table.read(spark, buckets=base_only))
     assert "Exchange" not in plan_base
+
+
+def test_compaction_losing_race_to_append_raises_not_drops(spark, scratch):
+    """SAFETY: a compaction that read the table, then lost the commit race
+    to a concurrent MoR append in the same buckets, must raise
+    CommitConflictError — a blind retry would rewrite the buckets WITHOUT
+    the newly-appended delta (silent data loss). The appended rows survive
+    and the next maintenance tick compacts them."""
+    table = make_table(scratch, n_buckets=2)
+    table.commit(add_files=table.write_data_files(_rows(spark, range(40))))
+    v = table.current_version()
+
+    # "compaction" staged against version v (manual: read + rewrite files)
+    df = table.read(spark, with_system_cols=True, include_deleted=True)
+    compact_files = table.write_data_files(df, sort_within=True)
+    all_buckets = {f["bucket"] for f in compact_files}
+
+    # concurrent MoR append wins the race
+    extra = table.write_data_files(_rows(spark, range(40, 60), lsn0=500), delta=True)
+    table.commit(add_files=extra, batch_id=1)
+
+    with pytest.raises(CommitConflictError):
+        table.commit_with_retry(
+            add_files=compact_files, remove_buckets=all_buckets, expect_version=v
+        )
+    # nothing lost: all 60 rows live; the real compact() (which re-reads
+    # under the current snapshot) then succeeds
+    assert table.read(spark).count() == 60
+    table.compact(spark, max_files_per_bucket=1)
+    assert table.read(spark).count() == 60
+    assert not any(f.get("delta") for f in table.files())

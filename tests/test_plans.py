@@ -133,3 +133,17 @@ def test_ann_variants_recall_floor(spark):
            for r in QUERIES["q_ann_ivf"](spark, sf).collect()}
     assert len(bf & ivf) / len(bf) >= 0.4, (len(bf & ivf), len(bf))
 
+
+
+def test_approximate_dedup_plans_have_no_cartesian_product(spark):
+    """The scale-path dedup/ANN queries must meet candidates through keyed
+    joins (band/bucket/table hashes), never an all-pairs cross product —
+    the plan-level guarantee that they survive 100 TB. (The capped
+    quadratic VERIFIERS are allowed their crossJoin — that is their job.)"""
+    from concept_catalog_etl_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("q_minhash_pairs", "q_ann_lsh", "q_ann_ivf"):
+        plan = _plan(Q.QUERIES[name](spark, sf))
+        assert "CartesianProduct" not in plan, f"{name} planned an all-pairs join"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a BNLJ"
