@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q_ann_topk_gemm",
     "q_multimodal_meta",
     "q_fingerprint",
+    "q_jaccard_ngram_gemm",
+    "q_corpus_stats",
 ]
 
 
