@@ -276,6 +276,33 @@ class LakeTable:
                             kmax = mx if kmax is None else max(kmax, mx)
                 except ValueError:
                     pass
+                # tombstone-expiry planning stats. A file WITHOUT a
+                # _deleted column cannot hold tombstones (has_tomb=False);
+                # with the column, any row group whose stats can't rule out
+                # a true value counts as "maybe" (conservative). Old
+                # manifests lacking these FIELDS fall back to maybe via
+                # .get("has_tombstone", True) at planning time.
+                has_tomb, min_lsn = False, None
+                names = md.schema.names  # physical LEAF names (top-level
+                # system columns appear as themselves; nested leaves don't
+                # collide with the _-prefixed system names)
+                if "_deleted" in names:
+                    didx = names.index("_deleted")
+                    for rg in range(md.num_row_groups):
+                        ds = md.row_group(rg).column(didx).statistics
+                        if ds is None:
+                            has_tomb = True
+                        elif ds.num_values == 0:
+                            pass  # all-null _deleted: no tombstones here
+                        elif not ds.has_min_max or bool(ds.max):
+                            has_tomb = True
+                if "_lsn" in names:
+                    lidx = names.index("_lsn")
+                    for rg in range(md.num_row_groups):
+                        ls = md.row_group(rg).column(lidx).statistics
+                        if ls is not None and ls.has_min_max:
+                            v = int(ls.min)
+                            min_lsn = v if min_lsn is None else min(min_lsn, v)
                 entries.append(
                     {
                         "path": os.path.join(rel_dir, bdir, fn),
@@ -286,6 +313,8 @@ class LakeTable:
                         "name_by_id": {str(f.id): f.name for f in schema.fields},
                         "types_by_id": {str(f.id): f.type for f in schema.fields},
                         "schema_version": schema.schema_version,
+                        "has_tombstone": has_tomb,
+                        "min_lsn": min_lsn,
                         **({"delta": True} if delta else {}),
                     }
                 )
@@ -412,6 +441,12 @@ class LakeTable:
         ours = {f["bucket"] for f in (kwargs.get("add_files") or [])} | set(
             kwargs.get("remove_buckets") or []
         )
+        if kwargs.get("remove_paths"):
+            # a path-level removal's write set is the buckets those paths
+            # live in (same lookup commit() performs) — without this the
+            # overlap validation would be vacuous for remove_paths rewrites
+            targets = set(kwargs["remove_paths"])
+            ours |= {f["bucket"] for f in self.files() if f["path"] in targets}
         batch_id = kwargs.get("batch_id")
         ev = expect_version
         if ev is None and not is_append:
@@ -721,7 +756,19 @@ class LakeTable:
         todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
         cursor_props: dict | None = None
         if expire_tombstones_below_lsn is not None:
-            todo = set(by_bucket)  # must scan every bucket to expire
+            # expire only buckets that may actually hold an expirable
+            # tombstone (file-level has_tombstone + min_lsn stats, recorded
+            # at write time; files from before those stats existed are
+            # conservatively included). Without this, a steady-state
+            # maintenance tick would rewrite K fully-compacted buckets
+            # forever just to look for tombstones that are not there.
+            for f in self.files(snap=snap):
+                maybe = f.get("has_tombstone", True) and (
+                    f.get("min_lsn") is None
+                    or f["min_lsn"] < expire_tombstones_below_lsn
+                )
+                if maybe:
+                    todo.add(f["bucket"])
         if max_buckets_per_run is not None and len(todo) > max_buckets_per_run:
             if expire_tombstones_below_lsn is not None:
                 # bounded tick + full eventual coverage: rotate a cursor
@@ -740,7 +787,15 @@ class LakeTable:
                 )
         if not todo:
             return {"buckets_compacted": 0, "files_before": n_files_before}
-        df = self.read(spark, buckets=todo, with_system_cols=True, include_deleted=True)
+        # pin BOTH the read and the commit's conflict floor to the snapshot
+        # this compaction planned against: a commit landing between the read
+        # and our commit must trip the overlap validation (otherwise a
+        # concurrent same-bucket append's rows would be silently dropped by
+        # the rewrite — the race the conflict machinery exists to stop)
+        df = self.read(
+            spark, buckets=todo, with_system_cols=True, include_deleted=True,
+            version=snap["version"],
+        )
         if expire_tombstones_below_lsn is not None:
             df = df.filter(
                 ~(
@@ -750,7 +805,8 @@ class LakeTable:
             )
         files = self.write_data_files(df, sort_within=True)
         self.commit_with_retry(
-            add_files=files, remove_buckets=todo, extra_props=cursor_props
+            add_files=files, remove_buckets=todo, extra_props=cursor_props,
+            expect_version=snap["version"],
         )
         return {
             "buckets_compacted": len(todo),
@@ -814,7 +870,15 @@ class LakeTable:
                             continue
                         os.remove(full)
                         removed += 1
-            if not any(f.endswith(".parquet") for _r, _d, fs in os.walk(cpath) for f in fs):
+            try:
+                dir_young = now - os.path.getmtime(cpath) < orphan_grace_sec
+            except OSError:
+                dir_young = True
+            # a commit dir with no parquet yet may be a concurrent writer's
+            # job mid-setup — the same in-flight hazard the grace guards
+            if not dir_young and not any(
+                f.endswith(".parquet") for _r, _d, fs in os.walk(cpath) for f in fs
+            ):
                 shutil.rmtree(cpath, ignore_errors=True)
         for fn in list(os.listdir(self.meta_dir)):
             rel = os.path.join("meta", fn)

@@ -105,14 +105,23 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSche
     one batch keep every intermediate name as its own lsn segment."""
     rename_hist: dict[str, list[tuple[str, int]]] = {}
     added_at: dict[str, int] = {}
-    old_types = {f.name: f.type for f in schema.fields}
+    rename_types: dict[str, str] = {}
     for r in sc_rows:
         kind, column = r["kind"], r["column"]
+        if kind == "rename":
+            # capture the column's type from the schema AS IT IS at this
+            # stream position — the chain start may itself be a column
+            # added earlier in this batch (its type is the add's type, not
+            # a batch-start type) or an already-widened one
+            cur_type = next(
+                (f.type for f in schema.fields if f.name == column), "string"
+            )
         schema = schema.apply_change(kind, column, r["new_name"], r["new_type"])
         if kind == "rename":
             hist = rename_hist.pop(column, [])
             hist.append((column, int(r["lsn"])))
             rename_hist[r["new_name"]] = hist
+            rename_types[column] = cur_type
             if column in added_at:  # column added then renamed in one batch
                 added_at[r["new_name"]] = added_at.pop(column)
         elif kind == "add":
@@ -120,11 +129,6 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSche
             # event before the add line that already carries the key is
             # ignored by the oracle (unknown field at that stream position)
             added_at[column] = int(r["lsn"])
-    rename_types = {}
-    for hist in rename_hist.values():
-        t = old_types.get(hist[0][0], "string")  # type at batch start
-        for old, _ in hist:
-            rename_types[old] = t
     return schema, {"map": rename_hist, "types": rename_types, "added_at": added_at}
 
 
@@ -173,17 +177,18 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
         # (oracle semantics): a stale key sent after a rename reads NULL,
         # and a key for a column ADDED later in the batch reads NULL for
         # events before the add line (unknown field at that position)
-        c = F.col(f"payload.{name}")
+        expr = F.col(f"payload.{name}")
         hist = rename_map.get(name)
         if hist:
-            expr = c
             for old, upto in reversed(hist):
                 expr = F.when(F.col("lsn") < F.lit(upto), F.col(f"payload.{old}")).otherwise(expr)
-            return expr
+        # the add gate composes WITH a rename: a column added then renamed
+        # in one batch still reads NULL for events before the add line
+        # (added_at follows the column through renames)
         add_lsn = added_at.get(name)
         if add_lsn is not None:
-            return F.when(F.col("lsn") > F.lit(add_lsn), c)
-        return c
+            expr = F.when(F.col("lsn") > F.lit(add_lsn), expr)
+        return expr
 
     by_fid = {f.id: f for f in schema.fields}
     tokens_f = by_fid.get(cfg.tokens_fid)

@@ -556,6 +556,7 @@ def q_dedup_clusters(spark, sf, cap=2000, thresh=0.6):
     ).persist()
     labels = d.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl")).persist()
     edges.count()
+    changed = None
     for _ in range(25):
         nbr = edges.alias("e").join(
             labels.alias("l"), F.col("e.u") == F.col("l.v")
@@ -573,11 +574,27 @@ def q_dedup_clusters(spark, sf, cap=2000, thresh=0.6):
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
+    if changed != 0:
+        # one-hop propagation converges in O(diameter) rounds; a silent cap
+        # exit would return SPLIT clusters — fail loudly instead (a >25-hop
+        # chain wants pointer-doubling / star-contraction, not more rounds)
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            "q_dedup_clusters: label propagation did not converge in 25 rounds"
+        )
+    # materialize then release the cache: the result is bounded by the cap,
+    # and returning a persisted DF would leak executor storage to a caller
+    # with no handle to unpersist it
+    out = labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"),
         (F.col("lbl") == F.col("v")).alias("is_keep"),
     )
+    rows = out.collect()
+    schema_out = out.schema
+    labels.unpersist()
+    edges.unpersist()
+    return spark.createDataFrame(rows, schema_out)
 
 
 SQL_DEDUP_CLUSTERS = """

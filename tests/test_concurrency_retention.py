@@ -215,3 +215,62 @@ def test_compaction_losing_race_to_append_raises_not_drops(spark, scratch):
     table.compact(spark, max_files_per_bucket=1)
     assert table.read(spark).count() == 60
     assert not any(f.get("delta") for f in table.files())
+
+
+def test_compact_itself_detects_mid_rewrite_append(spark, scratch, monkeypatch):
+    """compact() pins its read AND its conflict floor to the snapshot it
+    planned against: an append committed between compact's read and its
+    commit trips the overlap validation (CommitConflictError) instead of
+    being silently dropped by the rewrite."""
+    table = make_table(scratch, n_buckets=2)
+    f1 = table.write_data_files(_rows(spark, range(40)), delta=True)
+    f2 = table.write_data_files(_rows(spark, range(40), lsn0=500), delta=True)
+    table.commit(add_files=f1, batch_id=0)
+    table.commit(add_files=f2, batch_id=1)
+
+    real_write = LakeTable.write_data_files
+    raced = {"done": False}
+
+    def racing_write(self, df, *a, **kw):
+        files = real_write(self, df, *a, **kw)
+        if kw.get("sort_within") and not raced["done"]:
+            raced["done"] = True
+            # concurrent append lands AFTER compact's read, BEFORE its commit
+            extra = real_write(self, _rows(spark, range(40, 60), lsn0=900), delta=True)
+            self.commit(add_files=extra, batch_id=2)
+        return files
+
+    monkeypatch.setattr(LakeTable, "write_data_files", racing_write)
+    with pytest.raises(CommitConflictError):
+        table.compact(spark, max_files_per_bucket=1)
+    monkeypatch.undo()
+    # nothing lost; a re-planned compaction succeeds
+    assert table.read(spark).count() == 60
+    table.compact(spark, max_files_per_bucket=1)
+    assert table.read(spark).count() == 60
+
+
+def test_vacuum_grace_spares_fresh_empty_commit_dir(spark, scratch):
+    """A commit-<uuid> dir with no parquet yet may be a concurrent writer's
+    job mid-setup: the grace period must spare it; grace 0 removes it."""
+    table = make_table(scratch, n_buckets=2)
+    table.commit(add_files=table.write_data_files(_rows(spark, range(10))))
+    stub = os.path.join(table.root, "data", "commit-inflight00")
+    os.makedirs(stub)
+    table.vacuum()  # default grace
+    assert os.path.exists(stub)
+    table.vacuum(orphan_grace_sec=0)
+    assert not os.path.exists(stub)
+
+
+def test_expiry_tick_skips_tombstone_free_buckets(spark, scratch):
+    """Steady state: a fully-compacted table with no expirable tombstones
+    must make the expiry tick a no-op (file-level has_tombstone/min_lsn
+    stats), not an endless full-bucket rewrite."""
+    table = make_table(scratch, n_buckets=2)
+    table.commit(add_files=table.write_data_files(_rows(spark, range(40))))
+    table.compact(spark, max_files_per_bucket=1)
+    stats = table.compact(
+        spark, max_files_per_bucket=1, expire_tombstones_below_lsn=10_000
+    )
+    assert stats["buckets_compacted"] == 0

@@ -218,3 +218,34 @@ def test_add_column_is_lsn_gated(spark, scratch):
     assert state["doc-1"]["quality"] is None
     assert state["doc-2"]["quality"] == 0.5
     assert_state_equals_oracle(spark, table, replay_dir(d)[0])
+
+
+def test_add_then_rename_same_batch_keeps_add_gate(spark, scratch):
+    """A column added THEN renamed in one batch: events before the add line
+    read NULL (the add gate follows the column through the rename), events
+    between add and rename read the intermediate name, events after the
+    rename read the final name — all oracle-exact."""
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1 = os.path.join(d, "b0.jsonl")
+    _write(f1, [
+        # carries 'q' before the column exists → ignored
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1], q=0.9)),
+        _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
+            schema_change={"kind": "add", "column": "q",
+                           "new_name": None, "new_type": "double"}),
+        # between add and rename: intermediate name matches
+        _ev("insert", "doc-2", "2026-01-01T00:00:03.000000", 3, _p([2], q=0.5)),
+        _ev("schema_change", None, "2026-01-01T00:00:04.000000", 4,
+            schema_change={"kind": "rename", "column": "q",
+                           "new_name": "q2", "new_type": None}),
+        # after the rename: final name matches, stale 'q' would not
+        _ev("insert", "doc-3", "2026-01-01T00:00:05.000000", 5, _p([3], q2=0.1)),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1], table, files_per_batch=1)
+    state = table_state(spark, table)
+    assert state["doc-1"]["q2"] is None
+    assert state["doc-2"]["q2"] == 0.5
+    assert state["doc-3"]["q2"] == 0.1
+    assert_state_equals_oracle(spark, table, replay_dir(d)[0])
