@@ -94,7 +94,7 @@ def test_random_replay_matches_oracle(spark, events, split, seed, mode):
 evo_event_st = st.fixed_dictionaries({
     "kind": st.sampled_from([
         "data", "data", "data", "data",       # weight toward data events
-        "sc_add", "sc_rename", "sc_widen",
+        "sc_add", "sc_rename", "sc_widen", "sc_rename_added",
     ]),
     "doc": st.integers(0, 4),
     "ts_s": st.integers(0, 3),
@@ -142,6 +142,16 @@ def test_random_evolution_replay_matches_oracle(spark, events, split, seed):
                                   "new_name": new, "new_type": None},
             }))
             src_names.append(new)
+        elif ev["kind"] == "sc_rename_added" and added:
+            # rename the latest ADDED column (the add-gate must follow it)
+            old = added[-1]
+            new = f"{old}r"
+            lines.append(json.dumps({
+                "op": "schema_change", "event_ts": ts, "lsn": lsn,
+                "schema_change": {"kind": "rename", "column": old,
+                                  "new_name": new, "new_type": None},
+            }))
+            added[-1] = new
         elif ev["kind"] == "sc_widen" and not widened:
             widened = True
             lines.append(json.dumps({
