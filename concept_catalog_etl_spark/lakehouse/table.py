@@ -441,16 +441,19 @@ class LakeTable:
         ours = {f["bucket"] for f in (kwargs.get("add_files") or [])} | set(
             kwargs.get("remove_buckets") or []
         )
-        if kwargs.get("remove_paths"):
-            # a path-level removal's write set is the buckets those paths
-            # live in (same lookup commit() performs) — without this the
-            # overlap validation would be vacuous for remove_paths rewrites
-            targets = set(kwargs["remove_paths"])
-            ours |= {f["bucket"] for f in self.files() if f["path"] in targets}
         batch_id = kwargs.get("batch_id")
         ev = expect_version
         if ev is None and not is_append:
             ev = self.current_version()  # rewrites always validate overlap
+        if kwargs.get("remove_paths"):
+            # a path-level removal's write set is the buckets those paths
+            # live in. Resolve against the EXPECTED snapshot, not the current
+            # one: under the very race this guards, a winner that already
+            # rewrote those paths would make a current-snapshot lookup return
+            # nothing, leaving `ours` empty and the overlap check vacuous.
+            targets = set(kwargs["remove_paths"])
+            base = self.files(snap=self.snapshot(ev)) if ev is not None else self.files()
+            ours |= {f["bucket"] for f in base if f["path"] in targets}
         for attempt in range(max_retries + 1):
             try:
                 return self.commit(expect_version=ev, **kwargs)

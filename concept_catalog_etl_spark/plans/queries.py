@@ -487,8 +487,8 @@ def q_jaccard_ngram_gemm(spark, sf, cap=2000, n_blocks=8):
 
     out_schema = "doc_a long, doc_b long, inter long, na long, nb long"
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pa, pb = key
+    def gemm(key, pdf):  # no type hints: applyInPandas infers eval type from
+        pa, pb = key      # the (key, pdf) arity; partial hints only warn
         empty = pd.DataFrame({c: pd.Series(dtype="int64")
                               for c in ("doc_a", "doc_b", "inter", "na", "nb")})
         a = pdf[pdf["is_a"]]
@@ -536,33 +536,49 @@ def q_jaccard_ngram_gemm(spark, sf, cap=2000, n_blocks=8):
     return counts.select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
 
 
-def q_dedup_clusters(spark, sf, cap=2000, thresh=0.6):
-    """Near-dup CLUSTERS via distributed connected components — the step
-    after pair generation in a real dedup pipeline: pairs → components →
-    one canonical keep-doc per cluster (min doc_id). Iterative min-label
-    propagation over the undirected pair graph; each round is one
-    edges⋈labels join + a min-aggregate, converging in O(log diameter)
-    rounds (near-dup graphs are shallow — dense clusters collapse in 2-3
-    rounds). The loop is driver-side but each iteration is a fully
-    distributed join/agg — the same shape GraphX/Pregel or the
-    alternating-star algorithm runs at petabyte scale. Oracle: DuckDB
-    recursive-CTE transitive closure + min per node (exact — this is one
-    of the 'iterative algorithm' ops, yet still SQL-checkable)."""
-    jac = q_jaccard_ngram_gemm(spark, sf, cap).filter(F.col("jac") >= thresh)
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap).select("doc_id")
-    fwd = jac.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = fwd.union(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
-    labels = d.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl")).persist()
+def connected_components(edges, nodes, max_rounds=25):
+    """Distributed connected components: min-label propagation with POINTER
+    JUMPING. ``edges`` is a DataFrame(u, v) already symmetrized (both
+    directions present); ``nodes`` a DataFrame(v) of every vertex. Returns
+    DataFrame(v, lbl) where lbl is the component's minimum vertex id.
+
+    Each round combines (a) the one-hop neighbor minimum with (b) the
+    label-of-label l(l(v)) — a pointer jump that halves the remaining label
+    distance, so convergence is O(log diameter) rounds rather than
+    O(diameter): a 60-node path converges in ~6 rounds where plain
+    propagation needs 59. Labels are always vertex ids (min preserves
+    membership), so the jump join is total. Every step is a distributed
+    join/agg — the same shape the alternating-star / Hash-to-Min algorithms
+    run at petabyte scale. The returned DataFrame is localCheckpoint-ed
+    (lineage severed executor-side, no driver materialization) and all
+    intermediate caches are released."""
+    edges = edges.persist()
     edges.count()
+    # localCheckpoint every round, NOT persist: the jump self-join references
+    # the previous round's labels three times, so without lineage truncation
+    # the logical plan grows ~6× per round and Catalyst OOMs by round ~10.
+    # The checkpoint severs lineage executor-side (no driver round-trip);
+    # superseded rounds' blocks are reclaimed by the ContextCleaner.
+    labels = nodes.select(
+        F.col(nodes.columns[0]).alias("v"), F.col(nodes.columns[0]).alias("lbl")
+    ).localCheckpoint(eager=True)
     changed = None
-    for _ in range(25):
+    for _ in range(max_rounds):
         nbr = edges.alias("e").join(
             labels.alias("l"), F.col("e.u") == F.col("l.v")
         ).select(F.col("e.v").alias("v"), F.col("l.lbl").alias("lbl"))
+        hop1 = labels.union(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        # pointer jump: l(l(v)) — hop1 holds every vertex and every label IS
+        # a vertex, so the self-join is total; min(hop, jump) both shortcuts
+        # long chains and keeps monotone descent toward the component min
+        jump = (
+            hop1.alias("a")
+            .join(hop1.alias("b"), F.col("a.lbl") == F.col("b.v"))
+            .select(F.col("a.v").alias("v"), F.col("b.lbl").alias("lbl"))
+        )
         new_labels = (
-            labels.union(nbr).groupBy("v").agg(F.min("lbl").alias("lbl")).persist()
+            hop1.union(jump).groupBy("v").agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             labels.alias("o")
@@ -570,31 +586,35 @@ def q_dedup_clusters(spark, sf, cap=2000, thresh=0.6):
             .filter(F.col("o.lbl") != F.col("n.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     if changed != 0:
-        # one-hop propagation converges in O(diameter) rounds; a silent cap
-        # exit would return SPLIT clusters — fail loudly instead (a >25-hop
-        # chain wants pointer-doubling / star-contraction, not more rounds)
-        labels.unpersist()
-        edges.unpersist()
+        # unreachable below 2^max_rounds vertices with pointer jumping, but
+        # a silent cap exit would return SPLIT clusters — fail loudly
         raise RuntimeError(
-            "q_dedup_clusters: label propagation did not converge in 25 rounds"
+            f"connected_components: no convergence in {max_rounds} rounds"
         )
-    # materialize then release the cache: the result is bounded by the cap,
-    # and returning a persisted DF would leak executor storage to a caller
-    # with no handle to unpersist it
-    out = labels.select(
+    return labels
+
+
+def q_dedup_clusters(spark, sf, cap=2000, thresh=0.6):
+    """Near-dup CLUSTERS via distributed connected components — the step
+    after pair generation in a real dedup pipeline: pairs → components →
+    one canonical keep-doc per cluster (min doc_id). See
+    ``connected_components`` for the O(log diameter) pointer-jumping loop.
+    Oracle: DuckDB recursive-CTE transitive closure + min per node (exact —
+    this is one of the 'iterative algorithm' ops, yet still SQL-checkable)."""
+    jac = q_jaccard_ngram_gemm(spark, sf, cap).filter(F.col("jac") >= thresh)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap).select("doc_id")
+    fwd = jac.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = connected_components(edges, d)
+    return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"),
         (F.col("lbl") == F.col("v")).alias("is_keep"),
     )
-    rows = out.collect()
-    schema_out = out.schema
-    labels.unpersist()
-    edges.unpersist()
-    return spark.createDataFrame(rows, schema_out)
 
 
 SQL_DEDUP_CLUSTERS = """
@@ -924,12 +944,19 @@ def q_ann_topk_gemm(spark, sf):
     """Brute-force cosine top-5 via Arrow-batched BLOCK MATMUL — the shape a
     100 TB brute-force actually takes: broadcast the (tiny) normalized query
     matrix, run one numpy GEMM per Arrow batch of candidates inside
-    ``mapInPandas``, emit only each batch's LOCAL top-k per query, and let a
-    final window pick the global top-k. The shuffle carries
-    O(batches × queries × k) rows instead of O(candidates × queries) — the
-    partial top-k is to ANN search what map-side combine is to aggregation.
-    Same output contract and oracle as q_ann_topk (ranking on round(sim, 6)
-    makes GEMM's float reassociation immaterial)."""
+    ``mapInPandas``, emit only each batch's LOCAL top-k CANDIDATES per
+    query, and let a final exact pass pick the global top-k. The shuffle
+    carries O(batches × queries × k) rows instead of O(candidates ×
+    queries) — the partial top-k is to ANN search what map-side combine is
+    to aggregation.
+
+    The GEMM is a candidate SELECTOR, never the ranking authority: each
+    batch keeps every vector within 2e-6 of its local k-th GEMM score (the
+    margin covers float64 reassociation error plus two round-to-6-decimal
+    half-steps, so no vector that could reach the true rounded top-5 is
+    dropped), and the emitted sims are then recomputed with the same
+    sequential JVM fold q_ann_topk uses. Reassociation can therefore never
+    show through in the output — same contract and oracle as q_ann_topk."""
     import numpy as np
     import pandas as pd
 
@@ -950,24 +977,39 @@ def q_ann_topk_gemm(spark, sf):
                 continue
             M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             M /= np.linalg.norm(M, axis=1, keepdims=True)
-            S = np.round(M @ bQn.T, 6)  # (batch, n_queries)
+            S = M @ bQn.T  # (batch, n_queries), unrounded
             nids = pdf["vec_id"].to_numpy()
             take = min(k, len(nids))
             out = []
             for j in range(S.shape[1]):
-                # local top-k: sim desc, nid asc (same tie-break as global)
-                order = np.lexsort((nids, -S[:, j]))[:take]
-                out.append(pd.DataFrame({
-                    "qid": bqids[j], "nid": nids[order], "sim": S[order, j],
-                }))
+                kth = np.partition(S[:, j], len(nids) - take)[len(nids) - take]
+                keep = S[:, j] >= kth - 2e-6  # lossless candidate margin
+                out.append(pd.DataFrame({"qid": bqids[j], "nid": nids[keep]}))
             yield pd.concat(out, ignore_index=True)
 
-    partial = e.select("vec_id", "embedding").mapInPandas(
-        op, schema="qid long, nid long, sim double"
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        op, schema="qid long, nid long"
+    )
+    # exact JVM re-rank of the candidate set (same expressions as q_ann_topk)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    sims = (
+        cand.join(b, "nid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "nid",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     return (
-        partial.withColumn("rnk", F.row_number().over(w))
+        sims.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "rnk")
     )
@@ -1052,7 +1094,7 @@ def q_embed_cosine_dup_gemm(spark, sf, cap=2000, n_blocks=4):
         "vec_id", "embedding", F.explode(pair_structs).alias("p")
     ).select("vec_id", "embedding", "p.pa", "p.pb", "p.is_a")
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key, pdf):  # untyped on purpose — see q_jaccard_ngram_gemm
         pa, pb = key
         empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                               "vec_b": pd.Series(dtype="int64")})
@@ -1341,8 +1383,10 @@ def q_multimodal_resize(spark, sf):
 
 SQL_MULTIMODAL_RESIZE = """
 WITH r AS (
-  SELECT doc_id, regexp_replace(text, '(.).', '\\1', 'g') AS small
+  SELECT doc_id, regexp_replace(text, '(?s)(.).', '\\1', 'g') AS small
   FROM documents
+  -- (?s): '.' must match newlines too, or an LF in the text breaks the
+  -- b[::2] byte-pair equivalence (the ASCII guard below does not exclude it)
   WHERE octet_length(encode(text)) = length(text)  -- ASCII guard (see frames)
 )
 SELECT doc_id,

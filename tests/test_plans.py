@@ -147,3 +147,40 @@ def test_approximate_dedup_plans_have_no_cartesian_product(spark):
         plan = _plan(Q.QUERIES[name](spark, sf))
         assert "CartesianProduct" not in plan, f"{name} planned an all-pairs join"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a BNLJ"
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must converge in O(log diameter) rounds: a 60-hop
+    path graph needs 59 rounds under plain one-hop propagation (and used to
+    raise at 25) but ~6 with the label-of-label jump. Also checks a second
+    disjoint component and a singleton keep their own minima."""
+    from concept_catalog_etl_spark.plans.queries import connected_components
+
+    chain = [(i, i + 1) for i in range(60)]          # component min = 0
+    ring = [(100 + i, 100 + (i + 1) % 10) for i in range(10)]  # min = 100
+    fwd = spark.createDataFrame(chain + ring, "u long, v long")
+    edges = fwd.union(fwd.selectExpr("v AS u", "u AS v"))
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(61)] + [(100 + i,) for i in range(10)] + [(999,)],
+        "v long",
+    )
+    labels = {r["v"]: r["lbl"] for r in connected_components(edges, nodes, max_rounds=10).collect()}
+    assert all(labels[i] == 0 for i in range(61))
+    assert all(labels[100 + i] == 100 for i in range(10))
+    assert labels[999] == 999
+
+
+def test_dedup_clusters_source_has_no_collect(spark):
+    """q_dedup_clusters must not materialize labels through the driver —
+    cluster labels are O(corpus) at scale. Pin it at the source level (the
+    round-2 version did collect()+createDataFrame) and check the query
+    still runs green end-to-end."""
+    import inspect
+
+    from concept_catalog_etl_spark.plans import queries as Q
+
+    src = inspect.getsource(Q.q_dedup_clusters) + inspect.getsource(
+        Q.connected_components
+    )
+    assert ".collect()" not in src and "createDataFrame" not in src
+    assert Q.QUERIES["q_dedup_clusters"](spark, "/root/testdata/sf0.001").count() == 500
