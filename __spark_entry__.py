@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from concept_catalog_etl_spark.plans.queries import ORACLES
+    from concept_catalog_etl_spark.plans.queries import ORACLES, dynamic_oracles
 
-    return dict(ORACLES)
+    # static SQL strings + generated ones (LSH plane literals from the fixed
+    # seed, IVF centroid literals re-fit deterministically from the parquet
+    # the driver's DuckDB views read — see plans/queries.py)
+    return {**ORACLES, **dynamic_oracles()}

@@ -43,6 +43,9 @@ def _value_multiset(cols, rows):
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf  # generated oracles follow sf
     import __spark_entry__ as entry_mod
     from concept_catalog_etl_spark.session import get_spark
 
