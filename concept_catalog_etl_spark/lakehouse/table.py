@@ -195,13 +195,21 @@ class LakeTable:
         os.replace(tmp, os.path.join(self.meta_dir, "_current"))  # atomic swap
 
     # ---------------------------------------------------------------- ledger
-    def is_committed(self, batch_id: int) -> bool:
+    def is_committed(self, batch_id: int, writer_id: str | None = None) -> bool:
         p = self.properties()
+        if writer_id is not None:
+            led = p.get("writer_ledgers", {}).get(writer_id, {})
+            ring = led.get("ring", [])
+            if batch_id in set(ring):
+                return True
+            floor = min(ring) if ring else led.get("max")
+            return floor is not None and batch_id < floor
         if batch_id in set(p.get("committed_batch_ids", [])):
             return True
         mx = p.get("max_batch_id")
         # foreachBatch ids are monotonic; anything at/below the high-water mark
-        # that fell out of the ring was committed long ago.
+        # that fell out of the ring was committed long ago. Sound only within
+        # ONE writer's id sequence — concurrent writers pass writer_id above.
         ring = p.get("committed_batch_ids", [])
         floor = min(ring) if ring else (mx if mx is not None else None)
         return floor is not None and batch_id < floor
@@ -332,6 +340,7 @@ class LakeTable:
         metrics: dict | None = None,
         expect_version: int | None = None,
         extra_props: dict | None = None,
+        writer_id: str | None = None,
     ) -> dict:
         """Build + atomically publish the next snapshot.
 
@@ -378,7 +387,24 @@ class LakeTable:
                 )
         manifests.sort(key=lambda m: m["bucket"])
         props = dict(snap["properties"])
-        if batch_id is not None:
+        if batch_id is not None and writer_id is not None:
+            # namespaced ledger: each concurrent writer (streaming tail,
+            # backfill job, compactor) owns its own monotonic batch-id
+            # sequence — the flat ledger's high-water inference ('anything
+            # below min(ring) was committed long ago') is only sound within
+            # ONE foreachBatch sequence, so cross-writer ids must never
+            # share a floor (Iceberg analog: Flink commits keyed by job-id +
+            # checkpoint-id in snapshot summary properties)
+            ledgers = {k: dict(v) for k, v in props.get("writer_ledgers", {}).items()}
+            led = dict(ledgers.get(writer_id, {}))
+            ring = sorted(set(led.get("ring", [])) | {batch_id})[-LEDGER_KEEP:]
+            prev = led.get("max")
+            ledgers[writer_id] = {
+                "ring": ring,
+                "max": batch_id if prev is None else max(prev, batch_id),
+            }
+            props["writer_ledgers"] = ledgers
+        elif batch_id is not None:
             ring = list(props.get("committed_batch_ids", []))
             ring.append(batch_id)
             ring = sorted(set(ring))[-LEDGER_KEEP:]
@@ -442,6 +468,7 @@ class LakeTable:
             kwargs.get("remove_buckets") or []
         )
         batch_id = kwargs.get("batch_id")
+        writer_id = kwargs.get("writer_id")
         ev = expect_version
         if ev is None and not is_append:
             ev = self.current_version()  # rewrites always validate overlap
@@ -461,7 +488,7 @@ class LakeTable:
                 conflict = isinstance(e, FileExistsError) or "concurrent commit" in str(e)
                 if not conflict or attempt == max_retries:
                     raise
-                if batch_id is not None and self.is_committed(batch_id):
+                if batch_id is not None and self.is_committed(batch_id, writer_id):
                     return self.snapshot()  # another writer landed our batch
                 cur = self.current_version()
                 if not is_append and ev is not None:
