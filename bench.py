@@ -68,6 +68,33 @@ def _binlog_files(spark) -> list[str]:
     )
 
 
+def _columnar_groups(spark, text_files) -> list[str]:
+    """Columnar twin of the bench binlog (cached): one-time text→parquet
+    conversion; the replay measurement then starts from typed change rows —
+    the shape a real CDC feed arrives in."""
+    key = f"sgcol_ev{N_EVENTS}_d{N_DOCS}_f{N_FILES}_t{MAX_TOKENS}_s42"
+    d = os.path.join(REPO, ".bench", key)
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        from concept_catalog_etl_spark.lakehouse import TableSchema
+        from concept_catalog_etl_spark.sources.columnar import (
+            convert_binlog_to_columnar,
+        )
+
+        shutil.rmtree(d, ignore_errors=True)
+        schema = TableSchema.create(
+            [("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int"),
+             ("source", "string")],
+            key="doc_id",
+        )
+        convert_binlog_to_columnar(spark, text_files, schema, d,
+                                   files_per_group=1)
+        open(marker, "w").close()
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.startswith("chg-")
+    )
+
+
 def main() -> None:
     from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
     from concept_catalog_etl_spark.plans.queries import QUERIES
@@ -113,19 +140,50 @@ def main() -> None:
     replay_sec = min(runs)
     final_rows = table.read(spark).count()
 
-    # merge-on-read comparison point (the CDC fast path: O(batch) appends,
-    # read-side resolve) — one warm run, reported alongside the COW headline
-    from concept_catalog_etl_spark.operators.merge import MergeConfig
+    # BENCH_COW_ONLY: A/B + scaling harnesses measure just the CoW headline
+    mor_sec = col_sec = None
+    col_runs: list[float] = []
+    if not os.environ.get("BENCH_COW_ONLY"):
+        # merge-on-read comparison point (the CDC fast path: O(batch)
+        # appends, read-side resolve) — one warm run alongside the headline
+        from concept_catalog_etl_spark.operators.merge import MergeConfig
 
-    shutil.rmtree(work, ignore_errors=True)
-    t_mor = LakeTable.create(
-        os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32)
-    )
-    t0 = time.time()
-    replay_batch(spark, files, t_mor, files_per_batch=FILES_PER_BATCH,
-                 cfg=MergeConfig(write_mode="mor"))
-    mor_sec = time.time() - t0
-    assert t_mor.read(spark).count() == final_rows
+        shutil.rmtree(work, ignore_errors=True)
+        t_mor = LakeTable.create(
+            os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32)
+        )
+        t0 = time.time()
+        replay_batch(spark, files, t_mor, files_per_batch=FILES_PER_BATCH,
+                     cfg=MergeConfig(write_mode="mor"))
+        mor_sec = time.time() - t0
+        assert t_mor.read(spark).count() == final_rows
+
+        # columnar change-feed comparison point: same events, pre-typed
+        # parquet (no from_json — the text path's dominant per-batch cost);
+        # final state must be checksum-identical to the text replay
+        col_groups = _columnar_groups(spark, files)
+        from pyspark.sql import functions as F
+
+        def _state_checksum(t):
+            df = t.read(spark)
+            return df.agg(
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in sorted(df.columns)]))
+            ).collect()[0][0]
+
+        text_sum = _state_checksum(t_mor)
+        for r in range(max(2, repeat // 2)):
+            shutil.rmtree(work, ignore_errors=True)
+            t_col = LakeTable.create(
+                os.path.join(work, "table"), schema, n_buckets=max(CPUS, 32)
+            )
+            t0 = time.time()
+            replay_batch(spark, col_groups, t_col,
+                         files_per_batch=FILES_PER_BATCH,
+                         source_format="parquet")
+            col_runs.append(time.time() - t0)
+        col_sec = min(col_runs)
+        assert t_col.read(spark).count() == final_rows
+        assert _state_checksum(t_col) == text_sum, "columnar final state diverged"
 
     qtimes: dict[str, float] = {}
     names = [] if os.environ.get("BENCH_QUERIES_SKIP") else BENCH_QUERIES
@@ -152,13 +210,17 @@ def main() -> None:
         "events": N_EVENTS,
         "events_per_sec": round(N_EVENTS / replay_sec, 1),
         "replay_runs_sec": [round(x, 3) for x in runs],
-        "replay_mor_sec": round(mor_sec, 3),
-        "mor_events_per_sec": round(N_EVENTS / mor_sec, 1),
         "final_rows": final_rows,
         "cpus": CPUS,
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if mor_sec is not None:
+        out["replay_mor_sec"] = round(mor_sec, 3)
+        out["mor_events_per_sec"] = round(N_EVENTS / mor_sec, 1)
+        out["replay_columnar_sec"] = round(col_sec, 3)
+        out["columnar_events_per_sec"] = round(N_EVENTS / col_sec, 1)
+        out["columnar_runs_sec"] = [round(x, 3) for x in col_runs]
     print(json.dumps(out))
     spark.stop()
 

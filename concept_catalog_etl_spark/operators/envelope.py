@@ -126,6 +126,77 @@ def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] |
     return df.withColumn("_dlq_reason", reason)
 
 
+def parse_envelope(df: DataFrame, schema: TableSchema,
+                   extra_names: dict[str, str] | None = None,
+                   light: bool | str = False) -> DataFrame:
+    """Pre-parsed (columnar) change rows → the SAME output contract as
+    ``parse_raw``: ``_raw`` + typed envelope columns + ``_dlq_reason``.
+
+    This is the path a real 10^10-event CDC feed takes — change rows arrive
+    as typed parquet/Avro (Debezium-style), so there is NO ``from_json`` and
+    the scan benefits from columnar pruning: the light/summary variant reads
+    only (op, doc_id, event_ts, lsn, schema_version, payload.source,
+    schema_change) straight off the column chunks.
+
+    Alignment rules mirror ``from_json`` semantics exactly: the payload
+    struct is rebuilt field-by-field against the CURRENT registry schema
+    (+``extra_names`` for renamed/old columns that may still appear in
+    earlier files) — a field the file lacks is NULL (like a missing JSON
+    key), a file field the schema lacks is dropped (like an unknown key),
+    and type differences cast (widening). Payload/struct NULLNESS is
+    preserved so the DLQ rules fire identically. ``_raw`` is the original
+    line when the file carries one (converter keeps it for malformed rows),
+    else a to_json reconstruction — only DLQ rows ever evaluate it."""
+    if light:
+        env = envelope_struct_light(schema, light if isinstance(light, str) else "source")
+    else:
+        env = envelope_struct(schema, extra_names)
+
+    cols = dict(zip(df.columns, df.columns))
+
+    def _align_struct(src_name: str, target: T.StructType) -> Column:
+        if src_name not in cols:
+            return F.lit(None).cast(target)
+        src_t = df.schema[src_name].dataType
+        have = set(src_t.fieldNames()) if isinstance(src_t, T.StructType) else set()
+        rebuilt = F.struct(*[
+            (F.col(f"{src_name}.{f.name}").cast(f.dataType) if f.name in have
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target.fields
+        ])
+        # struct(...) is never null — reapply the source struct's nullness
+        # (payload:null on deletes must stay null for the DLQ rules)
+        return F.when(F.col(src_name).isNotNull(), rebuilt)
+
+    def _scalar(name: str, t: T.DataType) -> Column:
+        return (F.col(name).cast(t) if name in cols else F.lit(None).cast(t))
+
+    recon = F.to_json(F.struct(*[c for c in df.columns if c != "_raw"]))
+    raw_col = F.coalesce(F.col("_raw"), recon) if "_raw" in cols else recon
+    out = df.select(
+        raw_col.alias("_raw"),
+        _scalar("op", T.StringType()).alias("op"),
+        _scalar("doc_id", T.StringType()).alias("doc_id"),
+        _scalar("event_ts", T.TimestampType()).alias("event_ts"),
+        _scalar("lsn", T.LongType()).alias("lsn"),
+        _scalar("schema_version", T.IntegerType()).alias("schema_version"),
+        _align_struct("payload", env["payload"].dataType).alias("payload"),
+        _align_struct("schema_change", SCHEMA_CHANGE_T).alias("schema_change"),
+    )
+    reason = (
+        F.when(F.col("op").isNull(), F.lit("unparseable"))
+        .when(~F.col("op").isin(*VALID_OPS), F.lit("unknown_op"))
+        .when((F.col("op") != "schema_change") & F.col("doc_id").isNull(), F.lit("null_key"))
+        .when(
+            (F.col("op") != "schema_change")
+            & (F.col("event_ts").isNull() | F.col("lsn").isNull()),
+            F.lit("null_ordering"),
+        )
+        .when(F.col("op").isin("insert", "update") & F.col("payload").isNull(), F.lit("null_payload"))
+    )
+    return out.withColumn("_dlq_reason", reason)
+
+
 def split_dlq(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (good, dlq). dlq keeps the raw line for replay (reference fail_log
     keeps the full payload)."""

@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from ..lakehouse.schema import TableSchema
 from ..lakehouse.table import LakeTable, bucket_expr
 from .dedup import lww_dedup_with_sideout
-from .envelope import parse_raw
+from .envelope import parse_envelope, parse_raw
 
 EPOCH = "1970-01-01 00:00:00"
 
@@ -260,7 +260,15 @@ def apply_batch(
     batch_id: int,
     cfg: MergeConfig | None = None,
 ) -> dict:
-    """Apply one micro-batch of raw JSON event lines. Returns batch metrics.
+    """Apply one micro-batch of change events. Returns batch metrics.
+
+    ``raw`` is either TEXT JSON lines (one ``value`` column — the WAL-tail
+    shape) or PRE-PARSED columnar change rows (typed envelope columns, the
+    shape a parquet/Avro CDC feed delivers — see ``sources/columnar.py``);
+    the format is detected from the columns. The columnar path skips
+    ``from_json`` entirely — the dominant per-batch cost of the text path —
+    and its summary probe is a pushed column predicate instead of a
+    substring scan.
 
     Idempotent: a batch_id already in the snapshot ledger is a no-op
     (exactly-once; the Spark analog of the reference's idempotent ``$set``).
@@ -270,6 +278,9 @@ def apply_batch(
     cfg = cfg or MergeConfig()
     if table.is_committed(batch_id):
         return {"batch_id": batch_id, "skipped": True}
+
+    is_text = "value" in raw.columns
+    parse = parse_raw if is_text else parse_envelope
 
     phases: dict[str, float] = {}
     _t0 = _time.time()
@@ -302,16 +313,25 @@ def apply_batch(
         # a brand-new table takes the exact path once to discover the source
         # vocabulary (otherwise the new-source follow-up re-parses the batch)
         and 0 < len(known_sources) <= 64
-        # COST NOTE: this probe is a second pass over the batch's raw text,
-        # but a cheap one — substring `contains` on the unparsed line (no
-        # JSON lexing), early-exits on first hit (isEmpty → Limit 1), and it
-        # must run pre-parse because its outcome decides which parse plan we
-        # build. At bench scale the probe is ~5% of batch wall; it buys
-        # skipping the exact light-parse summary aggregation (~2× that cost)
-        # on every schema-stable batch.
-        and raw.filter(
-            F.col("value").contains("schema_change") | F.col("value").contains("\\u")
-        ).isEmpty()
+        # COST NOTE (text): this probe is a second pass over the batch's raw
+        # text, but a cheap one — substring `contains` on the unparsed line
+        # (no JSON lexing), early-exits on first hit (isEmpty → Limit 1),
+        # and it must run pre-parse because its outcome decides which parse
+        # plan we build. At bench scale the probe is ~5% of batch wall; it
+        # buys skipping the exact light-parse summary aggregation (~2× that
+        # cost) on every schema-stable batch. Columnar input probes the
+        # typed `op` column instead — a pushed predicate over one dictionary-
+        # encoded column chunk, near-free.
+        and (
+            raw.filter(
+                F.col("value").contains("schema_change") | F.col("value").contains("\\u")
+            ).isEmpty()
+            if is_text
+            else (
+                "op" in raw.columns
+                and raw.filter(F.col("op") == "schema_change").isEmpty()
+            )
+        )
     )
 
     events_total = None
@@ -319,7 +339,7 @@ def apply_batch(
     lineage: dict = {}
     sc_rows: list = []
     if not fast_summary:
-        parsed0 = parse_raw(raw, schema, light=src0 or True)
+        parsed0 = parse(raw, schema, light=src0 or True)
         src_col = (
             F.coalesce(F.col(f"payload.{src0}"), F.lit("_default")) if src0 else F.lit("_default")
         )
@@ -363,10 +383,10 @@ def apply_batch(
     if sc_rows:
         new_schema, ren = _apply_schema_changes(schema, sc_rows)
         evolution = ren
-        parsed = parse_raw(raw, new_schema, extra_names=ren["types"])
+        parsed = parse(raw, new_schema, extra_names=ren["types"])
         schema = new_schema
     else:
-        parsed = parse_raw(raw, schema)  # full parse (pass A was light)
+        parsed = parse(raw, schema)  # full parse (pass A was light)
 
     key = schema.key_name
     # keep structurally-bad rows in the flow: the fused dedup aggregation

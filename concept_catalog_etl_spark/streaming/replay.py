@@ -44,6 +44,7 @@ def replay_stream(
     maintenance_max_buckets: int | None = 16,
     tombstone_horizon_lsns: int | None = None,
     vacuum_retain_last: int = 8,
+    source_format: str = "text",
 ):
     """Structured Streaming replay.
 
@@ -71,11 +72,32 @@ def replay_stream(
     consumers can chain ``read_changes(from_version=...)`` across at least
     that many versions (older asks raise ``VersionVacuumedError``).
     """
-    reader = (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", max_files_per_trigger or 10)
-    )
-    raw = reader.load(os.path.join(binlog_dir, "*.jsonl"))
+    if source_format == "parquet":
+        # Columnar streaming source: the reader schema is fixed at query
+        # start (current table schema + in-flight extras are NOT knowable),
+        # so this mode is for schema-stable feeds; after a schema_change
+        # lands, restart the query — the new reader picks up the evolved
+        # registry schema. (Standard practice for typed CDC topics; the
+        # text source stays the evolution-transparent default.)
+        from pyspark.sql import types as T
+
+        from ..operators.envelope import envelope_struct
+
+        env = envelope_struct(table.schema())
+        st = T.StructType(list(env.fields) + [T.StructField("_raw", T.StringType())])
+        raw = (
+            spark.readStream.schema(st)
+            .option("maxFilesPerTrigger", max_files_per_trigger or 10)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(binlog_dir)
+        )
+    else:
+        reader = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", max_files_per_trigger or 10)
+        )
+        raw = reader.load(os.path.join(binlog_dir, "*.jsonl"))
 
     batch_metrics: list[dict] = []
 
@@ -120,15 +142,21 @@ def replay_batch(
     files_per_batch: int = 10,
     cfg: MergeConfig | None = None,
     start_batch_id: int = 0,
+    source_format: str = "text",
 ) -> list[dict]:
     """Batch-mode replay: lexicographic file order, explicit batch ids,
-    same exactly-once ledger semantics."""
+    same exactly-once ledger semantics. ``source_format='parquet'`` replays
+    a columnar change feed (sources/columnar.py) — no ``from_json``; payload
+    shapes from different stream positions union via mergeSchema."""
     files = sorted(binlog_files)
     out = []
     bid = start_batch_id
     for i in range(0, len(files), files_per_batch):
         group = files[i : i + files_per_batch]
-        raw = spark.read.text(group)
+        if source_format == "parquet":
+            raw = spark.read.option("mergeSchema", "true").parquet(*group)
+        else:
+            raw = spark.read.text(group)
         out.append(apply_batch(spark, table, raw, bid, cfg))
         bid += 1
     return out

@@ -1,0 +1,117 @@
+"""Columnar (parquet) change-event source parity: replaying typed change
+rows must reach the SAME final state, DLQ reasons, and lineage as replaying
+the text JSON binlog they were converted from — including mid-stream schema
+evolution. The columnar path skips ``from_json`` entirely (the text path's
+dominant per-batch cost), so this suite is the correctness gate for the
+engine's biggest remaining perf lever (VERDICT r2 task 5)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.oracle import replay_dir
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from concept_catalog_etl_spark.sources.columnar import (
+    convert_binlog_to_columnar,
+    read_columnar,
+)
+from concept_catalog_etl_spark.lakehouse import TableSchema
+from concept_catalog_etl_spark.operators.merge import MergeConfig
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+from helpers import (
+    CANONICAL_COLS,
+    assert_state_equals_oracle,
+    make_table,
+    table_state,
+)
+
+
+def _start_schema():
+    return TableSchema.create(CANONICAL_COLS, key="doc_id")
+
+
+def _convert(spark, scratch, paths, files_per_group=2):
+    out = os.path.join(scratch, "columnar")
+    return convert_binlog_to_columnar(
+        spark, paths, _start_schema(), out, files_per_group=files_per_group
+    )
+
+
+def test_columnar_replay_equals_text_and_oracle(spark, scratch):
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(d, n_events=4000, n_docs=300, n_files=8, seed=42)
+    groups = _convert(spark, scratch, paths)
+
+    t_text = make_table(os.path.join(scratch, "t_text"))
+    t_col = make_table(os.path.join(scratch, "t_col"))
+    replay_batch(spark, paths, t_text, files_per_batch=2)
+    replay_batch(spark, groups, t_col, files_per_batch=1, source_format="parquet")
+
+    oracle_state, _schema, ostats = replay_dir(d)
+    assert_state_equals_oracle(spark, t_col, oracle_state)
+    assert table_state(spark, t_text) == table_state(spark, t_col)
+
+    # DLQ parity: same reason histogram (the _raw payload may be a JSON
+    # reconstruction on the columnar side; reasons and counts must match)
+    def reasons(t):
+        dlq = t.read_dlq(spark)
+        if dlq is None:
+            return {}
+        return {
+            r["_dlq_reason"]: r["n"]
+            for r in dlq.groupBy("_dlq_reason").agg(F.count("*").alias("n")).collect()
+        }
+
+    assert reasons(t_text) == reasons(t_col)
+    assert sum(reasons(t_col).values()) == ostats["dlq"]
+    # lineage offsets identical
+    assert (
+        t_text.properties()["lineage_offsets"]
+        == t_col.properties()["lineage_offsets"]
+    )
+
+
+def test_columnar_replay_across_schema_evolution(spark, scratch):
+    """add + rename + widen mid-stream: the converter types each group with
+    the schema current at that stream position; replay must evolve the
+    table registry at the same positions and land the oracle state."""
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(
+        d, n_events=3000, n_docs=250, n_files=6, seed=11,
+        schema_changes=[
+            {"at_event": 700, "kind": "add", "column": "lang", "new_type": "string"},
+            {"at_event": 1500, "kind": "rename", "column": "source", "new_name": "origin"},
+            {"at_event": 2200, "kind": "widen", "column": "n_tok", "new_type": "bigint"},
+        ],
+    )
+    groups = _convert(spark, scratch, paths, files_per_group=1)
+    t_col = make_table(os.path.join(scratch, "t_col"))
+    replay_batch(spark, groups, t_col, files_per_batch=1, source_format="parquet")
+    oracle_state, oschema, _ = replay_dir(d)
+    assert_state_equals_oracle(spark, t_col, oracle_state)
+    # registry evolved to the oracle's final shape
+    assert [f["name"] for f in oschema.fields] == t_col.schema().names()
+
+
+def test_columnar_replay_mor_mode(spark, scratch):
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(d, n_events=2000, n_docs=200, n_files=4, seed=5)
+    groups = _convert(spark, scratch, paths)
+    t = make_table(os.path.join(scratch, "t"))
+    replay_batch(spark, groups, t, files_per_batch=1, source_format="parquet",
+                 cfg=MergeConfig(write_mode="mor"))
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, t, oracle_state)
+
+
+def test_columnar_summary_probe_is_pushed_predicate(spark, scratch):
+    """The schema-change probe on typed input must reach the parquet scan as
+    a pushed filter on `op` (no substring scan, no JSON)."""
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(d, n_events=500, n_docs=50, n_files=2, seed=3)
+    groups = _convert(spark, scratch, paths)
+    raw = read_columnar(spark, groups)
+    probe = raw.filter(F.col("op") == "schema_change")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(op), EqualTo(op,schema_change)]" in plan, plan
