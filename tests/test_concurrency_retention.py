@@ -94,30 +94,44 @@ def test_two_writer_append_retry_lands_both(spark, scratch):
 
 
 def test_rewrite_retry_disjoint_buckets_ok_overlap_conflicts(spark, scratch):
-    table = make_table(scratch, n_buckets=4)
+    # 16 buckets; writer B rewrites only the (deterministic, xxhash64-fixed)
+    # buckets of 3 keys, so both the overlap and the disjoint case below are
+    # guaranteed to exist — no layout-conditional skip
+    table = make_table(scratch, n_buckets=16)
     base = table.write_data_files(_rows(spark, range(100)))
     table.commit(add_files=base)
     v1 = table.current_version()
 
-    # writer B rewrites bucket set B1
-    fb = table.write_data_files(_rows(spark, range(100), lsn0=1000))
+    # writer B rewrites the small bucket set B1
+    fb = table.write_data_files(_rows(spark, range(3), lsn0=1000))
     b_buckets = {f["bucket"] for f in fb}
     table.commit(add_files=fb, remove_buckets=b_buckets, expect_version=v1)
+    v2 = table.current_version()
 
-    # writer A's rewrite overlaps → must NOT blind-retry
-    fa = table.write_data_files(_rows(spark, range(50), lsn0=2000))
-    a_buckets = {f["bucket"] for f in fa}
-    assert a_buckets & b_buckets
+    # writer A's rewrite overlaps (same keys as B) → must NOT blind-retry
+    fa_over = table.write_data_files(_rows(spark, range(3), lsn0=2000))
+    over_buckets = {f["bucket"] for f in fa_over}
+    assert over_buckets & b_buckets
     with pytest.raises(CommitConflictError, match="recompute"):
         table.commit_with_retry(
-            add_files=fa, remove_buckets=a_buckets, expect_version=v1
+            add_files=fa_over, remove_buckets=over_buckets, expect_version=v1
         )
 
-    # a disjoint-bucket rewrite retries cleanly: stage a single-bucket table
-    # state where A touches only buckets B didn't
+    # a disjoint-bucket rewrite retries cleanly through the stale version
+    fa = table.write_data_files(_rows(spark, range(50), lsn0=3000))
     only_a = [f for f in fa if f["bucket"] not in b_buckets]
-    if not only_a:  # hash layout made everything overlap — nothing to check
-        pytest.skip("no disjoint bucket in this layout")
+    assert only_a, "50 keys over 16 buckets must hit a bucket B didn't"
+    only_a_buckets = {f["bucket"] for f in only_a}
+    table.commit_with_retry(
+        add_files=only_a, remove_buckets=only_a_buckets, expect_version=v1
+    )
+    assert table.current_version() > v2
+    # B's rewrite survived (its buckets untouched by A's retry)
+    got = {
+        r["doc_id"]: r["_lsn"]
+        for r in table.read(spark, with_system_cols=True).collect()
+    }
+    assert got["doc-000000"] >= 1000 and got["doc-000000"] < 2000
 
 
 def test_commit_retry_skips_if_other_writer_landed_same_batch(spark, scratch):
