@@ -690,6 +690,7 @@ class LakeTable:
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change-data-feed between two snapshots (Iceberg incremental scan /
         Delta CDF analog): one row per key whose live state differs, with
@@ -701,24 +702,49 @@ class LakeTable:
         (or liveness) changed — no log replay needed, just a key-join of the
         two snapshot reads (both sides bucket-pruned and, for merge-on-read
         versions, LWW-resolved by ``read``). Downstream CDC consumers chain
-        from this the same way this engine tails an upstream binlog."""
+        from this the same way this engine tails an upstream binlog.
+
+        ``include_preimage`` adds ``_pre_<col>`` columns carrying the OLD
+        payload (Delta CDF's update_preimage analog, folded into the same
+        row): NULL for inserts, the from-side values for updates/deletes —
+        exactly what incremental view maintenance needs to retract a row's
+        old contribution (see ``operators/incremental.py``). Old columns are
+        matched to new names by field id, so renames/widens between the two
+        versions are safe; a column added after ``from_version`` has a NULL
+        preimage."""
         # the key column may have been RENAMED between the two versions —
         # resolve each side's key name from that version's own schema (ids
         # are stable) and alias both to the new-side name before the join
-        key = TableSchema.from_json(self.snapshot(to_version)["schema"]).key_name
+        to_schema = TableSchema.from_json(self.snapshot(to_version)["schema"])
+        key = to_schema.key_name
+        payload_fields = [
+            f for f in to_schema.fields if f.id != to_schema.key_field_id
+        ]
         dead = F.coalesce(F.col("_deleted"), F.lit(False))
         live = F.when(~dead, F.lit(True)).otherwise(F.lit(False))
 
         def side(version, alias):
-            side_key = TableSchema.from_json(self.snapshot(version)["schema"]).key_name
+            side_schema = TableSchema.from_json(self.snapshot(version)["schema"])
+            by_id = side_schema.name_by_id()
             df = self.read(
                 spark, version=version, with_system_cols=True, include_deleted=True
             )
+            # payload selected by FIELD ID and emitted under the new-side
+            # names/types, so both sides of the join line up across renames
+            # and widens; fields the side predates become NULL
+            payload = []
+            for f in payload_fields:
+                name = by_id.get(f.id)
+                col = (
+                    F.col(name).cast(parse_type(f.type)) if name is not None
+                    else F.lit(None).cast(parse_type(f.type))
+                )
+                payload.append(col.alias(f.name))
             return df.select(
-                F.col(side_key).alias(key),
+                F.col(by_id[to_schema.key_field_id]).alias(key),
                 F.struct(
                     live.alias("live"), F.col("_event_ts"), F.col("_lsn"),
-                    *[c for c in df.columns if c not in (side_key, *SYS_NAMES)],
+                    *payload,
                 ).alias(alias),
             )
 
@@ -740,14 +766,18 @@ class LakeTable:
             .when(o_live & ~n_live, F.lit("delete"))
             .when(o_live & n_live & ~same, F.lit("update"))
         )
-        to_schema = TableSchema.from_json(self.snapshot(to_version)["schema"])
-        payload = [f.name for f in to_schema.fields if f.id != to_schema.key_field_id]
+        payload = [f.name for f in payload_fields]
+        pre_cols = (
+            [F.col(f"_o.{c}").alias(f"_pre_{c}") for c in payload]
+            if include_preimage else []
+        )
         out = j.select(
             F.col(key),
             change.alias("_change_type"),
             F.col("_n._event_ts").alias("_event_ts"),
             F.col("_n._lsn").alias("_lsn"),
             *[F.col(f"_n.{c}").alias(c) for c in payload],
+            *pre_cols,
         )
         return out.filter(F.col("_change_type").isNotNull())
 
@@ -845,6 +875,48 @@ class LakeTable:
         }
 
     # ---------------------------------------------------------------- vacuum
+    def rollback(self, to_version: int) -> dict:
+        """Publish a NEW snapshot whose logical state — file set, schema,
+        and properties — is that of ``to_version`` (Iceberg
+        ``rollback_to_snapshot`` analog: history only moves forward, state
+        moves back; time travel into the undone versions keeps working
+        within the retention window).
+
+        Properties are restored wholesale ON PURPOSE: rewinding a CDC table
+        means the undone batches are *expected* to be re-applied, so their
+        ids must leave the exactly-once ledgers and the source lineage
+        offsets must rewind with the data — otherwise the replayed batches
+        would be skipped as duplicates and the table could never converge.
+        The rollback provenance lands in ``rolled_back_from``/
+        ``rolled_back_to`` so operators can audit it via ``history``.
+
+        Raises ``VersionVacuumedError`` if ``to_version`` is outside the
+        retention window (its files may already be deleted). After the
+        rollback the target's files are referenced by the new HEAD, so a
+        subsequent ``vacuum`` keeps them live.
+        """
+        cur = self.snapshot()
+        if to_version == cur["version"]:
+            return cur
+        if to_version > cur["version"]:
+            raise ValueError(
+                f"cannot roll back to v{to_version}: current is v{cur['version']}"
+            )
+        target = self.snapshot(to_version)  # VersionVacuumedError if expired
+        props = dict(target["properties"])
+        props["rolled_back_from"] = cur["version"]
+        props["rolled_back_to"] = to_version
+        new_snap = {
+            "version": cur["version"] + 1,
+            "parent": cur["version"],
+            "n_buckets": target["n_buckets"],
+            "schema": target["schema"],
+            "manifests": target["manifests"],
+            "properties": props,
+        }
+        self._write_manifest(new_snap)
+        return new_snap
+
     def oldest_retained_version(self) -> int:
         """Lowest version whose v<N>.json still exists (0 if never expired)."""
         vs = [
