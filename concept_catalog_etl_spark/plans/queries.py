@@ -1463,6 +1463,205 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# temporal joins + multidimensional aggregation (round-3 widening: as-of
+# join, range join, ROLLUP, PIVOT — classic operators the engine should
+# offer that plain equi-join/groupBy don't cover)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark, sf):
+    """AS-OF join (attribution): each purchase event matched to the SAME
+    user's most recent strictly-earlier click (kdb ``aj`` / DuckDB ASOF
+    JOIN semantics, inner flavor).
+
+    Spark has no as-of join operator; the naive plan — inequality join +
+    row_number — is a broadcast-nested-loop that explodes O(purchases ×
+    clicks-per-user). This is the scalable composition instead: UNION both
+    sides, one hash-partition-and-sort per user, and a running
+    ``last(click, ignorenulls)`` window — one shuffle total, O(n log n)
+    within each user, no pair blow-up. At equal timestamps the probe sorts
+    BEFORE the quote (``_kind`` 0 < 1), which is exactly the strict
+    ``click.ts < purchase.ts`` bound; among equal-ts clicks the largest
+    event_id sorts last, matching the oracle's deterministic tie-break.
+    100 TB posture: one shuffle on user_id; a pathological single user is
+    bounded by range-partitioning on (user_id, ts) with per-boundary
+    carry-forward of the last quote — same algebra, noted not needed here.
+    """
+    ev = _t(spark, sf, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(0).alias("_kind"),
+        F.col("event_id").alias("_sid"),
+        F.col("event_id"),
+        F.lit(None).cast("struct<ts:timestamp,event_id:bigint>").alias("_q"),
+    )
+    quote = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(1).alias("_kind"),
+        F.col("event_id").alias("_sid"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("_q"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "_kind", "_sid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        probe.unionByName(quote)
+        .withColumn("_m", F.last("_q", ignorenulls=True).over(w))
+        .filter((F.col("_kind") == 0) & F.col("_m").isNotNull())
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("_m.event_id").alias("click_id"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("_m.ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH m AS (
+  SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id,
+         date_diff('microsecond', c.ts, p.ts) AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events p JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+  WHERE p.event_type = 'purchase')
+SELECT event_id, user_id, ts, click_id, gap_us FROM m WHERE rn = 1
+"""
+
+_RANGE_BIN_US = 600 * 1_000_000  # 10 minutes, == the window length
+
+
+def q_range_join(spark, sf, n_windows=300):
+    """Range (point-in-interval) join: events falling inside each of the
+    first ``n_windows`` 10-minute incident windows opened by error events.
+
+    The naive inequality join is a nested loop; the 100 TB plan is the
+    bin-bucketed range join (what Databricks' range-join hint does under
+    the hood): intervals explode to the coarse time bins they cover (≤2
+    here since bin == window length), points map to their bin, an EQUI-join
+    on the bin does the pruning, and the exact bounds apply as a residual
+    filter. Turns an O(n·m) loop into one shuffle keyed by time bin, skew
+    bounded by events-per-bin. (At this cardinality Catalyst further turns
+    it into a broadcast hash join over the 300-interval side — the bin key
+    is what keeps the same plan viable when BOTH sides are huge.)"""
+    # parquet ts is TIMESTAMP_NTZ; the cast shifts by the (fixed) session
+    # zone, which cancels out of interval membership — both bounds and the
+    # probe point shift identically
+    ev = _t(spark, sf, "events").withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    wins = (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy("ts", "event_id")
+        .limit(n_windows)
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("_us").alias("_s"),
+            (F.col("_us") + F.lit(_RANGE_BIN_US)).alias("_e"),
+        )
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_s div {_RANGE_BIN_US}"),
+                    F.expr(f"(_e - 1) div {_RANGE_BIN_US}"),
+                )
+            ),
+        )
+    )
+    pts = ev.withColumn("_bin", F.expr(f"_us div {_RANGE_BIN_US}"))
+    return (
+        pts.join(wins, "_bin")
+        .filter((F.col("_us") >= F.col("_s")) & (F.col("_us") < F.col("_e")))
+        .groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH w AS (
+  SELECT event_id AS err_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+  ORDER BY ts, event_id LIMIT 300)
+SELECT w.err_id, count(*) AS n_events, round(sum(ev.value), 4) AS sum_value
+FROM w JOIN events ev ON ev.ts >= w.s AND ev.ts < w.e
+GROUP BY w.err_id
+"""
+
+
+def q_rollup(spark, sf):
+    """Multidimensional aggregation: ROLLUP(l_returnflag, l_linestatus) —
+    subtotals per flag and a grand total in one pass (Catalyst expands the
+    grouping sets into a single Expand + hash-agg, i.e. one shuffle for all
+    three levels; map-side partial agg applies to every level).
+    Float discipline: l_quantity is integral-valued so its sum is exact in
+    double and cast to BIGINT on both sides; avg(l_discount) is a tiny-
+    magnitude mean where reassociation error (~1e-11) is far inside the
+    round-4 half-step."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n", "sum_qty", "avg_disc",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(avg(l_discount), 4) AS avg_disc
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot(spark, sf):
+    """PIVOT: order counts per priority × status, lowered to conditional
+    aggregates over a PINNED value domain (['F','O','P']) instead of
+    DataFrame.pivot — deliberately: ``pivot().agg(count)`` plans TWO
+    shuffles ((priority,status) pre-agg, then a pivotfirst agg), while the
+    conditional-agg lowering is one groupBy with map-side partials — one
+    shuffle, absent cells are 0 by construction. Pinning the domain also
+    skips the values-discovery distinct an unpinned pivot runs first —
+    both properties are the 100 TB rule for pivots."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(
+                f"cnt_{s.lower()}"
+            )
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # generated oracles (deterministic-seed LSH planes / data-derived IVF
 # centroids inlined as SQL literals — closes the r2 no_oracle gap)
 # ---------------------------------------------------------------------------
@@ -1648,6 +1847,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_resize": q_multimodal_resize,
     "q_corpus_stats": q_corpus_stats,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_rollup": q_rollup,
+    "q_pivot": q_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -1687,4 +1890,8 @@ ORACLES: dict[str, str] = {
     "q_multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "q_multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "q_corpus_stats": SQL_CORPUS_STATS,
+    "q_asof_join": SQL_ASOF_JOIN,
+    "q_range_join": SQL_RANGE_JOIN,
+    "q_rollup": SQL_ROLLUP,
+    "q_pivot": SQL_PIVOT,
 }

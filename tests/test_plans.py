@@ -184,3 +184,61 @@ def test_dedup_clusters_source_has_no_collect(spark):
     )
     assert ".collect()" not in src and "createDataFrame" not in src
     assert Q.QUERIES["q_dedup_clusters"](spark, "/root/testdata/sf0.001").count() == 500
+
+def test_asof_join_single_shuffle_and_tie_semantics(spark, scratch, tmp_path):
+    """The as-of composition must cost exactly one Exchange (hash on
+    user_id feeding the window sort) — the property that makes it an as-of
+    JOIN and not a nested loop. Semantics pinned on crafted ties: a click
+    at the purchase's exact ts is excluded (strict <), equal-ts clicks
+    break by max event_id, a purchase with no prior click drops out."""
+    import datetime as dt
+
+    from concept_catalog_etl_spark.plans import queries as Q
+
+    plan = _plan(Q.q_asof_join(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t(5), 1, "click", 0.0, "{}"),
+        (3, t(7), 1, "click", 0.0, "{}"),
+        (4, t(7), 1, "click", 0.0, "{}"),   # equal-ts tie -> max id wins
+        (9, t(10), 1, "click", 0.0, "{}"),  # same ts as purchase: excluded
+        (10, t(10), 1, "purchase", 1.0, "{}"),
+        (20, t(3), 2, "purchase", 1.0, "{}"),  # no prior click: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(f"{scratch}/events.parquet")
+    got = {r["event_id"]: (r["click_id"], r["gap_us"])
+           for r in Q.q_asof_join(spark, scratch).collect()}
+    assert got == {10: (4, 3_000_000)}
+
+
+def test_range_join_is_keyed_not_nested_loop(spark):
+    """The bin-bucketed range join must plan a hash/broadcast EQUI-join on
+    the time bin — never a BNLJ/cartesian — and stay correct (oracle-checked
+    separately); here we pin the plan shape that survives big×big."""
+    from concept_catalog_etl_spark.plans import queries as Q
+
+    plan = _plan(Q.q_range_join(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rollup_and_pivot_single_pass(spark):
+    """ROLLUP: all grouping-set levels come out of ONE Expand + agg — at
+    most the one post-expand shuffle (plus AQE's sort for the final
+    collect, which is not an Exchange). PIVOT with pinned values: a single
+    conditional-agg groupBy, one shuffle, no values-discovery distinct."""
+    from concept_catalog_etl_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    roll = _plan(Q.q_rollup(spark, sf))
+    assert "Expand" in roll, roll
+    assert roll.count("Exchange") == 1, roll
+    piv = _plan(Q.q_pivot(spark, sf))
+    assert piv.count("Exchange") == 1, piv
