@@ -1806,6 +1806,189 @@ def dynamic_oracles(sf_dir: str | None = None) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# training-data ops: deterministic sampling / sequence packing /
+# benchmark decontamination (round-3 additions)
+# ---------------------------------------------------------------------------
+
+def _md5_gate(*parts):
+    """Deterministic per-row coin: first 4 hex chars of md5(key:salt),
+    compared lexicographically against a hex threshold (fixed-width
+    lowercase hex compares identically to its numeric value, and Spark and
+    DuckDB md5 the same UTF-8 bytes). p = int(threshold, 16) / 65536 —
+    reproducible across engines, runs and cluster sizes, unlike
+    ``df.sample`` whose output depends on partitioning."""
+    return F.substring(F.md5(F.concat_ws(":", *parts)), 1, 4)
+
+
+def q_sample_hash(spark, sf):
+    """Deterministic Bernoulli sample, p = 0.25 (threshold 0x4000/0x10000).
+
+    100 TB posture: a row-local filter — no shuffle, no state, pushes the
+    projection to the scan; the sample is stable under repartitioning and
+    re-runs (content-addressed, not RNG-addressed), so downstream jobs can
+    re-derive exactly the same subset."""
+    d = _t(spark, sf, "documents")
+    gate = _md5_gate(F.col("doc_id").cast("string"), F.lit("bern"))
+    return d.filter(gate < "4000").select("doc_id", "lang", "source")
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':bern'), 1, 4) < '4000'
+"""
+
+
+def q_sample_stratified(spark, sf):
+    """Stratified deterministic sample — per-language rates (the data-mixing
+    primitive: downweight the abundant stratum, keep the rare ones):
+    en 25%, zh 50%, everything else 75%. Same row-local md5 gate as
+    ``q_sample_hash`` with the stratum folded into the salt."""
+    d = _t(spark, sf, "documents")
+    thr = (
+        F.when(F.col("lang") == "en", "4000")
+        .when(F.col("lang") == "zh", "8000")
+        .otherwise("c000")
+    )
+    gate = _md5_gate(F.col("doc_id").cast("string"), F.col("lang"), F.lit("strat"))
+    return d.filter(gate < thr).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':strat'), 1, 4)
+      < CASE WHEN lang = 'en' THEN '4000'
+             WHEN lang = 'zh' THEN '8000'
+             ELSE 'c000' END
+"""
+
+
+def q_sample_fixed_k(spark, sf, k: int = 100):
+    """Fixed-size uniform sample without a global sort: order by a
+    content hash and take k. Spark plans this as TakeOrderedAndProject —
+    each partition keeps its local top-k, the driver merges k·P candidate
+    rows — so the cost is O(rows) scan + O(k log k) merge, never a
+    full-data exchange. The distributed equivalent of reservoir sampling,
+    but deterministic (plan shape pinned in tests/test_sampling_packing.py)."""
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("fixk")))
+    return d.select("doc_id", h.alias("h")).orderBy("h", "doc_id").limit(k)
+
+
+SQL_SAMPLE_FIXED_K = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':fixk') AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+"""
+
+
+def q_pack_sequences(spark, sf, budget: int = 512):
+    """Greedy sequence packing for a fixed token budget: stream docs per
+    source in doc_id order, assign each doc to the chunk its *starting*
+    cumulative token offset falls in (chunk = floor(cum_before / budget)),
+    then summarize chunks. This is the deterministic packing rule used to
+    build fixed-length training batches from variable-length documents.
+
+    100 TB posture: one window per source partition (each source packs
+    independently — the natural parallel unit); at real scale the partition
+    key becomes (source, shard) where shard = a coarse doc_id range, so no
+    single source serializes, at the cost of ≤1 underfilled chunk per shard.
+    The whole computation is one shuffle (the window) + a map-side-combinable
+    group-by that reuses the window's clustering."""
+    d = _t(spark, sf, "documents")
+    ntok = F.size(F.split(F.trim("text"), "\\s+")).cast("bigint")
+    d = d.select("doc_id", "source", ntok.alias("n_tok"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
+    d = d.withColumn("chunk_id", F.floor(cum / budget))
+    return d.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("chunk_tokens"),
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), pos AS (
+  SELECT source, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM toks
+)
+SELECT source, cum // 512 AS chunk_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens
+FROM pos
+GROUP BY 1, 2
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: flag training docs that share any 3-word
+    shingle with the held-out eval split (doc_id % 37 == 0 — a deterministic
+    split derived from the data). Emits (doc_id, n_hits) where n_hits is the
+    number of distinct contaminated shingles.
+
+    100 TB posture: the eval side is small by construction (benchmarks are
+    KBs–MBs against a 100 TB corpus), so its distinct-shingle set is
+    broadcast — the train side never shuffles; contamination is a map-side
+    hash probe per shingle. If the eval set outgrew broadcast, the same plan
+    degrades gracefully to a shuffled semi-join on the shingle key, or the
+    broadcast becomes a Bloom filter (false-positive-only → safe to
+    over-flag then exact-verify the survivors, the GEMM-pruner pattern)."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.lower(F.trim("text")), "\\s+")
+    n = F.size(words)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    shingled = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    )
+    ev = (
+        shingled.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
+    )
+    tr = shingled.filter(F.col("doc_id") % 37 != 0)
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), shg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS sh
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+), ev AS (
+  SELECT DISTINCT sh FROM shg WHERE doc_id % 37 = 0
+), tr AS (
+  SELECT doc_id, sh FROM shg WHERE doc_id % 37 <> 0
+)
+SELECT tr.doc_id AS doc_id, COUNT(*) AS n_hits
+FROM tr JOIN ev USING (sh)
+GROUP BY tr.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1851,6 +2034,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_join": q_range_join,
     "q_rollup": q_rollup,
     "q_pivot": q_pivot,
+    "q_sample_hash": q_sample_hash,
+    "q_sample_stratified": q_sample_stratified,
+    "q_sample_fixed_k": q_sample_fixed_k,
+    "q_pack_sequences": q_pack_sequences,
+    "q_decontaminate": q_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1894,4 +2082,9 @@ ORACLES: dict[str, str] = {
     "q_range_join": SQL_RANGE_JOIN,
     "q_rollup": SQL_ROLLUP,
     "q_pivot": SQL_PIVOT,
+    "q_sample_hash": SQL_SAMPLE_HASH,
+    "q_sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "q_sample_fixed_k": SQL_SAMPLE_FIXED_K,
+    "q_pack_sequences": SQL_PACK_SEQUENCES,
+    "q_decontaminate": SQL_DECONTAMINATE,
 }
