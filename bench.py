@@ -45,6 +45,13 @@ BENCH_QUERIES = [
     "q_fingerprint",
     "q_jaccard_ngram_gemm",
     "q_corpus_stats",
+    "q_asof_join",
+    "q_pivot",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_vocab_topk",
+    "q_sample_fixed_k",
+    "q_dedup_normalized",
 ]
 
 

@@ -102,9 +102,9 @@ def apply_deltas(
         return None
     key = downstream.schema().key_name
     nb = downstream.n_buckets()
-    measure_cols = [c for c in deltas.columns if c != key]
     if key not in deltas.columns:
         deltas = deltas.withColumnRenamed(deltas.columns[0], key)
+    measure_cols = [c for c in deltas.columns if c != key]
 
     deltas = deltas.withColumn("_bucket", bucket_expr(key, nb))
     # O(n_buckets) driver-side metadata, never O(groups)

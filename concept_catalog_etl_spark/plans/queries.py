@@ -1988,6 +1988,98 @@ GROUP BY tr.doc_id
 """
 
 
+def q_vocab_topk(spark, sf, k: int = 50):
+    """Corpus vocabulary head: global top-k words by frequency. The
+    aggregation is map-side combinable (partial counts per partition before
+    the word-keyed exchange) and the top-k is TakeOrderedAndProject — no
+    global sort. Tie-break by word so the rank-k boundary is deterministic.
+    At 100 TB vocabulary size is O(millions), not O(corpus): the shuffle
+    carries one row per distinct word per partition."""
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("word")
+    )
+    return (
+        w.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+    )
+
+
+SQL_VOCAB_TOPK = r"""
+SELECT word, COUNT(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+
+def q_len_histogram(spark, sf):
+    """Log2-bucketed document-length histogram (the corpus shape diagnostic
+    a pipeline runs before choosing packing budgets). One map-side-combinable
+    aggregation over a row-local bucket expression."""
+    d = _t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.floor(F.log2("n_chars")).cast("bigint")
+    return (
+        d.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_LEN_HISTOGRAM = """
+SELECT CAST(FLOOR(log2(n_chars)) AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY 1
+"""
+
+
+def q_dedup_normalized(spark, sf):
+    """Normalization-exact dedup: lowercase, strip sentence punctuation,
+    collapse whitespace, then group by md5 of the canonical text — catches
+    trivially-reformatted duplicates that byte-exact dedup misses while
+    staying a pure hash-aggregate (map-side combinable; the shuffle key is
+    the 128-bit digest, so no skew beyond true duplicate mass). Keeper =
+    min(doc_id), the standard deterministic survivor rule. Emits the full
+    signature table (one row per canonical text); the dup report is the
+    consumer's ``n_copies > 1`` filter — kept unfiltered here so the oracle
+    comparison exercises every signature, not just collisions (the sf0.01
+    corpus has none; sf0.1 has 8)."""
+    d = _t(spark, sf, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim("text")), "[.,;:!?]", ""),
+        "\\s+",
+        " ",
+    )
+    return (
+        d.select(F.md5(norm).alias("sig"), "doc_id")
+        .groupBy("sig")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_NORMALIZED = r"""
+SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[.,;:!?]', '', 'g'),
+            '\s+', ' ', 'g')) AS sig,
+       MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2039,6 +2131,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_fixed_k": q_sample_fixed_k,
     "q_pack_sequences": q_pack_sequences,
     "q_decontaminate": q_decontaminate,
+    "q_vocab_topk": q_vocab_topk,
+    "q_len_histogram": q_len_histogram,
+    "q_dedup_normalized": q_dedup_normalized,
 }
 
 ORACLES: dict[str, str] = {
@@ -2087,4 +2182,7 @@ ORACLES: dict[str, str] = {
     "q_sample_fixed_k": SQL_SAMPLE_FIXED_K,
     "q_pack_sequences": SQL_PACK_SEQUENCES,
     "q_decontaminate": SQL_DECONTAMINATE,
+    "q_vocab_topk": SQL_VOCAB_TOPK,
+    "q_len_histogram": SQL_LEN_HISTOGRAM,
+    "q_dedup_normalized": SQL_DEDUP_NORMALIZED,
 }

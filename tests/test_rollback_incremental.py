@@ -261,3 +261,19 @@ def test_apply_deltas_ledger_only_commit_on_empty_window(spark, scratch):
     assert snap is not None and down.is_committed(7, "ivm")
     # replay of the empty window is also skipped
     assert apply_deltas(spark, down, empty, batch_id=7, count_col="n_docs") is None
+
+
+def test_apply_deltas_renames_foreign_group_column(spark, scratch):
+    """Deltas whose group column is named differently from the downstream
+    key are aligned by position (first column); the measure columns must be
+    resolved AFTER that rename (regression: measure_cols previously captured
+    the foreign name and the merge select failed)."""
+    down = _agg_table(scratch)
+    deltas = spark.createDataFrame(
+        [("crawl", 2, 10), ("curated", 1, 5)],
+        "grp string, n_docs long, n_tokens long",
+    )
+    snap = apply_deltas(spark, down, deltas, batch_id=1, count_col="n_docs")
+    assert snap is not None
+    got = _got(spark, down)
+    assert got == {"crawl": (2, 10), "curated": (1, 5)}
