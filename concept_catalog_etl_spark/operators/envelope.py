@@ -144,9 +144,13 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
     earlier files) — a field the file lacks is NULL (like a missing JSON
     key), a file field the schema lacks is dropped (like an unknown key),
     and type differences cast (widening). Payload/struct NULLNESS is
-    preserved so the DLQ rules fire identically. ``_raw`` is the original
-    line when the file carries one (converter keeps it for malformed rows),
-    else a to_json reconstruction — only DLQ rows ever evaluate it."""
+    preserved so the DLQ rules fire identically. ``_raw`` is NULL for clean
+    rows and, for DLQ rows only, the original line when the file carries one
+    (converter keeps it for malformed rows) else a to_json reconstruction —
+    gating it on ``_dlq_reason`` keeps the reconstruction out of the per-row
+    hot path (an ungated coalesce paid a full to_json per CLEAN row, since
+    ``_raw`` arrives NULL for them — measured to cancel most of the
+    columnar path's no-from_json win)."""
     if light:
         env = envelope_struct_light(schema, light if isinstance(light, str) else "source")
     else:
@@ -171,10 +175,9 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
     def _scalar(name: str, t: T.DataType) -> Column:
         return (F.col(name).cast(t) if name in cols else F.lit(None).cast(t))
 
-    recon = F.to_json(F.struct(*[c for c in df.columns if c != "_raw"]))
-    raw_col = F.coalesce(F.col("_raw"), recon) if "_raw" in cols else recon
     out = df.select(
-        raw_col.alias("_raw"),
+        (F.col("_raw") if "_raw" in cols else F.lit(None).cast(T.StringType()))
+        .alias("_raw_file"),
         _scalar("op", T.StringType()).alias("op"),
         _scalar("doc_id", T.StringType()).alias("doc_id"),
         _scalar("event_ts", T.TimestampType()).alias("event_ts"),
@@ -194,7 +197,24 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
         )
         .when(F.col("op").isin("insert", "update") & F.col("payload").isNull(), F.lit("null_payload"))
     )
-    return out.withColumn("_dlq_reason", reason)
+    out = out.withColumn("_dlq_reason", reason)
+    # DLQ-only reconstruction from the typed columns (the original df's
+    # columns are gone post-select, and a faithful JSON of the typed row is
+    # what the dead-letter queue wants anyway); when() keeps to_json out of
+    # the clean-row codegen path entirely
+    recon = F.to_json(F.struct(
+        "op", "doc_id", "event_ts", "lsn", "schema_version",
+        "payload", "schema_change",
+    ))
+    out = out.withColumn(
+        "_raw",
+        F.when(F.col("_dlq_reason").isNotNull(),
+               F.coalesce(F.col("_raw_file"), recon)),
+    )
+    return out.select(
+        "_raw", "op", "doc_id", "event_ts", "lsn", "schema_version",
+        "payload", "schema_change", "_dlq_reason",
+    )
 
 
 def split_dlq(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
