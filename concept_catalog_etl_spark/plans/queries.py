@@ -2081,6 +2081,183 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# training-data ops: repetition / quality gates (Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetitious text" rules, adapted to the single-line corpus):
+    distinct-word fraction, duplicate word-bigram fraction, and the mass of
+    the single most frequent word. Everything is row-local higher-order
+    expressions over the words array — no shuffle, no UDF, whole-stage
+    codegen end to end; at 100 TB this is a pure map over the scan.
+
+    ``top_word_frac`` is O(distinct x total) per row by construction
+    (count each distinct word with a filter pass) — bounded by document
+    length, never by corpus, and JVM-side; the alternative (explode +
+    groupBy) would shuffle the whole corpus to compute a per-row number.
+    """
+    d = _t(spark, sf, "documents")
+    words = F.split(F.trim(F.lower("text")), "\\s+")
+    d = d.select("doc_id", words.alias("w"), F.size(words).alias("n"))
+    bigrams = F.expr(
+        "transform(sequence(1, n - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(w), d -> size(filter(w, x -> x = d))))"
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        F.round(F.size(F.array_distinct("w")) / F.col("n"), 4).alias("distinct_word_frac"),
+        F.when(F.col("n") < 2, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (F.col("n") - 1), 4))
+        .alias("dup_bigram_frac"),
+        F.round(top_cnt / F.col("n"), 4).alias("top_word_frac"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(len(list_distinct(w)) * 1.0 / n, 4) AS distinct_word_frac,
+       CASE WHEN n < 2 THEN 0.0 ELSE
+         round(1.0 - len(list_distinct(
+                 list_transform(range(1, n), i -> w[i] || ' ' || w[i + 1])
+               )) * 1.0 / (n - 1), 4)
+       END AS dup_bigram_frac,
+       round(list_max(list_transform(list_distinct(w),
+               d2 -> len(list_filter(w, x -> x = d2)))) * 1.0 / n, 4) AS top_word_frac
+FROM d
+"""
+
+
+def q_quality_gate(spark, sf):
+    """Composite keep/drop quality gate (C4/Gopher rule family): word-count
+    band, mean word length band, alphabetic-word fraction, and stopword
+    presence, combined into one boolean. Each signal is integer-exact
+    (sums/counts of ints) so the emitted doubles are deterministic across
+    engines. Row-local JVM expressions — a pure map at any scale; the gate
+    is the filter a 100 TB pretraining pipeline runs before dedup so the
+    expensive stages see only survivors."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.trim(F.lower("text")), "\\s+")
+    d = d.select("doc_id", words.alias("w"), F.size(words).alias("n"))
+    sum_len = F.expr("aggregate(w, 0L, (a, x) -> a + length(x))")
+    alpha_cnt = F.expr("size(filter(w, x -> x rlike '[a-z]'))")
+    has_stop = F.expr(
+        "exists(w, x -> x in ('the', 'a', 'and', 'of', 'to', 'in'))"
+    )
+    mean_len = F.round(sum_len / F.col("n"), 4)
+    alpha_frac = F.round(alpha_cnt / F.col("n"), 4)
+    keep = (
+        F.col("n").between(10, 1000)
+        & mean_len.between(2.0, 12.0)
+        & (alpha_frac >= 0.8)
+        & has_stop
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        has_stop.alias("has_stopword"),
+        keep.alias("keep"),
+    )
+
+
+SQL_QUALITY_GATE = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents
+), m AS (
+  SELECT doc_id, n,
+         round(list_sum(list_transform(w, x -> length(x))) * 1.0 / n, 4) AS mean_word_len,
+         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / n, 4) AS alpha_word_frac,
+         len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) > 0 AS has_stopword
+  FROM d
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       mean_word_len,
+       alpha_word_frac,
+       has_stopword,
+       (n BETWEEN 10 AND 1000
+        AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND alpha_word_frac >= 0.8
+        AND has_stopword) AS keep
+FROM m
+"""
+
+
+def q_unigram_logprob(spark, sf):
+    """Corpus-unigram-LM fluency score per document (the perplexity-filter
+    primitive: CCNet/Gopher score documents against a reference LM; here the
+    LM is the corpus's own unigram distribution). Two aggregations build the
+    model (vocab counts + total mass), then each document averages the
+    log-probabilities of its words.
+
+    Scale shape: the vocab table is bounded by the *language*, not the
+    corpus (~10M types at web scale), so it is legitimately broadcastable at
+    100 TB — the corpus side never shuffles for the join; the only full
+    shuffle is the vocab count itself, which is map-side combinable.
+
+    Determinism across engines: ln() differs by ulps between libm and the
+    JVM, and float summation order differs between plans — so the per-word
+    log-prob is snapped to fixed-point (round(ln*1e6) as BIGINT) and summed
+    EXACTLY as integers; the final mean divides two exact integers. The
+    emitted doubles are bit-identical on both sides by construction."""
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("word"),
+    )
+    freq = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = w.count()  # O(1) driver scalar: the LM's total mass
+    scored = w.join(F.broadcast(freq), "word").select(
+        "doc_id",
+        F.round(F.log(F.col("c") / F.lit(float(tot))) * 1e6, 0)
+        .cast("bigint")
+        .alias("logp_e6"),
+        F.col("c"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.round(F.sum("logp_e6") / (F.count("*") * F.lit(1e6)), 4).alias("mean_logp"),
+        F.min("c").cast("bigint").alias("rarest_count"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), f AS (
+  SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+), t AS (
+  SELECT COUNT(*) AS tot FROM w
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       round(SUM(CAST(round(ln(c / (1.0 * tot)) * 1000000, 0) AS BIGINT))
+             / (COUNT(*) * 1000000.0), 4) AS mean_logp,
+       MIN(c) AS rarest_count
+FROM w JOIN f USING (word) CROSS JOIN t
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2134,6 +2311,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vocab_topk": q_vocab_topk,
     "q_len_histogram": q_len_histogram,
     "q_dedup_normalized": q_dedup_normalized,
+    "q_repetition_stats": q_repetition_stats,
+    "q_quality_gate": q_quality_gate,
+    "q_unigram_logprob": q_unigram_logprob,
 }
 
 ORACLES: dict[str, str] = {
@@ -2185,4 +2365,7 @@ ORACLES: dict[str, str] = {
     "q_vocab_topk": SQL_VOCAB_TOPK,
     "q_len_histogram": SQL_LEN_HISTOGRAM,
     "q_dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "q_repetition_stats": SQL_REPETITION_STATS,
+    "q_quality_gate": SQL_QUALITY_GATE,
+    "q_unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }
