@@ -222,6 +222,7 @@ class LakeTable:
         schema_override: TableSchema | None = None,
         delta: bool = False,
         sort_within: bool = False,
+        with_bloom: bool | None = None,
     ) -> list[dict]:
         """Write `df` (logical+system columns) bucketed by key; return file entries.
 
@@ -254,10 +255,19 @@ class LakeTable:
             # point/range lookups skip row groups inside big files
             out = out.sortWithinPartitions("_bucket", key)
         out.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
-        return self._collect_file_entries(rel_dir, schema, key, delta=delta)
+        if with_bloom is None:
+            # blooms ride the read-optimizing (compaction) rewrites by
+            # default — never the hot ingest path (hashing every key of
+            # every batch would tax the replay headline); tables can opt
+            # every write in via the bloom_on_write property.
+            with_bloom = sort_within or bool(self.properties().get("bloom_on_write"))
+        return self._collect_file_entries(
+            rel_dir, schema, key, delta=delta, with_bloom=with_bloom
+        )
 
     def _collect_file_entries(self, rel_dir: str, schema: TableSchema, key: str,
-                              delta: bool = False) -> list[dict]:
+                              delta: bool = False,
+                              with_bloom: bool = False) -> list[dict]:
         import pyarrow.parquet as pq
 
         entries: list[dict] = []
@@ -311,6 +321,16 @@ class LakeTable:
                         if ls is not None and ls.has_min_max:
                             v = int(ls.min)
                             min_lsn = v if min_lsn is None else min(min_lsn, v)
+                has_bloom = False
+                if with_bloom and key in md.schema.names:
+                    from . import bloom as _bloom
+
+                    kcol = pq.read_table(fpath, columns=[key]).column(0)
+                    bf = _bloom.build([str(v) for v in kcol.to_pylist()
+                                       if v is not None])
+                    with open(fpath + ".bloom", "wb") as bfh:
+                        bfh.write(_bloom.dumps(bf))
+                    has_bloom = True
                 entries.append(
                     {
                         "path": os.path.join(rel_dir, bdir, fn),
@@ -324,6 +344,7 @@ class LakeTable:
                         "has_tombstone": has_tomb,
                         "min_lsn": min_lsn,
                         **({"delta": True} if delta else {}),
+                        **({"bloom": True} if has_bloom else {}),
                     }
                 )
         return entries
@@ -563,6 +584,7 @@ class LakeTable:
         version: int | None = None,
         schema_override: TableSchema | None = None,
         include_deleted: bool = False,
+        keys: list[str] | None = None,
     ) -> DataFrame:
         """Snapshot read with bucket + key-range file pruning and
         id-based schema reconciliation (rename/add/widen safe).
@@ -584,6 +606,14 @@ class LakeTable:
             files = [f for f in files if f["max_key"] is None or f["max_key"] >= key_min]
         if key_max is not None:
             files = [f for f in files if f["min_key"] is None or f["min_key"] <= key_max]
+        if keys is not None:
+            # bloom file pruning (point lookups): a sidecar answering
+            # "definitely none of these keys" drops the file before any
+            # parquet open. No false negatives, so dropping is exact — a
+            # dropped base/delta file contributes no row version of any
+            # looked-up key, and rows of OTHER keys are filtered by the
+            # caller anyway. Files without a sidecar are kept.
+            files = [f for f in files if self._bloom_maybe(f, keys)]
 
         extra = SYS_COLS if with_system_cols else []
         target_struct = schema.spark_struct(extra=extra)
@@ -660,10 +690,36 @@ class LakeTable:
             outs.append(resolved)
         return reduce(DataFrame.unionByName, outs)
 
+    def _bloom_maybe(self, entry: dict, keys: list[str]) -> bool:
+        """True unless this file's bloom sidecar proves none of ``keys`` is
+        present. Sidecars are cached per path (they are immutable: a rewrite
+        produces a new file path, never mutates an old sidecar)."""
+        if not entry.get("bloom"):
+            return True
+        from . import bloom as _bloom
+
+        path = entry["path"]
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        bf = cache.get(path)
+        if bf is None:
+            try:
+                with open(os.path.join(self.root, path) + ".bloom", "rb") as fh:
+                    bf = _bloom.loads(fh.read())
+            except OSError:
+                return True  # sidecar missing/unreadable → never prune
+            if len(cache) > 4096:
+                cache.clear()  # bounded driver memory
+            cache[path] = bf
+        return _bloom.maybe_contains_any(bf, keys)
+
     def read_keys(self, spark: SparkSession, keys: list[str],
                   with_system_cols: bool = False) -> DataFrame:
         """Point lookups: open only the buckets the keys hash into (plus
-        per-file key min/max pruning inside them), then filter exactly.
+        per-file key min/max and bloom-sidecar pruning inside them — the
+        blooms are what bites on high-cardinality keys, where every file's
+        [min,max] spans the key space), then filter exactly.
         The metadata walk is O(|keys| buckets' manifests), never the table.
         MoR-correct: a delta-containing bucket still resolves LWW before
         the key filter (resolve happens in ``read``)."""
@@ -680,7 +736,7 @@ class LakeTable:
         lo, hi = min(keys), max(keys)
         df = self.read(
             spark, buckets=buckets, key_min=lo, key_max=hi,
-            with_system_cols=with_system_cols,
+            with_system_cols=with_system_cols, keys=keys,
         )
         return df.filter(F.col(key).isin(keys))
 
@@ -971,7 +1027,22 @@ class LakeTable:
                         except OSError:
                             continue
                         os.remove(full)
+                        try:  # a dead file's bloom sidecar dies with it
+                            os.remove(full + ".bloom")
+                        except OSError:
+                            pass
                         removed += 1
+                    elif (
+                        fn.endswith(".parquet.bloom")
+                        and rel[: -len(".bloom")] not in live
+                        and not os.path.exists(full[: -len(".bloom")])
+                    ):
+                        # orphan sidecar whose parquet is already gone
+                        try:
+                            if now - os.path.getmtime(full) >= orphan_grace_sec:
+                                os.remove(full)
+                        except OSError:
+                            pass
             try:
                 dir_young = now - os.path.getmtime(cpath) < orphan_grace_sec
             except OSError:

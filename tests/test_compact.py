@@ -119,8 +119,10 @@ def test_compaction_sorts_within_buckets_for_rowgroup_pruning(spark, scratch):
     from pyspark.sql import functions as F
 
     rng = random.Random(5)
+    present = None
     for b in range(3):
         ids = rng.sample(range(10_000), 400)
+        present = f"doc-{ids[0]:06d}"
         df = spark.createDataFrame(
             [(f"doc-{i:06d}", [i], 1, "crawl", "2026-01-01 00:00:00", b * 10_000 + j)
              for j, i in enumerate(ids)],
@@ -143,7 +145,13 @@ def test_compaction_sorts_within_buckets_for_rowgroup_pruning(spark, scratch):
             if prev_max is not None:
                 assert mn >= prev_max, "row groups not key-sorted"
             prev_max = mx
-    # the point-lookup predicate reaches the parquet scan
-    df = table.read_keys(spark, ["doc-000042"])
+    # the point-lookup predicate reaches the parquet scan (present key:
+    # the bloom sidecars compaction built must NOT prune its file)
+    df = table.read_keys(spark, [present])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
+    assert df.count() == 1
+    # an absent key is answered from the blooms alone — zero parquet scans
+    miss = table.read_keys(spark, ["doc-999999"])
+    assert "Parquet" not in miss._jdf.queryExecution().executedPlan().toString()
+    assert miss.count() == 0
