@@ -223,6 +223,7 @@ class LakeTable:
         delta: bool = False,
         sort_within: bool = False,
         with_bloom: bool | None = None,
+        n_buckets_override: int | None = None,
     ) -> list[dict]:
         """Write `df` (logical+system columns) bucketed by key; return file entries.
 
@@ -238,7 +239,7 @@ class LakeTable:
         snap = self.snapshot()
         schema = schema_override or TableSchema.from_json(snap["schema"])
         key = key_col or schema.key_name
-        nb = int(snap["n_buckets"])
+        nb = n_buckets_override or int(snap["n_buckets"])
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join("data", f"commit-{commit_id}")
         out_dir = os.path.join(self.root, rel_dir)
@@ -280,7 +281,9 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 fpath = os.path.join(base, bdir, fn)
-                md = pq.ParquetFile(fpath).metadata
+                pf = pq.ParquetFile(fpath)
+                md = pf.metadata
+                phys_cols = list(pf.schema_arrow.names)
                 kmin = kmax = None
                 try:
                     kidx = md.schema.names.index(key)
@@ -341,6 +344,7 @@ class LakeTable:
                         "name_by_id": {str(f.id): f.name for f in schema.fields},
                         "types_by_id": {str(f.id): f.type for f in schema.fields},
                         "schema_version": schema.schema_version,
+                        "phys_cols": phys_cols,
                         "has_tombstone": has_tomb,
                         "min_lsn": min_lsn,
                         **({"delta": True} if delta else {}),
@@ -362,16 +366,27 @@ class LakeTable:
         expect_version: int | None = None,
         extra_props: dict | None = None,
         writer_id: str | None = None,
+        new_n_buckets: int | None = None,
     ) -> dict:
         """Build + atomically publish the next snapshot.
 
         Data files, ledger entry, lineage offsets and (optionally) an evolved
         schema all land in one pointer swap — the exactly-once unit.
+
+        ``new_n_buckets``: bucket-layout evolution (``rebucket``) — the old
+        manifests describe buckets that no longer exist, so the manifest set
+        is rebuilt from ``add_files`` alone and the snapshot records the new
+        count. Ledger/lineage/properties carry over untouched (a layout
+        change moves no logical data).
         """
         snap = self.snapshot()
         if expect_version is not None and snap["version"] != expect_version:
             raise RuntimeError(
                 f"concurrent commit: expected v{expect_version}, found v{snap['version']}"
+            )
+        if new_n_buckets is not None:
+            return self._commit_new_layout(
+                snap, new_n_buckets, add_files or [], extra_props
             )
         # touched buckets: additions, removals, and (rare) path removals
         touched: set[int] = {f["bucket"] for f in (add_files or [])}
@@ -455,6 +470,76 @@ class LakeTable:
             self._append_metrics(metrics)
         return new_snap
 
+    def _commit_new_layout(self, snap: dict, new_nb: int,
+                           add_files: list[dict],
+                           extra_props: dict | None) -> dict:
+        """Publish a snapshot under an evolved bucket count: fresh manifests
+        from ``add_files`` only; every pre-evolution file is implicitly
+        removed (vacuum reclaims it after the retention window)."""
+        by_bucket: dict[int, list[dict]] = {}
+        for f in add_files:
+            if not 0 <= f["bucket"] < new_nb:
+                raise ValueError(
+                    f"file bucket {f['bucket']} outside new layout [0,{new_nb})"
+                )
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        manifests = [
+            {"bucket": b, "path": self._write_bucket_manifest(b, entries),
+             "n_files": len(entries)}
+            for b, entries in sorted(by_bucket.items())
+        ]
+        props = dict(snap["properties"])
+        props["rebucketed_from"] = int(snap["n_buckets"])
+        props["rebucketed_at_version"] = snap["version"] + 1
+        if extra_props:
+            props.update(extra_props)
+        new_snap = {
+            "version": snap["version"] + 1,
+            "parent": snap["version"],
+            "n_buckets": new_nb,
+            "schema": TableSchema.from_json(snap["schema"]).to_json(),
+            "manifests": manifests,
+            "properties": props,
+        }
+        self._write_manifest(new_snap)
+        return new_snap
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Bucket-count evolution (Iceberg partition-spec evolution analog):
+        rewrite the table's live state — every row version a reader can see,
+        i.e. LWW winners INCLUDING tombstones — into ``new_n_buckets`` and
+        publish atomically. The bucket count fixed at create() time cannot
+        hold across a 1000x data growth: too few buckets → giant files +
+        no merge parallelism; too many → small-file explosion. Snapshots
+        before the evolution keep their old layout (time travel works);
+        ledger and lineage carry over so exactly-once replay is unaffected —
+        a layout change moves no logical data, so undone/duplicate detection
+        must not reset.
+
+        One full-table shuffle by construction (every row re-hashes); runs
+        as a maintenance job, never on the ingest path. The rewrite is
+        key-sorted + bloom'd like any compaction (read-optimizing layout).
+        Concurrent writers are safe: this commit validates expect_version,
+        and ``commit_with_retry`` refuses to retry a commit across a layout
+        change (its files are bucketed for the old count)."""
+        snap = self.snapshot()
+        old_nb = int(snap["n_buckets"])
+        if new_n_buckets == old_nb:
+            return snap
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        df = self.read(
+            spark, with_system_cols=True, include_deleted=True, version=snap["version"]
+        )
+        files = self.write_data_files(
+            df, n_buckets_override=new_n_buckets, sort_within=True
+        )
+        return self.commit(
+            add_files=files,
+            new_n_buckets=new_n_buckets,
+            expect_version=snap["version"],
+        )
+
     def _touched_buckets(self, snap: dict) -> set[int]:
         """Buckets whose manifest changed between ``snap`` and its parent —
         the commit's write set, recoverable from metadata alone (manifests
@@ -485,6 +570,13 @@ class LakeTable:
         is_append = (
             kwargs.get("remove_buckets") is None and kwargs.get("remove_paths") is None
         )
+        # the bucket layout the caller's staged files assume: the snapshot
+        # they validated against if given, else the layout right now
+        nb_at_entry = (
+            self.snapshot(expect_version)["n_buckets"]
+            if expect_version is not None
+            else self.snapshot()["n_buckets"]
+        )
         ours = {f["bucket"] for f in (kwargs.get("add_files") or [])} | set(
             kwargs.get("remove_buckets") or []
         )
@@ -512,6 +604,14 @@ class LakeTable:
                 if batch_id is not None and self.is_committed(batch_id, writer_id):
                     return self.snapshot()  # another writer landed our batch
                 cur = self.current_version()
+                if self.snapshot(cur)["n_buckets"] != nb_at_entry:
+                    # a rebucket landed mid-race: our data files are laid
+                    # out for the OLD bucket count — a blind retry would
+                    # break bucket-key co-location. Caller must rewrite.
+                    raise CommitConflictError(
+                        "bucket layout evolved during commit — rewrite the "
+                        "batch's data files against the new layout"
+                    ) from None
                 if not is_append and ev is not None:
                     for v in range(ev + 1, cur + 1):
                         theirs = self._touched_buckets(self.snapshot(v))
@@ -633,10 +733,21 @@ class LakeTable:
         resolve_files = [f for f in files if f["bucket"] in delta_buckets]
 
         def scan(file_list: list[dict], need_sys: bool, push_tombstone: bool) -> DataFrame:
-            # group files by write-time schema fingerprint → one scan per group
+            # group files by write-time schema fingerprint → one scan per
+            # group. The PHYSICAL column list is part of the fingerprint:
+            # a multi-file spark.read.parquet takes its schema from ONE
+            # footer, so mixing files with and without a system column
+            # (e.g. bases without _deleted + deltas with it) would silently
+            # drop that column for every file in the group — a tombstone
+            # that stops deleting. Old manifests without phys_cols group
+            # together, preserving their previous behavior.
             groups: dict[str, list[dict]] = {}
             for f in file_list:
-                fp = json.dumps([f["name_by_id"], f["types_by_id"]], sort_keys=True)
+                fp = json.dumps(
+                    [f["name_by_id"], f["types_by_id"],
+                     sorted(f.get("phys_cols") or [])],
+                    sort_keys=True,
+                )
                 groups.setdefault(fp, []).append(f)
             parts: list[DataFrame] = []
             for grp in groups.values():

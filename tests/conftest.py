@@ -20,7 +20,12 @@ def spark():
 
 @pytest.fixture()
 def scratch(request):
-    d = os.path.join(SCRATCH, request.node.name[:80])
+    # sanitize: Spark/Hadoop treat paths as glob patterns, so a parametrized
+    # test's "[32]" in the directory name becomes a character class and
+    # every read fails with PATH_NOT_FOUND
+    safe = "".join(c if c.isalnum() or c in "._-" else "_"
+                   for c in request.node.name)
+    d = os.path.join(SCRATCH, safe[:80])
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     yield d
