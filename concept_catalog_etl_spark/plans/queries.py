@@ -776,6 +776,189 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# oracle-exact near-dup variants (polynomial hash family)
+#
+# q_minhash_pairs / q_simhash hash with xxhash64 — engine-defined, so the
+# driver can only rows-check them (recall gates in pytest are their real
+# gate). These twins swap the hash for the same char-code left fold that
+# SQL_FINGERPRINT already proves equivalent between Spark and DuckDB, making
+# the ENTIRE minhash-LSH / simhash pipeline exactly SQL-checkable: band
+# collision sets, Jaccard estimates and bit votes match the oracle
+# bit-for-bit. The xxhash64 variants remain the hot path (one JVM intrinsic
+# per shingle vs a per-char fold); these exist to pin the algorithm, not to
+# win the benchmark — same plan shape, so a correctness result here
+# transfers to the fast twin.
+# ---------------------------------------------------------------------------
+
+_P31 = 2_147_483_647  # shingle-hash modulus (fits h*131+c and h*65+7919*31)
+_P56 = 72_057_594_037_927_931  # 2^56-5: keeps acc*131+c inside int64
+
+
+def _poly_hash_expr(s, mod):
+    """Char-code left fold over a (short) string column — the per-shingle /
+    per-word twin of q_fingerprint's whole-document fold."""
+    codes = F.transform(
+        F.regexp_extract_all(s, F.lit("."), 0), lambda c: F.ascii(c).cast("bigint")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(7).cast("bigint"),
+        lambda acc, c: (acc * F.lit(131) + c) % F.lit(mod),
+    )
+
+
+def q_minhash_pairs_poly(spark, sf, cap=2000):
+    """MinHash + LSH banding with a SQL-reproducible shingle hash — the
+    exactly-checkable twin of q_minhash_pairs (same k=32 / 16 bands x 2 /
+    one (band,bucket)-keyed shuffle; band key is the raw minhash pair, no
+    band hash needed). Distinctness is on the HASH value (both sides), so
+    even an in-doc collision cannot diverge from the oracle."""
+    k, bands = 32, 16
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+    hs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(_shingles(F.col("text"), 3), lambda s: _poly_hash_expr(s, _P31))
+            )
+        ).alias("h"),
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * 7919)) % F.lit(_P31)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    mh = hs.groupBy("doc_id").agg(*aggs)
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(f"mh{2 * b}").alias("v1"),
+            F.col(f"mh{2 * b + 1}").alias("v2"),
+        )
+        for b in range(bands)
+    ])
+    ex = mh.select("doc_id", F.explode(bands_arr).alias("x")).select(
+        "doc_id", "x.band", "x.v1", "x.v2"
+    )
+    cands = (
+        ex.alias("x")
+        .join(ex.alias("y"), ["band", "v1", "v2"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    est = sum(
+        [F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)],
+        start=F.lit(0),
+    ) / F.lit(k)
+    return (
+        cands.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("jac_est"))
+        .filter(F.col("jac_est") >= 0.25)
+    )
+
+
+def _sql_minhash_poly() -> str:
+    k, bands = 32, 16
+    mh_cols = ",\n         ".join(
+        f"min((h * {2 * i + 1} + {i * 7919}) % {_P31}) AS mh{i}" for i in range(k)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} AS v1, mh{2 * b + 1} AS v2 FROM mh"
+        for b in range(bands)
+    )
+    match_sum = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 2000),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+             list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 131 + c) % {_P31}
+         ) AS h
+  FROM (SELECT doc_id, substr(t, i, 3) AS s
+        FROM d, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i))
+),
+mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+ex AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM ex x JOIN ex y
+    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, round(({match_sum}) / 32.0, 4) AS jac_est
+FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
+WHERE ({match_sum}) / 32.0 >= 0.25
+"""
+
+
+SQL_MINHASH_POLY = _sql_minhash_poly()
+
+
+def q_simhash_poly(spark, sf):
+    """56-bit SimHash over SQL-reproducible per-word polynomial hashes —
+    the exactly-checkable twin of q_simhash (same bit-vote aggregate
+    pipeline as simhash64_expr, 56 bits so every intermediate stays inside
+    int64 on both engines; all bit weights positive, no sign-bit case)."""
+    d = _t(spark, sf, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    hashes = F.transform(words, lambda w: _poly_hash_expr(w, _P56))
+    bitpos = F.sequence(F.lit(0), F.lit(55))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 56),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bitpos, lambda i: F.getbit(h, i).cast("long") * 2 - 1),
+            lambda a, b: a + b,
+        ),
+    )
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(56)])
+    sig = F.aggregate(
+        F.zip_with(votes, pows, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return d.select("doc_id", F.coalesce(sig, F.lit(0).cast("long")).alias("simhash"))
+
+
+def _sql_simhash_poly() -> str:
+    # per bit b: vote = 2*sum(bit_b) - count(*); emit 2^b when vote > 0
+    terms = "\n       + ".join(
+        f"CASE WHEN 2 * SUM((h >> {b}) & 1) - COUNT(*) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(56)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+             list_transform(regexp_extract_all(word, '.'), c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 131 + c) % {_P56}
+         ) AS h
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+         {terms} AS simhash
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+SQL_SIMHASH_POLY = _sql_simhash_poly()
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: text analysis
 # ---------------------------------------------------------------------------
 
@@ -2284,7 +2467,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_jaccard_ngram_gemm": q_jaccard_ngram_gemm,
     "q_dedup_clusters": q_dedup_clusters,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_minhash_pairs_poly": q_minhash_pairs_poly,
     "q_simhash": q_simhash,
+    "q_simhash_poly": q_simhash_poly,
     "q_fingerprint": q_fingerprint,
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
@@ -2339,8 +2524,12 @@ ORACLES: dict[str, str] = {
     "q_jaccard_ngram_gemm": SQL_JACCARD_NGRAM,  # same contract, GEMM plan
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     # q_minhash_pairs, q_simhash: engine-specific hash functions (xxhash64)
-    # → rows-only checks (deliberate). q_ann_lsh / q_ann_ivf ARE exactly
-    # checkable (seed-/data-derived literals) — see dynamic_oracles().
+    # → rows-only checks (deliberate); their _poly twins run the SAME
+    # pipeline over a SQL-reproducible hash and are exactly checked below.
+    # q_ann_lsh / q_ann_ivf are exactly checkable via seed-/data-derived
+    # literals — see dynamic_oracles().
+    "q_minhash_pairs_poly": SQL_MINHASH_POLY,
+    "q_simhash_poly": SQL_SIMHASH_POLY,
     "q_fingerprint": SQL_FINGERPRINT,
     "q_token_count": SQL_TOKEN_COUNT,
     "q_quality_score": SQL_QUALITY_SCORE,
