@@ -1,0 +1,136 @@
+"""Incrementally-maintained near-dup index (rowview sync + MinHash LSH).
+
+Pins: the index converges to the batch-recomputed signatures after any
+change mix; sync work is O(changed rows), not O(table); exactly-once
+replay skip; tombstoned docs leave the index; banded candidate lookup
+finds near-identical token sequences and excludes unrelated ones.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+from concept_catalog_etl_spark.operators.neardup_index import (
+    minhash_signature,
+    near_dup_candidates,
+    sync_index,
+)
+from tests.helpers import make_table
+
+
+def make_index(root):
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("mh", "array<bigint>")], key="doc_id"
+    )
+    return LakeTable.create(os.path.join(root, "index"), schema, n_buckets=8)
+
+
+def seed_rows(spark, n=80, start=0, salt=0, ts="2026-01-01 00:00:00", lsn_base=0):
+    """n docs with overlapping token runs: doc i and i+1 share most shingles."""
+    return spark.range(start, start + n).select(
+        F.format_string("doc-%05d", F.col("id")).alias("doc_id"),
+        F.sequence(F.col("id") * 3 + salt, F.col("id") * 3 + salt + 40)
+        .cast("array<int>")
+        .alias("tokens"),
+        F.lit(41).alias("n_tok"),
+        F.lit("crawl").alias("source"),
+        F.lit(ts).cast("timestamp").alias("_event_ts"),
+        (F.col("id") + lsn_base).alias("_lsn"),
+    )
+
+
+def expected_index(spark, table):
+    live = table.read(spark)
+    return {
+        r["doc_id"]: list(r["mh"])
+        for r in live.select(
+            "doc_id", minhash_signature(F.col("tokens")).alias("mh")
+        ).collect()
+    }
+
+
+def index_state(spark, index):
+    return {r["doc_id"]: list(r["mh"]) for r in index.read(spark).collect()}
+
+
+def test_initial_sync_builds_full_index(spark, scratch):
+    up, idx = make_table(scratch), make_index(scratch)
+    up.commit(add_files=up.write_data_files(seed_rows(spark)), batch_id=0)
+    res = sync_index(spark, up, idx)
+    assert res["applied"] and res["rows_written"] == 80
+    assert index_state(spark, idx) == expected_index(spark, up)
+    # replay skip: same upstream version is a no-op
+    again = sync_index(spark, up, idx)
+    assert not again["applied"]
+
+
+def test_incremental_sync_is_o_changed_rows(spark, scratch):
+    up, idx = make_table(scratch), make_index(scratch)
+    up.commit(add_files=up.write_data_files(seed_rows(spark, 80)), batch_id=0)
+    sync_index(spark, up, idx)
+
+    # change 5 docs (newer LWW coordinates), delete 2, insert 3
+    upd = seed_rows(spark, 5, start=10, salt=999,
+                    ts="2026-02-01 00:00:00", lsn_base=10_000)
+    dead = (
+        seed_rows(spark, 2, start=30, ts="2026-02-01 00:00:00", lsn_base=20_000)
+        .withColumn("_deleted", F.lit(True))
+    )
+    new = seed_rows(spark, 3, start=500, ts="2026-02-01 00:00:00", lsn_base=30_000)
+    up.commit(add_files=up.write_data_files(upd.unionByName(new), delta=True),
+              batch_id=1)
+    up.commit(add_files=up.write_data_files(dead, delta=True), batch_id=2)
+
+    res = sync_index(spark, up, idx)
+    assert res["applied"]
+    # 5 updates + 3 inserts + 2 tombstones — never the other 73 rows
+    assert res["rows_written"] == 10
+    assert index_state(spark, idx) == expected_index(spark, up)
+    # deleted docs left the index
+    got = {r["doc_id"] for r in idx.read(spark).collect()}
+    assert "doc-00030" not in got and "doc-00031" not in got
+
+
+def test_candidates_find_near_identical_docs(spark, scratch):
+    up, idx = make_table(scratch), make_index(scratch)
+    up.commit(add_files=up.write_data_files(seed_rows(spark, 60)), batch_id=0)
+    sync_index(spark, up, idx)
+
+    # probe = doc-00020's tokens with one token appended -> near-identical
+    probe = spark.createDataFrame(
+        [("probe-a", list(range(60, 101)) + [9999]),
+         ("probe-b", list(range(90_000, 90_040)))],  # unrelated
+        "doc_id string, tokens array<int>",
+    )
+    cands = near_dup_candidates(spark, idx, probe, threshold=0.25).collect()
+    hits = {(r["probe_id"], r["doc_id"]): r["jac_est"] for r in cands}
+    assert ("probe-a", "doc-00020") in hits
+    assert hits[("probe-a", "doc-00020")] >= 0.8
+    assert not any(p == "probe-b" for p, _ in hits)
+
+
+def test_candidates_self_probe_excludes_self(spark, scratch):
+    up, idx = make_table(scratch), make_index(scratch)
+    up.commit(add_files=up.write_data_files(seed_rows(spark, 40)), batch_id=0)
+    sync_index(spark, up, idx)
+    probes = up.read(spark).select("doc_id", "tokens")
+    cands = near_dup_candidates(spark, idx, probes, threshold=0.25)
+    rows = cands.collect()
+    assert all(r["probe_id"] != r["doc_id"] for r in rows)
+    # adjacent docs share 38 of ~41 shingles -> estimates near true jaccard
+    adj = [r for r in rows
+           if abs(int(r["probe_id"][4:]) - int(r["doc_id"][4:])) == 1]
+    assert adj, "adjacent near-dups must collide in some band"
+    for r in adj:
+        assert r["jac_est"] >= 0.5
+
+
+def test_transform_missing_column_is_rejected(spark, scratch):
+    from concept_catalog_etl_spark.operators.rowview import sync_rowview
+
+    up, idx = make_table(scratch), make_index(scratch)
+    up.commit(add_files=up.write_data_files(seed_rows(spark, 5)), batch_id=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        sync_rowview(spark, up, idx, lambda df: df.select("doc_id"))
