@@ -27,6 +27,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count — ONLY for pipelines whose
+    per-row compute (shingling, char folds, hash signatures) dwarfs a
+    row-shuffle of the raw text.
+
+    Why it exists: the test parquet is ONE file with ONE row group, so the
+    scan is a single task and everything before the first shuffle runs on
+    1 of 32 cores. A 100 TB corpus scan has file-level parallelism for
+    free; this models it. Cheap scans must NOT use this — for them the
+    extra exchange costs more than it buys."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # scans / filters / projections (O1, O3, O4, O5)
 # ---------------------------------------------------------------------------
@@ -410,7 +423,7 @@ def _shingles(col, n=3):
 def q_jaccard_ngram(spark, sf, cap=2000):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.3). Quadratic
     verifier — capped input; the scale path is q_minhash_pairs (LSH)."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+    d = _spread(spark, _t(spark, sf, "documents").filter(F.col("doc_id") < cap))
     sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -470,7 +483,7 @@ def q_jaccard_ngram_gemm(spark, sf, cap=2000, n_blocks=8):
     import numpy as np
     import pandas as pd
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+    d = _spread(spark, _t(spark, sf, "documents").filter(F.col("doc_id") < cap))
     docs = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
     blk = (F.col("doc_id") % n_blocks).cast("int")
     pair_structs = F.array(*[
@@ -658,7 +671,7 @@ def q_minhash_pairs(spark, sf, cap=2000):
     rows-only check; tests/test_recall_crosschecks.py is the real gate."""
     k, bands, rows_per_band = 32, 16, 2
     p = 2_147_483_647
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+    d = _spread(spark, _t(spark, sf, "documents").filter(F.col("doc_id") < cap))
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("s")
     ).withColumn("h", F.abs(F.xxhash64("s")) % p)
@@ -745,7 +758,7 @@ def q_simhash(spark, sf):
     """SimHash document fingerprints (near-dup family; rows-only driver
     check — the hash is engine-specific xxhash64, so no SQL oracle — but
     pytest cross-checks Hamming-close pairs against q_jaccard_ngram)."""
-    d = _t(spark, sf, "documents")
+    d = _spread(spark, _t(spark, sf, "documents"))
     words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
     return d.select("doc_id", simhash64_expr(words).alias("simhash"))
 
@@ -753,7 +766,7 @@ def q_simhash(spark, sf):
 def q_fingerprint(spark, sf):
     """Rolling polynomial document fingerprint — pure JVM fold, identical
     left fold in the DuckDB oracle."""
-    d = _t(spark, sf, "documents")
+    d = _spread(spark, _t(spark, sf, "documents"))
     chars = F.regexp_extract_all(F.col("text"), F.lit("."), 0)
     codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
     fp = F.aggregate(
@@ -814,7 +827,7 @@ def q_minhash_pairs_poly(spark, sf, cap=2000):
     band hash needed). Distinctness is on the HASH value (both sides), so
     even an in-doc collision cannot diverge from the oracle."""
     k, bands = 32, 16
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+    d = _spread(spark, _t(spark, sf, "documents").filter(F.col("doc_id") < cap))
     hs = d.select(
         "doc_id",
         F.explode(
@@ -903,7 +916,7 @@ def q_simhash_poly(spark, sf):
     the exactly-checkable twin of q_simhash (same bit-vote aggregate
     pipeline as simhash64_expr, 56 bits so every intermediate stays inside
     int64 on both engines; all bit weights positive, no sign-bit case)."""
-    d = _t(spark, sf, "documents")
+    d = _spread(spark, _t(spark, sf, "documents"))
     words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
     hashes = F.transform(words, lambda w: _poly_hash_expr(w, _P56))
     bitpos = F.sequence(F.lit(0), F.lit(55))
@@ -2128,7 +2141,7 @@ def q_decontaminate(spark, sf):
     degrades gracefully to a shuffled semi-join on the shingle key, or the
     broadcast becomes a Bloom filter (false-positive-only → safe to
     over-flag then exact-verify the survivors, the GEMM-pruner pattern)."""
-    d = _t(spark, sf, "documents")
+    d = _spread(spark, _t(spark, sf, "documents"))
     words = F.split(F.lower(F.trim("text")), "\\s+")
     n = F.size(words)
     shingles = F.when(
