@@ -56,9 +56,14 @@ def _line(ev, lsn):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(events=st.lists(event_st, min_size=1, max_size=25),
        split=st.integers(1, 24), seed=st.integers(0, 10**6),
-       mode=st.sampled_from(["cow", "mor"]))
-def test_random_replay_matches_oracle(spark, events, split, seed, mode):
-    d = os.path.join(SCRATCH, f"ex_{seed}_{len(events)}_{split}_{mode}")
+       mode=st.sampled_from(["cow", "mor"]),
+       rb=st.sampled_from([0, 0, 0, 2, 7, 16]))  # 0 = no layout evolution
+def test_random_replay_matches_oracle(spark, events, split, seed, mode, rb):
+    """rb != 0 injects a bucket-layout evolution (rebucket) between the two
+    micro-batches: replay across the evolution must still converge —
+    exactly-once ledger, LWW and tombstones survive the rewrite for
+    arbitrary event mixes, not just the fixed-seed rebucket suite."""
+    d = os.path.join(SCRATCH, f"ex_{seed}_{len(events)}_{split}_{mode}_{rb}")
     shutil.rmtree(d, ignore_errors=True)
     binlog = os.path.join(d, "binlog")
     os.makedirs(binlog)
@@ -74,8 +79,16 @@ def test_random_replay_matches_oracle(spark, events, split, seed, mode):
     table = make_table(d, n_buckets=4)
     from concept_catalog_etl_spark.operators.merge import MergeConfig
 
-    metrics = replay_batch(spark, paths, table, files_per_batch=1,
-                           cfg=MergeConfig(write_mode=mode))
+    cfg = MergeConfig(write_mode=mode)
+    if rb and len(paths) > 1:
+        metrics = replay_batch(spark, paths[:1], table, files_per_batch=1, cfg=cfg)
+        table.rebucket(spark, rb)
+        metrics += replay_batch(spark, paths[1:], table, files_per_batch=1,
+                                start_batch_id=50, cfg=cfg)
+    else:
+        metrics = replay_batch(spark, paths, table, files_per_batch=1, cfg=cfg)
+        if rb:
+            table.rebucket(spark, rb)
 
     oracle_state, _schema, ostats = replay_dir(binlog)
     got = table_state(spark, table)
