@@ -48,9 +48,11 @@ def shingle_hashes(tokens_col) -> F.Column:
     idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
 
     def sh(i):
-        t1 = F.coalesce(F.element_at(tokens_col, i + 1), F.lit(0)).cast("bigint")
-        t2 = F.coalesce(F.element_at(tokens_col, i + 2), F.lit(0)).cast("bigint")
-        t3 = F.coalesce(F.element_at(tokens_col, i + 3), F.lit(0)).cast("bigint")
+        # try_element_at: windows near the tail (docs shorter than a
+        # shingle) pad with 0 instead of tripping ANSI bounds checks
+        t1 = F.coalesce(F.try_element_at(tokens_col, i + 1), F.lit(0)).cast("bigint")
+        t2 = F.coalesce(F.try_element_at(tokens_col, i + 2), F.lit(0)).cast("bigint")
+        t3 = F.coalesce(F.try_element_at(tokens_col, i + 3), F.lit(0)).cast("bigint")
         return ((t1 * 8191 + t2) % _P * 8191 + t3) % _P
 
     return F.array_distinct(F.transform(idx, sh))

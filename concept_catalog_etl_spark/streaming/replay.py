@@ -45,6 +45,7 @@ def replay_stream(
     tombstone_horizon_lsns: int | None = None,
     vacuum_retain_last: int = 8,
     source_format: str = "text",
+    sync_derived=None,
 ):
     """Structured Streaming replay.
 
@@ -71,6 +72,14 @@ def replay_stream(
     ``vacuum_retain_last`` bounds snapshot/file GC so downstream CDC
     consumers can chain ``read_changes(from_version=...)`` across at least
     that many versions (older asks raise ``VersionVacuumedError``).
+
+    ``sync_derived`` is a list of callables ``(spark) -> dict`` run at the
+    same maintenance cadence, BEFORE compaction/vacuum (they read the change
+    feed, so they must run while the versions they need are retained).
+    This is how downstream incremental views ride the ingest loop: e.g.
+    ``lambda s: neardup_index.sync_index(s, table, index)`` or an
+    aggregate-IVM ``sync_increment`` — each is itself exactly-once, so a
+    crash between tick and checkpoint only causes a skipped re-run.
     """
     if source_format == "parquet":
         # Columnar streaming source: the reader schema is fixed at query
@@ -106,6 +115,8 @@ def replay_stream(
         batch_metrics.append(m)
         applied = sum(1 for x in batch_metrics if not x.get("skipped"))
         if maintenance_every and applied and applied % maintenance_every == 0:
+            for sync in sync_derived or []:
+                sync(df.sparkSession)
             expire_below = None
             if tombstone_horizon_lsns is not None:
                 offsets = table.properties().get("lineage_offsets", {})

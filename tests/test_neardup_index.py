@@ -134,3 +134,25 @@ def test_transform_missing_column_is_rejected(spark, scratch):
     up.commit(add_files=up.write_data_files(seed_rows(spark, 5)), batch_id=0)
     with pytest.raises(ValueError, match="lacks columns"):
         sync_rowview(spark, up, idx, lambda df: df.select("doc_id"))
+
+
+def test_index_rides_streaming_maintenance(spark, scratch):
+    """The index stays live inside the streaming ingest loop: sync_derived
+    hooks run at maintenance cadence and the final index equals a batch
+    recompute of the final table state."""
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+    up, idx = make_table(scratch), make_index(scratch)
+    blog = os.path.join(scratch, "binlog")
+    generate_binlog(blog, n_events=2000, n_docs=150, n_files=4, seed=3)
+    replay_stream(
+        spark, blog, up,
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=1,
+        maintenance_every=2,
+        sync_derived=[lambda s: sync_index(s, up, idx)],
+    )
+    # the final tick may not land on the last batch — one explicit catch-up
+    sync_index(spark, up, idx)
+    assert index_state(spark, idx) == expected_index(spark, up)
