@@ -1,0 +1,86 @@
+"""The north-star launch contract, driven for real: ``python package_zip.py``
+then ``spark-submit --py-files dist/engine.zip submit_main.py`` in a fresh
+JVM from a NEUTRAL working directory — the zip must be the only thing
+providing the package (catches files missing from the zip, relative-path
+assumptions, import-time cwd dependence). Final state is checked against
+the pure-Python oracle; a second identical submit must be a no-op
+(exactly-once ledger across PROCESS restarts, not just session reuse)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from concept_catalog_etl_spark import oracle
+from concept_catalog_etl_spark.lakehouse import LakeTable
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from tests.helpers import table_state
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(
+    os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not present"
+)
+def test_spark_submit_py_files_end_to_end(spark, scratch):
+    import shutil
+
+    from package_zip import build
+
+    zip_path = build(os.path.join(scratch, "engine.zip"))
+    # copy the entry script too: spark-submit adds the primary script's dir
+    # to the path, so submitting it from the repo would leak the package in
+    entry = shutil.copy(os.path.join(REPO, "submit_main.py"), scratch)
+    blog = os.path.join(scratch, "binlog")
+    paths = generate_binlog(blog, n_events=1500, n_docs=120, n_files=3, seed=21)
+    table_root = os.path.join(scratch, "lake")
+
+    def submit():
+        env = dict(os.environ)
+        # neutral cwd + no repo on PYTHONPATH: the zip must carry the engine
+        env.pop("PYTHONPATH", None)
+        env["SPARK_GRAFT_NO_REPO"] = "1"
+        return subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", zip_path,
+                entry,
+                "--binlog-dir", blog,
+                "--table", table_root,
+                "--checkpoint", os.path.join(scratch, "ckpt"),
+                "--mode", "batch",
+                "--n-buckets", "8",
+                "--files-per-batch", "2",
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd=scratch, env=env,
+        )
+
+    r1 = submit()
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    out = [l for l in r1.stdout.splitlines() if l.startswith("{")]
+    assert out, r1.stdout[-2000:]
+    v1 = json.loads(out[-1])["table_version"]
+
+    table = LakeTable(table_root)
+    want, _schema, _stats = oracle.replay(paths)
+    got = table_state(spark, table)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k]["tokens"] == list(v["tokens"]), k
+
+    # resubmitting the same binlog in a NEW process must be ledger-skipped
+    r2 = submit()
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    v2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])[
+        "table_version"
+    ]
+    assert v2 == v1, "replayed batches must be skipped by the ledger"
+    assert table_state(spark, table) == got
