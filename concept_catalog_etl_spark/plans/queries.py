@@ -2453,6 +2453,68 @@ GROUP BY doc_id
 """
 
 
+def q_token_drift(spark, sf):
+    """Per-source token-distribution drift: KL(p_source ‖ p_corpus) over the
+    unigram distributions — the data-mixing health check (a source whose
+    distribution drifts from the corpus is over/under-represented or broken
+    upstream). Sources partition the corpus, so p_corpus(w) > 0 wherever
+    p_source(w) > 0 and the KL is finite by construction.
+
+    Scale shape: three map-side-combinable counts; the corpus vocab and the
+    per-source totals are language-bounded → broadcast; the only shuffled
+    row set is (source, word) counts. Determinism across engines: the same
+    fixed-point snap as q_unigram_logprob — ln(sc·tot/(st·c)) is snapped to
+    round(·1e6) BIGINT, weighted by the exact integer count sc, summed as
+    integers, divided once at the end. KL = Σ_w (sc/st)·ln((sc/st)/(c/tot))."""
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("word"),
+    )
+    sc = w.groupBy("source", "word").agg(F.count("*").alias("sc"))
+    st = w.groupBy("source").agg(F.count("*").alias("st"))
+    c = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = w.count()  # O(1) driver scalar: corpus mass
+    j = sc.join(F.broadcast(c), "word").join(F.broadcast(st), "source")
+    ln_e6 = F.round(
+        F.log((F.col("sc") * F.lit(float(tot))) / (F.col("st") * F.col("c"))) * 1e6, 0
+    ).cast("bigint")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.min("st").cast("bigint").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.round(F.sum(ln_e6 * F.col("sc")) / (F.min("st") * 1e6), 4).alias("kl"),
+        )
+        .select("source", "n_words", "n_types", "kl")
+    )
+
+
+SQL_TOKEN_DRIFT = r"""
+WITH w AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), sc AS (
+  SELECT source, word, COUNT(*) AS sc FROM w GROUP BY 1, 2
+), st AS (
+  SELECT source, COUNT(*) AS st FROM w GROUP BY 1
+), c AS (
+  SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+), t AS (
+  SELECT COUNT(*) AS tot FROM w
+)
+SELECT source,
+       MIN(st) AS n_words,
+       COUNT(*) AS n_types,
+       round(SUM(CAST(round(ln((sc * 1.0 * tot) / (1.0 * st * c)) * 1000000, 0)
+                      AS BIGINT) * sc)
+             / (MIN(st) * 1000000.0), 4) AS kl
+FROM sc JOIN c USING (word) JOIN st USING (source) CROSS JOIN t
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2512,6 +2574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition_stats": q_repetition_stats,
     "q_quality_gate": q_quality_gate,
     "q_unigram_logprob": q_unigram_logprob,
+    "q_token_drift": q_token_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -2570,4 +2633,5 @@ ORACLES: dict[str, str] = {
     "q_repetition_stats": SQL_REPETITION_STATS,
     "q_quality_gate": SQL_QUALITY_GATE,
     "q_unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "q_token_drift": SQL_TOKEN_DRIFT,
 }
