@@ -852,12 +852,63 @@ class LakeTable:
         return df.filter(F.col(key).isin(keys))
 
     # --------------------------------------------------------- change feed
+    def _window_candidate_keys(
+        self, spark: SparkSession, from_v: int, to_v: int, cap: int
+    ) -> list | None:
+        """Candidate changed keys for the (from_v, to_v] window, from
+        WINDOW-ADDED files only — a metadata walk plus an O(window-writes)
+        key-column scan, never a table scan.
+
+        Sound by the SYMMETRIC DIFFERENCE of the endpoint file sets: a
+        snapshot's state is a deterministic resolve over its referenced
+        files, so if every file containing a key is referenced by BOTH
+        snapshots, the key's row-version multiset — hence its resolved
+        state — is identical. A changed key therefore appears in some file
+        referenced by exactly one endpoint. This covers every mutation
+        shape at once: upserts/tombstones (new files), rollback
+        (de-referenced files), tombstone expiry and compaction (both
+        sides of the rewrite). Returns [] when the endpoints reference the
+        same files, or None — caller falls back to the full snapshot
+        diff — when the difference is too large for a key-list plan
+        (candidate rows > 50x cap or distinct keys > cap, e.g. after bulk
+        rewrites) or a snapshot was vacuumed."""
+        try:
+            old_files = {f["path"]: f for f in self.files(snap=self.snapshot(from_v))}
+            new_files = {f["path"]: f for f in self.files(snap=self.snapshot(to_v))}
+        except VersionVacuumedError:
+            return None
+        sym = [f for p, f in old_files.items() if p not in new_files]
+        sym += [f for p, f in new_files.items() if p not in old_files]
+        if not sym:
+            return []
+        if sum(f.get("rows", 0) for f in sym) > 50 * cap:
+            return None
+        # the key column's physical name can differ per file (renames):
+        # resolve by field id, group files by name, one column-pruned scan
+        # per group
+        kid = str(TableSchema.from_json(self.snapshot(to_v)["schema"]).key_field_id)
+        by_name: dict[str, list[str]] = {}
+        for f in sym:
+            name = (f.get("name_by_id") or {}).get(kid)
+            if name is None:
+                return None
+            by_name.setdefault(name, []).append(os.path.join(self.root, f["path"]))
+        kdf = None
+        for name, paths in by_name.items():
+            part = spark.read.parquet(*paths).select(F.col(name).alias("k"))
+            kdf = part if kdf is None else kdf.union(part)
+        rows = kdf.distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        return [r["k"] for r in rows]
+
     def read_changes(
         self,
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
         include_preimage: bool = False,
+        max_candidate_keys: int = 20_000,
     ) -> DataFrame:
         """Change-data-feed between two snapshots (Iceberg incremental scan /
         Delta CDF analog): one row per key whose live state differs, with
@@ -878,7 +929,23 @@ class LakeTable:
         old contribution (see ``operators/incremental.py``). Old columns are
         matched to new names by field id, so renames/widens between the two
         versions are safe; a column added after ``from_version`` has a NULL
-        preimage."""
+        preimage.
+
+        Scale path: the diff is pruned to CANDIDATE KEYS harvested from
+        window-added files (``_window_candidate_keys``) — both snapshot
+        reads become bucket+minmax+bloom-pruned point scans filtered to the
+        key list, so a small sync window against a huge table costs
+        O(window), not O(table). Windows too large for a key list (bulk
+        rewrites, rebucket, vacuumed history) fall back to the full
+        snapshot diff automatically; ``max_candidate_keys=0`` forces the
+        full diff."""
+        if to_version is None:
+            to_version = self.current_version()
+        cand: list | None = None
+        if max_candidate_keys:
+            cand = self._window_candidate_keys(
+                spark, from_version, to_version, max_candidate_keys
+            )
         # the key column may have been RENAMED between the two versions —
         # resolve each side's key name from that version's own schema (ids
         # are stable) and alias both to the new-side name before the join
@@ -893,9 +960,19 @@ class LakeTable:
         def side(version, alias):
             side_schema = TableSchema.from_json(self.snapshot(version)["schema"])
             by_id = side_schema.name_by_id()
+            if cand is not None:
+                # key-list plan: bloom/minmax file pruning + exact filter —
+                # or an instantly-empty side when the window wrote nothing
+                kw = {"keys": cand} if cand else {"buckets": set()}
+            else:
+                kw = {}
             df = self.read(
-                spark, version=version, with_system_cols=True, include_deleted=True
+                spark, version=version, with_system_cols=True,
+                include_deleted=True, **kw,
             )
+            if cand:
+                side_key = by_id[to_schema.key_field_id]
+                df = df.filter(F.col(side_key).isin(cand))
             # payload selected by FIELD ID and emitted under the new-side
             # names/types, so both sides of the join line up across renames
             # and widens; fields the side predates become NULL
