@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q_vocab_topk",
     "q_sample_fixed_k",
     "q_dedup_normalized",
+    "q_token_drift",
 ]
 
 

@@ -773,15 +773,35 @@ class LakeTable:
                 parts.append(raw.select(cols))
             return reduce(DataFrame.unionByName, parts)
 
+        def _restrict(df: DataFrame) -> DataFrame:
+            """Exact key restriction, applied BEFORE any MoR resolve — a
+            filter on the group key commutes with per-key LWW resolution,
+            so only the restricted keys' row versions are shuffled. Small
+            lists inline as a pushable predicate; large lists broadcast-
+            semi-join instead, so the plan never embeds thousands of
+            literals (an isin of 2k strings measured ~2.5x slower than the
+            equivalent semi-join)."""
+            if keys is None:
+                return df
+            kname = schema.key_name
+            if len(keys) <= 64:
+                return df.filter(F.col(kname).isin(list(keys)))
+            ktype = parse_type(schema.field_by_id(schema.key_field_id).type)
+            kdf = spark.createDataFrame(
+                [(k,) for k in keys],
+                T.StructType([T.StructField(kname, ktype)]),
+            )
+            return df.join(F.broadcast(kdf), kname, "left_semi")
+
         outs: list[DataFrame] = []
         if base_files:
             outs.append(
-                scan(base_files, need_sys=with_system_cols,
-                     push_tombstone=need_tombstone_filter)
+                _restrict(scan(base_files, need_sys=with_system_cols,
+                               push_tombstone=need_tombstone_filter))
             )
         if resolve_files:
             key = schema.key_name
-            rs = scan(resolve_files, need_sys=True, push_tombstone=False)
+            rs = _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
             others = [c for c in rs.columns if c != key]
             # null ordering state (pre-MoR base rows) sorts below any real
             # (ts, lsn) — same EPOCH/-1 floor the merge uses for pseudo-rows
@@ -961,8 +981,9 @@ class LakeTable:
             side_schema = TableSchema.from_json(self.snapshot(version)["schema"])
             by_id = side_schema.name_by_id()
             if cand is not None:
-                # key-list plan: bloom/minmax file pruning + exact filter —
-                # or an instantly-empty side when the window wrote nothing
+                # key-list plan: bloom file pruning + exact pre-resolve
+                # restriction inside read() — or an instantly-empty side
+                # when the window wrote nothing
                 kw = {"keys": cand} if cand else {"buckets": set()}
             else:
                 kw = {}
@@ -970,9 +991,6 @@ class LakeTable:
                 spark, version=version, with_system_cols=True,
                 include_deleted=True, **kw,
             )
-            if cand:
-                side_key = by_id[to_schema.key_field_id]
-                df = df.filter(F.col(side_key).isin(cand))
             # payload selected by FIELD ID and emitted under the new-side
             # names/types, so both sides of the join line up across renames
             # and widens; fields the side predates become NULL
