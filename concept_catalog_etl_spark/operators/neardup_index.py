@@ -108,12 +108,22 @@ def near_dup_candidates(
     rows_per_band: int = 2,
     threshold: float = 0.25,
     broadcast_probes: bool = True,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Banded-LSH candidate lookup: for each probe document (doc_id, tokens)
     return indexed docs sharing any band, with the signature-estimate
     Jaccard, filtered to ``threshold``. Probe signatures are computed on the
     fly (the probe set is typically an incoming batch, not yet indexed);
-    self-matches are excluded so an indexed batch can probe itself."""
+    self-matches are excluded so an indexed batch can probe itself.
+
+    ``max_bucket_size`` drops DEGENERATE index buckets (a (band, values)
+    key holding more than that many docs — boilerplate/empty-doc clusters)
+    before the join: one hot bucket of b docs emits b candidates per
+    matching probe, so an unbounded bucket turns the lookup quadratic at
+    corpus scale (standard LSH hygiene; the docs in a dropped bucket still
+    collide with probes in their other 15 bands, so recall degrades only
+    for docs near-identical to >max_bucket_size others — which are exactly
+    the docs exact-dedup already removes)."""
     assert bands * rows_per_band <= K
     idx = index.read(spark).select("doc_id", "mh")
     pr = probes.select(
@@ -121,6 +131,15 @@ def near_dup_candidates(
         minhash_signature(F.col("tokens")).alias("pmh"),
     )
     ib = _banded(idx, "doc_id", "mh", bands, rows_per_band)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", *[f"v{r}" for r in range(rows_per_band)])
+        ib = (
+            ib.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     pb = _banded(
         pr.select(F.col("probe_id").alias("doc_id"), F.col("pmh").alias("mh")),
         "probe_id", "mh", bands, rows_per_band,

@@ -156,3 +156,29 @@ def test_index_rides_streaming_maintenance(spark, scratch):
     # the final tick may not land on the last batch — one explicit catch-up
     sync_index(spark, up, idx)
     assert index_state(spark, idx) == expected_index(spark, up)
+
+
+def test_hot_bucket_cap_bounds_candidates(spark, scratch):
+    """A degenerate cluster (many near-identical docs) must not turn the
+    lookup quadratic: with the cap under the cluster size, its buckets are
+    dropped and its docs emit no candidates; with the cap above, they do."""
+    up, idx = make_table(scratch), make_index(scratch)
+    # 50 identical docs (one LSH bucket of 50 in every band) + normal docs
+    same = spark.range(50).select(
+        F.format_string("dup-%05d", F.col("id")).alias("doc_id"),
+        F.sequence(F.lit(7), F.lit(47)).cast("array<int>").alias("tokens"),
+        F.lit(41).alias("n_tok"), F.lit("crawl").alias("source"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+        F.col("id").alias("_lsn"),
+    )
+    up.commit(add_files=up.write_data_files(
+        seed_rows(spark, 20, lsn_base=1000).unionByName(same)), batch_id=0)
+    sync_index(spark, up, idx)
+    probe = spark.createDataFrame(
+        [("probe-dup", list(range(7, 48)))], "doc_id string, tokens array<int>"
+    )
+    capped = near_dup_candidates(spark, idx, probe, max_bucket_size=10).collect()
+    assert not any(r["doc_id"].startswith("dup-") for r in capped)
+    uncapped = near_dup_candidates(spark, idx, probe, max_bucket_size=None).collect()
+    dups = [r for r in uncapped if r["doc_id"].startswith("dup-")]
+    assert len(dups) == 50 and all(r["jac_est"] == 1.0 for r in dups)
