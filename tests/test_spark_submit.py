@@ -84,3 +84,75 @@ def test_spark_submit_py_files_end_to_end(spark, scratch):
     ]
     assert v2 == v1, "replayed batches must be skipped by the ledger"
     assert table_state(spark, table) == got
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not present"
+)
+def test_kill9_mid_replay_then_resume_converges(spark, scratch):
+    """Crash-resume at the PROCESS level: SIGKILL the whole spark-submit
+    process group mid-replay (no JVM shutdown hooks, no finally blocks —
+    the only guarantees left are the atomic snapshot pointer swap and the
+    batch-id ledger), then rerun the identical job. The resumed run must
+    skip every batch the killed run landed, apply the rest exactly once,
+    and converge to the oracle state."""
+    import signal
+    import subprocess
+    import time
+
+    import shutil as sh
+
+    from package_zip import build
+
+    zip_path = build(os.path.join(scratch, "engine.zip"))
+    entry = sh.copy(os.path.join(REPO, "submit_main.py"), scratch)
+    blog = os.path.join(scratch, "binlog")
+    paths = generate_binlog(blog, n_events=60_000, n_docs=800, n_files=40, seed=33)
+    table_root = os.path.join(scratch, "lake")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    args = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path, entry,
+        "--binlog-dir", blog, "--table", table_root,
+        "--checkpoint", os.path.join(scratch, "ckpt"),
+        "--mode", "batch", "--n-buckets", "8", "--files-per-batch", "1",
+    ]
+
+    proc = subprocess.Popen(
+        args, cwd=scratch, env=env, start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # wait until a few batches have landed, then kill -9 the process group
+    deadline = time.time() + 240
+    killed_at = None
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill — still a valid (weaker) run
+        try:
+            v = LakeTable(table_root).current_version()
+        except Exception:
+            v = 0
+        if v >= 3:
+            os.killpg(proc.pid, signal.SIGKILL)
+            killed_at = v
+            break
+        time.sleep(0.05)
+    proc.wait()
+    assert killed_at is not None, "replay finished before the kill window"
+    assert killed_at < len(paths), "kill must land mid-replay"
+
+    r = subprocess.run(args, cwd=scratch, env=env, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    table = LakeTable(table_root)
+    # every batch landed exactly once: one commit per batch, none re-applied
+    assert table.current_version() == len(paths)
+    assert all(table.is_committed(b) for b in range(len(paths)))
+    want, _schema, _stats = oracle.replay(paths)
+    got = table_state(spark, table)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k]["tokens"] == list(v["tokens"]), k
