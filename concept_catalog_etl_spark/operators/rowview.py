@@ -61,6 +61,12 @@ def sync_rowview(
     columns, changed rows only) to derived rows carrying the key plus every
     downstream payload column; it must be deterministic and row-local
     (one output row per input key) for the view semantics to hold.
+
+    A view that lags past the upstream's vacuum retention cannot read its
+    change window any more — the sync raises ``VersionVacuumedError``
+    loudly (silently skipping would diverge forever); the recovery path is
+    ``rebuild_rowview``, which re-derives the whole view from the live
+    snapshot and resets the watermark.
     """
     to_v = upstream.current_version()
     from_v = int(downstream.properties().get("rowview_upstream_version", 0))
@@ -107,4 +113,54 @@ def sync_rowview(
         "from_version": from_v,
         "to_version": to_v,
         "rows_written": n_rows,
+    }
+
+
+def rebuild_rowview(
+    spark: SparkSession,
+    upstream: LakeTable,
+    downstream: LakeTable,
+    transform: Callable[[DataFrame], DataFrame],
+    writer_id: str = "rowview",
+) -> dict:
+    """Full re-derivation — the recovery path when the incremental window
+    is gone (the view lagged past the upstream's vacuum retention) or the
+    transform itself changed. One O(table) pass over the LIVE upstream
+    snapshot: derived rows land as a fresh COPY-ON-WRITE of every bucket
+    (``remove_buckets`` = all), which atomically supersedes whatever
+    partial state the view held — stale rows, tombstones, all of it.
+    The watermark resets to the rebuilt version in the same commit, so the
+    next ``sync_rowview`` resumes incrementally from there."""
+    to_v = upstream.current_version()
+    key = downstream.schema().key_name
+    out_fields = [f for f in downstream.schema().fields if f.name != key]
+    live = upstream.read(spark)
+    derived = transform(live)
+    missing = {key, *[f.name for f in out_fields]} - set(derived.columns)
+    if missing:
+        raise ValueError(f"transform output lacks columns: {sorted(missing)}")
+    rows = (
+        derived.select(
+            F.col(key),
+            *[F.col(f.name).cast(parse_type(f.type)).alias(f.name) for f in out_fields],
+        )
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_event_ts", F.timestamp_seconds(F.lit(to_v)))
+        .withColumn("_lsn", F.lit(to_v).cast("long"))
+    )
+    expect = downstream.current_version()
+    files = downstream.write_data_files(rows, sort_within=True)
+    downstream.commit_with_retry(
+        add_files=files,
+        remove_buckets=set(range(downstream.n_buckets())),
+        batch_id=to_v,
+        writer_id=writer_id,
+        expect_version=expect,
+        extra_props={"rowview_upstream_version": to_v},
+    )
+    return {
+        "applied": True,
+        "rebuilt": True,
+        "to_version": to_v,
+        "rows_written": sum(f["rows"] for f in files),
     }

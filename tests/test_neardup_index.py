@@ -182,3 +182,41 @@ def test_hot_bucket_cap_bounds_candidates(spark, scratch):
     uncapped = near_dup_candidates(spark, idx, probe, max_bucket_size=None).collect()
     dups = [r for r in uncapped if r["doc_id"].startswith("dup-")]
     assert len(dups) == 50 and all(r["jac_est"] == 1.0 for r in dups)
+
+
+def test_lagged_view_fails_loudly_then_rebuilds(spark, scratch):
+    """A view that lags past the upstream's vacuum retention cannot sync
+    incrementally — it must raise (silent skip would diverge forever) and
+    recover via rebuild_rowview, after which incremental sync resumes."""
+    import pytest as _pytest
+
+    from concept_catalog_etl_spark.lakehouse.table import VersionVacuumedError
+    from concept_catalog_etl_spark.operators.neardup_index import signature_transform
+    from concept_catalog_etl_spark.operators.rowview import rebuild_rowview
+
+    up, idx = make_table(scratch), make_index(scratch)
+    up.commit(add_files=up.write_data_files(seed_rows(spark, 60)), batch_id=0)
+    sync_index(spark, up, idx)
+
+    # churn the upstream far past the retention window while the view sleeps
+    for i in range(12):
+        upd = seed_rows(spark, 3, start=i * 3, salt=100 + i,
+                        ts="2026-03-01 00:00:00", lsn_base=50_000 + i * 10)
+        up.commit(add_files=up.write_data_files(upd, delta=True), batch_id=10 + i)
+    up.vacuum(retain_last=2, orphan_grace_sec=0)
+
+    with _pytest.raises(VersionVacuumedError):
+        sync_index(spark, up, idx)
+
+    res = rebuild_rowview(spark, up, idx, signature_transform,
+                          writer_id="neardup_index")
+    assert res["rebuilt"] and res["rows_written"] == 60
+    assert index_state(spark, idx) == expected_index(spark, up)
+
+    # incremental resumes from the rebuilt watermark
+    upd = seed_rows(spark, 2, start=0, salt=999,
+                    ts="2026-04-01 00:00:00", lsn_base=90_000)
+    up.commit(add_files=up.write_data_files(upd, delta=True), batch_id=40)
+    res2 = sync_index(spark, up, idx)
+    assert res2["applied"] and not res2.get("rebuilt") and res2["rows_written"] == 2
+    assert index_state(spark, idx) == expected_index(spark, up)
