@@ -71,6 +71,16 @@ def main() -> None:
         build_s = time.time() - t0
         assert r["rows_written"] == N_DOCS
 
+        # steady state: compacted (key-sorted + bloom'd) bases, so the
+        # incremental sync's endpoint reads are file-pruned the way a
+        # long-running table's would be
+        while up.compact(spark, max_files_per_bucket=1,
+                         max_buckets_per_run=64)["buckets_compacted"]:
+            pass
+        while idx.compact(spark, max_files_per_bucket=1,
+                          max_buckets_per_run=64)["buckets_compacted"]:
+            pass
+
         # steady-state churn: CHANGED docs get new content
         upd = docs_df(spark, CHANGED, start=1000, salt=977, lsn_base=10_000_000)
         up.commit(add_files=up.write_data_files(upd, delta=True), batch_id=1)
