@@ -2453,6 +2453,56 @@ GROUP BY doc_id
 """
 
 
+# PII patterns shared by the Spark plan and the DuckDB oracle — restricted
+# to syntax Java regex and RE2 interpret identically (no lookaround, no
+# backrefs; \b and character classes behave the same in both)
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\+[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def q_redact_pii(spark, sf):
+    """PII redaction pass — the standard pre-training cleaning step: mask
+    emails, IPv4 addresses and international-format phone numbers with
+    typed placeholders, and count what was masked (the redaction-rate
+    metric a pipeline monitors). Row-local JVM regexp_replace — no
+    shuffle, no Python; at 100 TB this runs at scan speed inside the same
+    stage as any other per-row transform. The cleaned text is emitted as a
+    fingerprint (md5) so the comparison pins the exact output bytes
+    without shipping full documents."""
+    d = _t(spark, sf, "documents")
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+    n_ip = F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        n_email.cast("bigint").alias("n_email"),
+        n_ip.cast("bigint").alias("n_ip"),
+        n_phone.cast("bigint").alias("n_phone"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+SQL_REDACT_PII = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ip,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_fp
+FROM documents
+"""
+
+
 def q_token_drift(spark, sf):
     """Per-source token-distribution drift: KL(p_source ‖ p_corpus) over the
     unigram distributions — the data-mixing health check (a source whose
@@ -2575,6 +2625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_gate": q_quality_gate,
     "q_unigram_logprob": q_unigram_logprob,
     "q_token_drift": q_token_drift,
+    "q_redact_pii": q_redact_pii,
 }
 
 ORACLES: dict[str, str] = {
@@ -2634,4 +2685,5 @@ ORACLES: dict[str, str] = {
     "q_quality_gate": SQL_QUALITY_GATE,
     "q_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "q_token_drift": SQL_TOKEN_DRIFT,
+    "q_redact_pii": SQL_REDACT_PII,
 }

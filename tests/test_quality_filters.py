@@ -66,3 +66,49 @@ def test_unigram_logprob_partition_invariant(spark):
     b = {r.doc_id: (r.mean_logp, r.rarest_count)
          for r in q_unigram_logprob(spark, SF).repartition(17).collect()}
     assert a == b
+
+
+def test_redact_pii_masks_and_counts(spark, scratch):
+    """The driver corpus contains no PII shapes (the oracle check there
+    pins identity behavior), so this pins the actual redaction: emails,
+    IPv4s and international phone numbers are masked with typed
+    placeholders and counted, everything else is byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from concept_catalog_etl_spark.plans.queries import QUERIES
+
+    rows = [
+        (0, "contact me at jo.doe+spam@example.org or admin@sub.host.io thanks"),
+        (1, "server 10.0.255.7 replied; backup at 192.168.1.1."),
+        (2, "call +47 22 44 66 88 (office) today"),
+        (3, "nothing to hide here"),
+        (4, "mixed: a@b.co from 8.8.8.8 dial +1 (555) 123-4567 now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("crawl").alias("source"), F.length("text").alias("n_chars"),
+    )
+    d = os.path.join(scratch, "sf")
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in QUERIES["q_redact_pii"](spark, d).collect()}
+
+    assert (out[0]["n_email"], out[0]["n_ip"], out[0]["n_phone"]) == (2, 0, 0)
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (0, 2, 0)
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 1)
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    assert (out[4]["n_email"], out[4]["n_ip"]) == (1, 1)
+
+    # the fingerprint is of the MASKED text: identical to hashing the
+    # expected redacted strings
+    import hashlib
+
+    expect = {
+        0: "contact me at <EMAIL> or <EMAIL> thanks",
+        1: "server <IP> replied; backup at <IP>.",
+        2: "call <PHONE> (office) today",
+        3: "nothing to hide here",
+    }
+    for i, exp in expect.items():
+        assert out[i]["clean_fp"] == hashlib.md5(exp.encode()).hexdigest(), i
