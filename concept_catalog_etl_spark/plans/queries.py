@@ -804,7 +804,12 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 _P31 = 2_147_483_647  # shingle-hash modulus (fits h*131+c and h*65+7919*31)
-_P56 = 72_057_594_037_927_931  # 2^56-5: keeps acc*131+c inside int64
+# Largest prime with (p-1)*131 + 127 <= 2^63-1, so the fold step acc*131+c
+# can never overflow int64 for ANY residue acc < p (2^56-5 violated this:
+# residues above ~2^63/131 wrapped silently in Spark's non-ANSI arithmetic
+# while DuckDB computed exactly). Still a 56-bit prime, so all 56 sig bits
+# stay live.
+_P56 = 70_407_420_128_662_391
 
 
 def _poly_hash_expr(s, mod):
