@@ -65,7 +65,16 @@ def main() -> None:
         if not use_bloom:  # strip the flag so _bloom_maybe keeps everything
             stripped = [dict(f, bloom=False) for f in files]
             orig = table.files
-            table.files = lambda *a, **k: stripped  # type: ignore[method-assign]
+
+            # must still honor the buckets argument: the arm under test is
+            # "bucket + min/max pruning, no bloom" — ignoring buckets would
+            # also disable bucket pruning and overstate the bloom speedup
+            def patched(version=None, buckets=None, snap=None):
+                if buckets is None:
+                    return stripped
+                return [f for f in stripped if f["bucket"] in buckets]
+
+            table.files = patched  # type: ignore[method-assign]
         t0 = time.perf_counter()
         total = 0
         for k in lookups:

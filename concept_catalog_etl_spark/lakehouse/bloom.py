@@ -37,8 +37,15 @@ _KEY1 = "cc-etl-bloom-k1!"
 _KEY2 = "cc-etl-bloom-k2!"
 
 
-def _hash_lanes(keys: list[str] | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    arr = np.asarray(keys, dtype=object)
+def _hash_lanes(keys: list | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # Canonicalize to str HERE, not at call sites: the build side hashes
+    # str(v) of parquet values while probes arrive as the caller's raw
+    # (possibly int) key values — hashing different types for the same
+    # logical key would produce bloom FALSE NEGATIVES, i.e. silently
+    # dropped rows from point lookups on non-string key columns.
+    arr = np.asarray(
+        [k if isinstance(k, str) else str(k) for k in keys], dtype=object
+    )
     h1 = pd.util.hash_array(arr, hash_key=_KEY1)
     # odd stride → the probe sequence walks the full power-of-two ring
     h2 = pd.util.hash_array(arr, hash_key=_KEY2) | np.uint64(1)

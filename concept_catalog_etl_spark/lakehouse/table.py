@@ -263,12 +263,14 @@ class LakeTable:
             # every write in via the bloom_on_write property.
             with_bloom = sort_within or bool(self.properties().get("bloom_on_write"))
         return self._collect_file_entries(
-            rel_dir, schema, key, delta=delta, with_bloom=with_bloom
+            rel_dir, schema, key, delta=delta, with_bloom=with_bloom,
+            layout_nb=nb,
         )
 
     def _collect_file_entries(self, rel_dir: str, schema: TableSchema, key: str,
                               delta: bool = False,
-                              with_bloom: bool = False) -> list[dict]:
+                              with_bloom: bool = False,
+                              layout_nb: int | None = None) -> list[dict]:
         import pyarrow.parquet as pq
 
         entries: list[dict] = []
@@ -349,6 +351,10 @@ class LakeTable:
                         "min_lsn": min_lsn,
                         **({"delta": True} if delta else {}),
                         **({"bloom": True} if has_bloom else {}),
+                        # bucket layout these files were hashed against —
+                        # commit() refuses files staged for a different
+                        # n_buckets (closes the stage→commit rebucket window)
+                        **({"layout_nb": layout_nb} if layout_nb else {}),
                     }
                 )
         return entries
@@ -384,6 +390,20 @@ class LakeTable:
             raise RuntimeError(
                 f"concurrent commit: expected v{expect_version}, found v{snap['version']}"
             )
+        # Layout-integrity gate: files carry the n_buckets they were hashed
+        # against at staging time. An append staged under the old layout but
+        # committed after a rebucket would pass version validation (appends
+        # use expect_version=None) yet mis-bucket every row for pruning —
+        # this check closes that stage→commit window atomically.
+        want_nb = new_n_buckets if new_n_buckets is not None else int(snap["n_buckets"])
+        for f in add_files or []:
+            fnb = f.get("layout_nb")
+            if fnb is not None and fnb != want_nb:
+                raise CommitConflictError(
+                    f"data files staged for a {fnb}-bucket layout but the "
+                    f"table now has {want_nb} buckets — rewrite the batch's "
+                    "data files against the current layout"
+                )
         if new_n_buckets is not None:
             return self._commit_new_layout(
                 snap, new_n_buckets, add_files or [], extra_props
@@ -857,19 +877,29 @@ class LakeTable:
         if not keys:
             return self.read(spark, buckets=set(), with_system_cols=with_system_cols)
         nb = self.n_buckets()
+        schema = self.schema()
+        key = schema.key_name
+        ktype = parse_type(schema.field_by_id(schema.key_field_id).type)
         # same pmod(xxhash64) the writer used — computed Spark-side so the
-        # driver never re-implements the hash (one tiny local job)
-        kdf = spark.createDataFrame([(k,) for k in keys], "k string")
-        buckets = {
-            r["b"] for r in kdf.select(bucket_expr("k", nb).alias("b")).distinct().collect()
-        }
-        key = self.schema().key_name
-        lo, hi = min(keys), max(keys)
+        # driver never re-implements the hash (one tiny local job). The
+        # probe MUST hash at the key column's declared type: xxhash64("57")
+        # != xxhash64(57L), so hashing a stringified int key would prune to
+        # the wrong buckets and silently drop rows on non-string keys.
+        kdf = spark.createDataFrame(
+            [(str(k) if k is not None else None,) for k in keys], "k string"
+        ).select(F.col("k").cast(ktype).alias("k"))
+        # the same tiny job also returns the TYPED key values: they feed
+        # the min/max bounds, bloom probes and exact filter, so a caller
+        # passing "57" against a bigint key behaves like 57
+        rows = kdf.select("k", bucket_expr("k", nb).alias("b")).distinct().collect()
+        buckets = {r["b"] for r in rows}
+        vals = [r["k"] for r in rows if r["k"] is not None]
+        lo, hi = (min(vals), max(vals)) if vals else (None, None)
         df = self.read(
             spark, buckets=buckets, key_min=lo, key_max=hi,
-            with_system_cols=with_system_cols, keys=keys,
+            with_system_cols=with_system_cols, keys=vals or keys,
         )
-        return df.filter(F.col(key).isin(keys))
+        return df.filter(F.col(key).isin(vals or keys))
 
     # --------------------------------------------------------- change feed
     def _window_candidate_keys(

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.vector import cap_hot_buckets, dot as _dot
 from ..lakehouse.table import LakeTable
 from .rowview import sync_rowview
 
@@ -36,14 +37,6 @@ SEED = 42
 def _planes(n_tables: int = N_TABLES, bits: int = BITS, dim: int = DIM,
             seed: int = SEED) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_tables * bits, dim))
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
 
 
 def _codes_expr(emb_col, planes: np.ndarray, n_tables: int, bits: int):
@@ -107,11 +100,8 @@ def ann_candidates(
         ])
         return df.select(id_col, F.explode(arr).alias("x")).select(id_col, "x.*")
 
-    ib = banded(idx, "doc_id", "codes")
-    if max_bucket_size is not None:
-        w = Window.partitionBy("tbl", "code")
-        ib = (ib.withColumn("_bsz", F.count("*").over(w))
-                .where(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+    ib = cap_hot_buckets(banded(idx, "doc_id", "codes"), ["tbl", "code"],
+                         max_bucket_size)
     pb = banded(pr.withColumnRenamed("probe_id", "doc_id")
                   .withColumnRenamed("pcodes", "codes"), "doc_id", "codes") \
         .withColumnRenamed("doc_id", "probe_id")

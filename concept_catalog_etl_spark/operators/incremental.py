@@ -106,7 +106,16 @@ def apply_deltas(
         deltas = deltas.withColumnRenamed(deltas.columns[0], key)
     measure_cols = [c for c in deltas.columns if c != key]
 
-    deltas = deltas.withColumn("_bucket", bucket_expr(key, nb))
+    # NULL-propagating bucket: xxhash64(NULL) returns the seed, so the raw
+    # bucket_expr would silently file NULL keys under pmod(42, nb) — and a
+    # NULL downstream key can never be retracted (full_outer NULL != NULL).
+    # Keep NULL visible so the guard below actually fires.
+    deltas = deltas.withColumn(
+        "_bucket",
+        F.when(F.col(key).isNull(), F.lit(None).cast("int")).otherwise(
+            bucket_expr(key, nb)
+        ),
+    )
     # O(n_buckets) driver-side metadata, never O(groups)
     buckets = {r[0] for r in deltas.select("_bucket").distinct().collect()}
     if None in buckets:

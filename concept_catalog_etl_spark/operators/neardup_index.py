@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.vector import cap_hot_buckets
 from ..lakehouse.table import LakeTable
 from .rowview import sync_rowview
 
@@ -130,16 +131,11 @@ def near_dup_candidates(
         F.col("doc_id").alias("probe_id"),
         minhash_signature(F.col("tokens")).alias("pmh"),
     )
-    ib = _banded(idx, "doc_id", "mh", bands, rows_per_band)
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", *[f"v{r}" for r in range(rows_per_band)])
-        ib = (
-            ib.withColumn("_bsz", F.count("*").over(w))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+    ib = cap_hot_buckets(
+        _banded(idx, "doc_id", "mh", bands, rows_per_band),
+        ["band"] + [f"v{r}" for r in range(rows_per_band)],
+        max_bucket_size,
+    )
     pb = _banded(
         pr.select(F.col("probe_id").alias("doc_id"), F.col("pmh").alias("mh")),
         "probe_id", "mh", bands, rows_per_band,

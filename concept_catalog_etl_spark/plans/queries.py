@@ -1146,22 +1146,9 @@ def ivf_centroids_from_parquet(path, k=16):
     return [[float(x) for x in c] for c in _ivf_fit(X, k)]
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+# shared with the live indexes (operators/ann_index, neardup_index) — the
+# fold order is the oracle contract, keep ONE definition
+from ..functions.vector import dot as _dot, norm as _norm  # noqa: E402
 
 
 def q_ann_topk(spark, sf):
@@ -2423,13 +2410,21 @@ def q_unigram_logprob(spark, sf):
         F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("word"),
     )
     freq = w.groupBy("word").agg(F.count("*").alias("c"))
-    tot = w.count()  # O(1) driver scalar: the LM's total mass
-    scored = w.join(F.broadcast(freq), "word").select(
-        "doc_id",
-        F.round(F.log(F.col("c") / F.lit(float(tot))) * 1e6, 0)
-        .cast("bigint")
-        .alias("logp_e6"),
-        F.col("c"),
+    # corpus mass as a LAZY 1-row broadcast derived from the vocab agg:
+    # the hash(word) exchange under both branches is identical, so Spark's
+    # ReuseExchange computes the corpus explode+count ONCE (a driver-side
+    # w.count() here was a second full corpus pass, not an O(1) scalar)
+    totdf = freq.agg(F.sum("c").cast("double").alias("_tot"))
+    scored = (
+        w.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(totdf))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") / F.col("_tot")) * 1e6, 0)
+            .cast("bigint")
+            .alias("logp_e6"),
+            F.col("c"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_words"),
@@ -2529,10 +2524,16 @@ def q_token_drift(spark, sf):
     sc = w.groupBy("source", "word").agg(F.count("*").alias("sc"))
     st = w.groupBy("source").agg(F.count("*").alias("st"))
     c = w.groupBy("word").agg(F.count("*").alias("c"))
-    tot = w.count()  # O(1) driver scalar: corpus mass
-    j = sc.join(F.broadcast(c), "word").join(F.broadcast(st), "source")
+    # corpus mass as a lazy 1-row broadcast off the vocab agg (ReuseExchange
+    # folds it into the same corpus pass — see q_unigram_logprob)
+    totdf = c.agg(F.sum("c").cast("double").alias("_tot"))
+    j = (
+        sc.join(F.broadcast(c), "word")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(totdf))
+    )
     ln_e6 = F.round(
-        F.log((F.col("sc") * F.lit(float(tot))) / (F.col("st") * F.col("c"))) * 1e6, 0
+        F.log((F.col("sc") * F.col("_tot")) / (F.col("st") * F.col("c"))) * 1e6, 0
     ).cast("bigint")
     return (
         j.groupBy("source")

@@ -123,3 +123,33 @@ def test_missing_sidecar_never_breaks_lookup(spark, scratch):
         os.remove(b)  # manifest says bloom, sidecar gone -> keep the file
     got = table.read_keys(spark, ["doc-000013"]).collect()
     assert [r["doc_id"] for r in got] == ["doc-000013"]
+
+
+def test_bloom_no_false_negatives_for_int_keys(spark, scratch):
+    """Build hashes str(v) of parquet values; probes may arrive as raw ints
+    (read_changes collects typed key values). Both must canonicalize the
+    same way or the bloom gives false negatives — dropped rows."""
+    import os
+
+    from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+
+    t = LakeTable.create(
+        os.path.join(scratch, "ints"),
+        TableSchema.create([("doc_id", "bigint"), ("n_tok", "int")], key="doc_id"),
+        n_buckets=4,
+    )
+    rows = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit(3).alias("n_tok"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+        F.col("id").alias("_lsn"),
+        F.lit(False).alias("_deleted"),
+    )
+    t.commit(add_files=t.write_data_files(rows, with_bloom=True), batch_id=0)
+    assert all(f.get("bloom") for f in t.files())
+    # probe with RAW int keys — every one must come back
+    got = sorted(r["doc_id"] for r in t.read_keys(spark, [0, 57, 199]).collect())
+    assert got == [0, 57, 199]
+    # stringified probes against the bigint key behave like the ints
+    got = sorted(r["doc_id"] for r in t.read_keys(spark, ["0", "57", "199"]).collect())
+    assert got == [0, 57, 199]

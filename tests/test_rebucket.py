@@ -112,3 +112,28 @@ def test_concurrent_commit_across_rebucket_is_refused(spark, scratch):
             add_files=staged, batch_id=1,
             expect_version=table.current_version() - 1,
         )
+
+
+def test_append_staged_before_rebucket_is_refused_at_commit(spark, scratch):
+    """The stage->commit window: a pure append (expect_version=None) staged
+    under the old layout must not land after a rebucket — version validation
+    can't catch it (appends don't validate), so commit() itself checks the
+    layout the files were hashed against."""
+    table = make_table(scratch, n_buckets=8)
+    table.commit(add_files=table.write_data_files(_seed(spark, 40)), batch_id=0)
+    staged = table.write_data_files(
+        _seed(spark, 10).withColumn("doc_id", F.concat(F.lit("new-"), "doc_id"))
+    )
+    table.rebucket(spark, 4)
+    with pytest.raises(CommitConflictError, match="8-bucket layout"):
+        table.commit(add_files=staged, batch_id=1)
+    # retry wrapper refuses too (no silent mis-bucketed append)
+    with pytest.raises(CommitConflictError, match="layout"):
+        table.commit_with_retry(add_files=staged, batch_id=1)
+    # re-staging against the new layout succeeds
+    restaged = table.write_data_files(
+        _seed(spark, 10).withColumn("doc_id", F.concat(F.lit("new-"), "doc_id"))
+    )
+    table.commit_with_retry(add_files=restaged, batch_id=1)
+    got = table.read_keys(spark, ["new-doc-000003"]).collect()
+    assert [r["doc_id"] for r in got] == ["new-doc-000003"]

@@ -277,3 +277,18 @@ def test_apply_deltas_renames_foreign_group_column(spark, scratch):
     assert snap is not None
     got = _got(spark, down)
     assert got == {"crawl": (2, 10), "curated": (1, 5)}
+
+
+def test_apply_deltas_rejects_null_group_key(spark, scratch):
+    """xxhash64(NULL) returns the seed, so the bucket column alone can never
+    be NULL — the guard must see through that, or a NULL-key group lands in
+    the table and can never be retracted (full_outer NULL != NULL)."""
+    down = _agg_table(scratch)
+    deltas = spark.createDataFrame(
+        [("crawl", 2, 10), (None, 1, 5)],
+        "source string, n_docs long, n_tokens long",
+    )
+    with pytest.raises(ValueError, match="NULL source"):
+        apply_deltas(spark, down, deltas, batch_id=1, count_col="n_docs")
+    # nothing committed: the guard fired before any write
+    assert not down.is_committed(1, "ivm")
