@@ -359,6 +359,45 @@ class LakeTable:
                 )
         return entries
 
+    def _rebuild_manifests(
+        self,
+        snap: dict,
+        touched: set[int],
+        add_files: list[dict] | None,
+        remove_buckets: set[int] | None,
+        remove_paths: set[str] | None,
+    ) -> tuple[list[dict], list[str]]:
+        """Next snapshot's manifest list: untouched buckets reuse their
+        immutable manifest by path; touched buckets are loaded, filtered and
+        rewritten. Returns (manifests, freshly-written manifest paths) — the
+        second lets a STAGED (unpublished) build clean up after itself."""
+        by_bucket: dict[int, list[dict]] = {}
+        manifests: list[dict] = []
+        written: list[str] = []
+        for m in snap["manifests"]:
+            if m["bucket"] in touched:  # load + rewrite only touched buckets
+                by_bucket[m["bucket"]] = self._load_bucket_manifest(m["path"])
+            else:
+                manifests.append(m)  # untouched: reuse the immutable manifest
+        for b in touched:
+            by_bucket.setdefault(b, [])
+        for b in touched:
+            entries = [
+                f
+                for f in by_bucket[b]
+                if (remove_buckets is None or f["bucket"] not in remove_buckets)
+                and (remove_paths is None or f["path"] not in remove_paths)
+            ]
+            entries.extend(f for f in (add_files or []) if f["bucket"] == b)
+            if entries:
+                path = self._write_bucket_manifest(b, entries)
+                written.append(path)
+                manifests.append(
+                    {"bucket": b, "path": path, "n_files": len(entries)}
+                )
+        manifests.sort(key=lambda m: m["bucket"])
+        return manifests, written
+
     # ---------------------------------------------------------------- commit
     def commit(
         self,
@@ -416,32 +455,9 @@ class LakeTable:
             touched |= {
                 f["bucket"] for f in self.files(snap=snap) if f["path"] in remove_paths
             }
-        by_bucket: dict[int, list[dict]] = {}
-        manifests = []
-        for m in snap["manifests"]:
-            if m["bucket"] in touched:  # load + rewrite only touched buckets
-                by_bucket[m["bucket"]] = self._load_bucket_manifest(m["path"])
-            else:
-                manifests.append(m)  # untouched: reuse the immutable manifest
-        for b in touched:
-            by_bucket.setdefault(b, [])
-        for b in touched:
-            entries = [
-                f
-                for f in by_bucket[b]
-                if (remove_buckets is None or f["bucket"] not in remove_buckets)
-                and (remove_paths is None or f["path"] not in remove_paths)
-            ]
-            entries.extend(f for f in (add_files or []) if f["bucket"] == b)
-            if entries:
-                manifests.append(
-                    {
-                        "bucket": b,
-                        "path": self._write_bucket_manifest(b, entries),
-                        "n_files": len(entries),
-                    }
-                )
-        manifests.sort(key=lambda m: m["bucket"])
+        manifests, _written = self._rebuild_manifests(
+            snap, touched, add_files, remove_buckets, remove_paths
+        )
         props = dict(snap["properties"])
         if batch_id is not None and writer_id is not None:
             # namespaced ledger: each concurrent writer (streaming tail,
@@ -645,6 +661,159 @@ class LakeTable:
                 ev = cur
         raise AssertionError("unreachable")
 
+    # ------------------------------------------------- write-audit-publish
+    # Iceberg WAP analog on the linear snapshot chain: a writer STAGES a
+    # commit (data files + real bucket manifests on disk, but no pointer
+    # advance and no v{N}.json in the chain), audits the staged state
+    # through the normal read path, then PUBLISHES by re-driving the stored
+    # commit kwargs through commit_with_retry — so the published commit gets
+    # every existing guard for free (version validation, overlap check,
+    # bucket-layout gate, namespaced ledger). Readers of the table never see
+    # an unpublished stage. If main advances between stage and publish, an
+    # append publishes cleanly (appends commute); a rewrite raises
+    # CommitConflictError exactly like a raced commit_with_retry.
+
+    def stage_commit(
+        self,
+        *,
+        add_files: list[dict] | None = None,
+        remove_buckets: set[int] | None = None,
+        remove_paths: set[str] | None = None,
+        batch_id: int | None = None,
+        writer_id: str | None = None,
+        lineage: dict | None = None,
+        extra_props: dict | None = None,
+        new_schema: TableSchema | None = None,
+        metrics: dict | None = None,
+    ) -> str:
+        """Stage a commit for audit; returns a ``stage_id``. The staged
+        state is readable via ``read_stage`` but invisible to every other
+        reader. Give ``batch_id`` (+ ``writer_id`` for multi-writer tables)
+        to make publish exactly-once across a crash between the commit and
+        the stage-marker cleanup — the same ledger contract as ``commit``.
+        ``new_schema`` stages a schema evolution with the data (the audit
+        surface reads under the evolved schema); ``metrics`` land in the
+        metrics log only at publish."""
+        snap = self.snapshot()
+        touched: set[int] = {f["bucket"] for f in (add_files or [])}
+        if remove_buckets:
+            touched |= set(remove_buckets)
+        if remove_paths:
+            touched |= {
+                f["bucket"] for f in self.files(snap=snap)
+                if f["path"] in remove_paths
+            }
+        manifests, written = self._rebuild_manifests(
+            snap, touched, add_files, remove_buckets, remove_paths
+        )
+        stage_id = uuid.uuid4().hex[:12]
+        audit_snap = {
+            "version": snap["version"] + 1,  # nominal: assigned for real at publish
+            "parent": snap["version"],
+            "n_buckets": snap["n_buckets"],
+            "schema": new_schema.to_json() if new_schema else snap["schema"],
+            "manifests": manifests,
+            "properties": dict(snap["properties"]),
+        }
+        record = {
+            "stage_id": stage_id,
+            "base_version": snap["version"],
+            "audit_snapshot": audit_snap,
+            "audit_manifests": written,  # fresh paths; safe to delete on cleanup
+            "kwargs": {
+                "add_files": add_files or [],
+                "remove_buckets": sorted(remove_buckets) if remove_buckets else None,
+                "remove_paths": sorted(remove_paths) if remove_paths else None,
+                "batch_id": batch_id,
+                "writer_id": writer_id,
+                "lineage": lineage,
+                "extra_props": extra_props,
+                "new_schema": new_schema.to_json() if new_schema else None,
+                "metrics": metrics,
+            },
+        }
+        with open(os.path.join(self.meta_dir, f"stage-{stage_id}.json"), "x") as f:
+            json.dump(record, f)
+        return stage_id
+
+    def _load_stage(self, stage_id: str) -> dict:
+        path = os.path.join(self.meta_dir, f"stage-{stage_id}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(f"no such stage: {stage_id}") from None
+
+    def stages(self) -> list[dict]:
+        """All unpublished stages (stage_id, base_version, batch_id)."""
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if fn.startswith("stage-") and fn.endswith(".json"):
+                rec = self._load_stage(fn[len("stage-"):-len(".json")])
+                out.append({
+                    "stage_id": rec["stage_id"],
+                    "base_version": rec["base_version"],
+                    "batch_id": rec["kwargs"].get("batch_id"),
+                })
+        return out
+
+    def read_stage(self, spark: SparkSession, stage_id: str, **read_kw) -> DataFrame:
+        """The table AS IF the stage were published — the audit surface.
+        Full read() semantics (MoR resolve, pruning, schema reconciliation);
+        accepts read()'s keyword args."""
+        rec = self._load_stage(stage_id)
+        return self.read(spark, _snap=rec["audit_snapshot"], **read_kw)
+
+    def _cleanup_stage(self, rec: dict) -> None:
+        for rel in rec.get("audit_manifests", []):
+            try:
+                os.remove(os.path.join(self.root, rel))
+            except OSError:
+                pass
+        try:
+            os.remove(os.path.join(self.meta_dir, f"stage-{rec['stage_id']}.json"))
+        except OSError:
+            pass
+
+    def publish_stage(self, stage_id: str, max_retries: int = 5) -> dict:
+        """Atomically publish an audited stage. Exactly-once when the stage
+        carries a batch_id: a crash after the commit but before the marker
+        cleanup makes re-publish a ledger skip, never a double-apply."""
+        rec = self._load_stage(stage_id)
+        kw = rec["kwargs"]
+        batch_id, writer_id = kw.get("batch_id"), kw.get("writer_id")
+        if batch_id is not None and self.is_committed(batch_id, writer_id):
+            self._cleanup_stage(rec)
+            return self.snapshot()
+        is_append = not kw["remove_buckets"] and not kw["remove_paths"]
+        snap = self.commit_with_retry(
+            add_files=kw["add_files"] or None,
+            remove_buckets=set(kw["remove_buckets"]) if kw["remove_buckets"] else None,
+            remove_paths=set(kw["remove_paths"]) if kw["remove_paths"] else None,
+            batch_id=batch_id,
+            writer_id=writer_id,
+            lineage=kw.get("lineage"),
+            extra_props=kw.get("extra_props"),
+            new_schema=TableSchema.from_json(kw["new_schema"])
+            if kw.get("new_schema") else None,
+            metrics=kw.get("metrics"),
+            # a REWRITE stage validates against the version it was computed
+            # from — the overlap walk then covers every commit that landed
+            # during the audit (publishing against "current" would silently
+            # drop an interleaved commit's rows from the removed buckets).
+            # Appends commute; they publish against whatever is current.
+            expect_version=None if is_append else rec["base_version"],
+            max_retries=max_retries,
+        )
+        self._cleanup_stage(rec)
+        return snap
+
+    def abort_stage(self, stage_id: str) -> None:
+        """Drop an audited-and-rejected stage: its manifests go now, its
+        data files become orphans that ``vacuum`` reclaims after the grace
+        window. The table chain is untouched — readers never saw it."""
+        self._cleanup_stage(self._load_stage(stage_id))
+
     def history(self, spark: SparkSession) -> DataFrame:
         """Commit history of the retained snapshots (Iceberg
         ``table.history()`` analog): one row per version with its parent,
@@ -705,6 +874,7 @@ class LakeTable:
         schema_override: TableSchema | None = None,
         include_deleted: bool = False,
         keys: list[str] | None = None,
+        _snap: dict | None = None,
     ) -> DataFrame:
         """Snapshot read with bucket + key-range file pruning and
         id-based schema reconciliation (rename/add/widen safe).
@@ -717,7 +887,7 @@ class LakeTable:
         tombstones are filtered only *after* the resolve (a delta delete must
         beat an older base row). Base-only reads keep the fast path: the
         tombstone predicate is pushed into the parquet scan, no shuffle."""
-        snap = self.snapshot(version)
+        snap = _snap or self.snapshot(version)
         schema = schema_override or TableSchema.from_json(snap["schema"])
         # bucket pruning happens at the METADATA level too: only the selected
         # buckets' manifest files are opened
@@ -1242,6 +1412,12 @@ class LakeTable:
         for v in range(floor, cur + 1):
             snap = self.snapshot(v)
             live_m |= {m["path"] for m in snap["manifests"]}
+        # unpublished WAP stages keep their manifests AND data files alive —
+        # an audit may outlive the orphan grace window; abort_stage is the
+        # explicit way to release a rejected stage's files
+        for st in self.stages():
+            rec = self._load_stage(st["stage_id"])
+            live_m |= {m["path"] for m in rec["audit_snapshot"]["manifests"]}
         # each retained manifest is opened once even if many snapshots share it
         for rel in live_m:
             live |= {f["path"] for f in self._load_bucket_manifest(rel)}

@@ -89,6 +89,11 @@ class MergeConfig:
     # probe proves the batch has no schema_change events; lineage and
     # structural counts then ride the main pipeline's observe().
     fast_summary: bool = True
+    # write-audit-publish: STAGE the batch instead of committing it — the
+    # returned metrics carry 'stage_id'; the caller audits via
+    # table.read_stage and then publish_stage / abort_stage. Readers never
+    # see an unaudited batch; exactly-once rides the same batch_id ledger.
+    stage_only: bool = False
 
 
 def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict]:
@@ -629,16 +634,26 @@ def apply_batch(
     # optimistic-concurrency commit: MoR deltas are pure appends (always
     # retryable); COW rewrites retry only across disjoint-bucket winners and
     # raise CommitConflictError on overlap (the merge must be recomputed)
-    table.commit_with_retry(
-        add_files=files,
-        # mor appends deltas — the base (and older deltas) stay referenced
-        remove_buckets=None if cfg.write_mode == "mor" else set(affected),
-        batch_id=batch_id,
-        lineage=lineage,
-        new_schema=new_schema,
-        metrics=metrics,
-        expect_version=expect_version,
-    )
+    if cfg.stage_only:
+        metrics["stage_id"] = table.stage_commit(
+            add_files=files,
+            remove_buckets=None if cfg.write_mode == "mor" else set(affected),
+            batch_id=batch_id,
+            lineage=lineage,
+            new_schema=new_schema,
+            metrics=metrics,
+        )
+    else:
+        table.commit_with_retry(
+            add_files=files,
+            # mor appends deltas — the base (and older deltas) stay referenced
+            remove_buckets=None if cfg.write_mode == "mor" else set(affected),
+            batch_id=batch_id,
+            lineage=lineage,
+            new_schema=new_schema,
+            metrics=metrics,
+            expect_version=expect_version,
+        )
     _mark("commit")
     metrics["phase_sec"] = phases
     deduped_all.unpersist()

@@ -1,0 +1,223 @@
+"""Write-audit-publish (Iceberg WAP analog). Pins: stage invisibility to
+readers, audit reads through the full read path (MoR/pruning), atomic
+publish with the normal concurrency guards (append commutes, rewrite
+conflicts, rebucket refuses), exactly-once publish across a crash between
+commit and marker cleanup, abort + vacuum reclamation, and vacuum never
+collecting a live stage's files even past the orphan grace window."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse.table import CommitConflictError
+from helpers import make_table
+
+
+def _rows(spark, ids, src="crawl", lsn0=0, n_tok=2):
+    return spark.createDataFrame(
+        [
+            (f"doc-{i:06d}", list(range(n_tok)), n_tok, src,
+             "2026-01-01 00:00:00", lsn0 + j, False)
+            for j, i in enumerate(ids)
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "_event_ts string, _lsn long, _deleted boolean",
+    ).withColumn("_event_ts", F.col("_event_ts").cast("timestamp"))
+
+
+def test_stage_is_invisible_until_publish(spark, scratch):
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(20))), batch_id=0)
+    v0 = t.current_version()
+
+    sid = t.stage_commit(
+        add_files=t.write_data_files(_rows(spark, range(20, 30), lsn0=100)),
+        batch_id=1,
+    )
+    # readers see nothing; the audit surface sees everything
+    assert t.current_version() == v0
+    assert t.read(spark).count() == 20
+    assert t.read_stage(spark, sid).count() == 30
+    assert [s["stage_id"] for s in t.stages()] == [sid]
+
+    snap = t.publish_stage(sid)
+    assert snap["version"] == v0 + 1
+    assert t.read(spark).count() == 30
+    assert t.is_committed(1)
+    assert t.stages() == []  # marker cleaned up
+
+
+def test_publish_is_exactly_once_after_crash(spark, scratch):
+    """Crash between commit and marker cleanup: the marker survives, but a
+    re-publish must be a ledger skip, not a double-apply."""
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(5))), batch_id=0)
+    sid = t.stage_commit(
+        add_files=t.write_data_files(_rows(spark, range(5, 8), lsn0=50)),
+        batch_id=1,
+    )
+    rec = t._load_stage(sid)
+    # simulate the crash: run the commit exactly as publish would, but die
+    # before _cleanup_stage
+    t.commit_with_retry(add_files=rec["kwargs"]["add_files"], batch_id=1)
+    v_after = t.current_version()
+    assert t.read(spark).count() == 8
+    # marker still present -> publish again
+    snap = t.publish_stage(sid)
+    assert snap["version"] == v_after  # no second commit
+    assert t.read(spark).count() == 8
+    assert t.stages() == []
+
+
+def test_append_stage_publishes_across_interleaved_commit(spark, scratch):
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(10))), batch_id=0)
+    sid = t.stage_commit(
+        add_files=t.write_data_files(_rows(spark, range(10, 15), lsn0=50)),
+        batch_id=2,
+    )
+    # main moves on while the audit runs — appends commute
+    t.commit(add_files=t.write_data_files(_rows(spark, range(20, 25), lsn0=80)),
+             batch_id=1)
+    t.publish_stage(sid)
+    assert t.read(spark).count() == 20
+    assert t.is_committed(1) and t.is_committed(2)
+
+
+def test_rewrite_stage_conflicts_with_overlapping_commit(spark, scratch):
+    t = make_table(scratch, n_buckets=2)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(30))), batch_id=0)
+    # stage a full rewrite (compaction-shaped: remove both buckets)
+    staged_files = t.write_data_files(
+        t.read(spark, with_system_cols=True, include_deleted=True)
+    )
+    sid = t.stage_commit(add_files=staged_files, remove_buckets={0, 1},
+                         batch_id=1)
+    # an interleaved commit touches a bucket the stage rewrites
+    t.commit(add_files=t.write_data_files(_rows(spark, range(40, 45), lsn0=90)),
+             batch_id=2)
+    with pytest.raises(CommitConflictError, match="touched buckets"):
+        t.publish_stage(sid)
+    # the stage is still there for re-staging / abort
+    assert [s["stage_id"] for s in t.stages()] == [sid]
+    t.abort_stage(sid)
+    assert t.read(spark).count() == 35  # interleaved commit intact
+
+
+def test_publish_refused_after_rebucket(spark, scratch):
+    t = make_table(scratch, n_buckets=8)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(20))), batch_id=0)
+    sid = t.stage_commit(
+        add_files=t.write_data_files(_rows(spark, range(20, 25), lsn0=50)),
+        batch_id=1,
+    )
+    t.rebucket(spark, 4)
+    with pytest.raises(CommitConflictError, match="layout"):
+        t.publish_stage(sid)
+    t.abort_stage(sid)
+
+
+def test_abort_then_vacuum_reclaims_files_live_stage_protected(spark, scratch):
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(10))), batch_id=0)
+    bad = t.write_data_files(_rows(spark, range(10, 14), lsn0=50, n_tok=0))
+    sid = t.stage_commit(add_files=bad, batch_id=1)
+
+    # a LIVE stage's files survive vacuum even with zero grace
+    t.vacuum(retain_last=1, orphan_grace_sec=0)
+    for f in bad:
+        assert os.path.exists(os.path.join(t.root, f["path"]))
+    assert t.read_stage(spark, sid).count() == 14
+
+    # audit: the DQ invariant n_tok == size(tokens) holds, but empty docs
+    # are rejected by this writer's policy
+    n_bad = t.read_stage(spark, sid).filter(F.col("n_tok") <= 0).count()
+    assert n_bad == 4
+    t.abort_stage(sid)
+    t.vacuum(retain_last=1, orphan_grace_sec=0)
+    for f in bad:
+        assert not os.path.exists(os.path.join(t.root, f["path"]))
+    # main never saw the rejected batch; batch_id was never committed
+    assert t.read(spark).count() == 10
+    assert not t.is_committed(1)
+
+
+def test_stage_audit_sees_mor_resolve_and_tombstones(spark, scratch):
+    """The audit surface is the real read path: a staged MoR delta batch
+    (upsert + tombstone) must audit as the RESOLVED state."""
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(6))), batch_id=0)
+    upd = spark.createDataFrame(
+        [("doc-000002", [9, 9, 9], 3, "curated", "2026-01-02 00:00:00", 100, False),
+         ("doc-000005", None, None, "crawl", "2026-01-02 00:00:00", 101, True)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "_event_ts string, _lsn long, _deleted boolean",
+    ).withColumn("_event_ts", F.col("_event_ts").cast("timestamp"))
+    sid = t.stage_commit(add_files=t.write_data_files(upd, delta=True), batch_id=1)
+    audited = {r["doc_id"]: r for r in t.read_stage(spark, sid).collect()}
+    assert len(audited) == 5  # doc-000005 tombstoned out
+    assert audited["doc-000002"]["tokens"] == [9, 9, 9]
+    assert t.read(spark).count() == 6  # main still pre-stage
+    t.publish_stage(sid)
+    assert t.read(spark).count() == 5
+
+
+def test_audited_cdc_replay_matches_oracle(spark, scratch):
+    """End-to-end WAP over the CDC merge: every batch is staged, audited
+    (DQ: the n_tok == size(tokens) invariant over the FULL staged state),
+    then published. Final state must equal the pure-python oracle replay —
+    WAP adds an audit gate, never changes semantics."""
+    from concept_catalog_etl_spark.operators.merge import MergeConfig, apply_batch
+    from concept_catalog_etl_spark.oracle import replay_dir
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from helpers import assert_state_equals_oracle
+
+    src = os.path.join(scratch, "binlog")
+    files = generate_binlog(src, n_events=2000, n_docs=150, n_files=4, seed=11)
+    t = make_table(scratch, n_buckets=4)
+    cfg = MergeConfig(write_mode="mor", stage_only=True)
+    for bid, f in enumerate(sorted(files)):
+        m = apply_batch(spark, t, spark.read.text([f]), bid, cfg)
+        sid = m["stage_id"]
+        staged = t.read_stage(spark, sid)
+        bad = staged.filter(F.col("n_tok") != F.size("tokens")).count()
+        assert bad == 0
+        t.publish_stage(sid)
+        assert t.is_committed(bid)
+    oracle_state, _schema, _stats = replay_dir(src)
+    assert_state_equals_oracle(spark, t, oracle_state)
+    assert t.stages() == []
+
+
+def test_audit_reject_keeps_batch_out_and_replayable(spark, scratch):
+    """A staged batch whose audit fails is aborted: readers never see it,
+    its batch_id stays uncommitted, and the SAME batch can be re-applied
+    (e.g. after an upstream fix) and published normally."""
+    from concept_catalog_etl_spark.operators.merge import MergeConfig, apply_batch
+
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(50))), batch_id=0)
+    # a batch that tombstones 60% of the table — the kind of upstream
+    # accident (bad backfill, truncate replayed as deletes) WAP exists for
+    deletes = [
+        {"op": "delete", "doc_id": f"doc-{i:06d}", "event_ts": "2026-02-01T00:00:00",
+         "lsn": 1000 + i}
+        for i in range(30)
+    ]
+    import json as _json
+
+    raw = spark.createDataFrame([( _json.dumps(e),) for e in deletes], "value string")
+    cfg = MergeConfig(write_mode="mor", stage_only=True)
+    m = apply_batch(spark, t, raw, 1, cfg)
+    sid = m["stage_id"]
+    before, after = t.read(spark).count(), t.read_stage(spark, sid).count()
+    assert (before - after) / before > 0.5  # audit: delete ratio too high
+    t.abort_stage(sid)
+    assert t.read(spark).count() == 50
+    assert not t.is_committed(1)
+    # upstream says the deletes were legitimate after all: re-apply + publish
+    m2 = apply_batch(spark, t, raw, 1, cfg)
+    t.publish_stage(m2["stage_id"])
+    assert t.read(spark).count() == 20
+    assert t.is_committed(1)
