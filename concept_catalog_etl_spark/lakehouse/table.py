@@ -1379,6 +1379,50 @@ class LakeTable:
         self._write_manifest(new_snap)
         return new_snap
 
+    # -------------------------------------------------------------- tags
+    # Named immutable version refs (Iceberg tag analog). A tag PINS THE
+    # RETENTION FLOOR: vacuum keeps every version from the oldest tag
+    # forward, so the retained history stays a contiguous range (history()
+    # and read_changes(from_version=...) never hit holes). Audit/compliance
+    # anchors ("the snapshot we trained run X from") and safe long
+    # time-travel both want exactly this.
+
+    _TAG_OK = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        if not name or any(c not in self._TAG_OK for c in name):
+            raise ValueError(f"tag name must be [A-Za-z0-9._-]+, got {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if v > self.current_version() or v < self.oldest_retained_version():
+            raise ValueError(f"version {v} not in retained range")
+        path = os.path.join(self.meta_dir, f"tag-{name}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+        os.replace(tmp, path)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    rec = json.load(f)
+                out[rec["name"]] = int(rec["version"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.meta_dir, f"tag-{name}.json"))
+        except FileNotFoundError:
+            raise KeyError(f"no such tag: {name}") from None
+
+    def read_tag(self, spark: SparkSession, name: str, **read_kw) -> DataFrame:
+        tagged = self.tags()
+        if name not in tagged:
+            raise KeyError(f"no such tag: {name}")
+        return self.read(spark, version=tagged[name], **read_kw)
+
     def oldest_retained_version(self) -> int:
         """Lowest version whose v<N>.json still exists (0 if never expired)."""
         vs = [
@@ -1388,7 +1432,8 @@ class LakeTable:
         ]
         return min(vs) if vs else 0
 
-    def vacuum(self, retain_last: int = 8, orphan_grace_sec: float = 3600) -> int:
+    def vacuum(self, retain_last: int = 8, orphan_grace_sec: float = 3600,
+               stage_ttl_sec: float | None = None) -> int:
         """Delete data files / bucket manifests not referenced by the last
         ``retain_last`` snapshots, and expire older snapshot files (Delta/
         Iceberg-style retention window). Time-travel reads and
@@ -1406,6 +1451,9 @@ class LakeTable:
         pass 0: between its own batches there are no in-flight files."""
         cur = self.current_version()
         floor = max(0, cur - max(retain_last, 1) + 1)
+        tagged = self.tags()
+        if tagged:  # tags pin the floor: retained history stays contiguous
+            floor = min(floor, min(tagged.values()))
         floor = max(floor, self.oldest_retained_version())
         live: set[str] = set()
         live_m: set[str] = set()
@@ -1414,8 +1462,22 @@ class LakeTable:
             live_m |= {m["path"] for m in snap["manifests"]}
         # unpublished WAP stages keep their manifests AND data files alive —
         # an audit may outlive the orphan grace window; abort_stage is the
-        # explicit way to release a rejected stage's files
+        # explicit release. ``stage_ttl_sec`` bounds the leak from a CRASHED
+        # audited writer: a stage older than the TTL is aborted here (its
+        # batch_id was never committed, so the upstream replays it — same
+        # crash-recovery contract as an unpublished ordinary batch).
+        import time as _t0_
+
+        _now = _t0_.time()
         for st in self.stages():
+            path = os.path.join(self.meta_dir, f"stage-{st['stage_id']}.json")
+            if stage_ttl_sec is not None:
+                try:
+                    if _now - os.path.getmtime(path) > stage_ttl_sec:
+                        self.abort_stage(st["stage_id"])
+                        continue
+                except OSError:
+                    continue
             rec = self._load_stage(st["stage_id"])
             live_m |= {m["path"] for m in rec["audit_snapshot"]["manifests"]}
         # each retained manifest is opened once even if many snapshots share it

@@ -221,3 +221,57 @@ def test_audit_reject_keeps_batch_out_and_replayable(spark, scratch):
     t.publish_stage(m2["stage_id"])
     assert t.read(spark).count() == 20
     assert t.is_committed(1)
+
+
+def test_vacuum_stage_ttl_reclaims_abandoned_stage(spark, scratch):
+    """A crashed audited writer leaks its stage; vacuum(stage_ttl_sec=...)
+    bounds the leak by aborting stale stages (their batch was never
+    committed, so the upstream replays it — normal crash recovery)."""
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(8))), batch_id=0)
+    f = t.write_data_files(_rows(spark, range(8, 12), lsn0=50))
+    sid = t.stage_commit(add_files=f, batch_id=1)
+    # fresh stage survives a TTL'd vacuum
+    t.vacuum(retain_last=1, orphan_grace_sec=0, stage_ttl_sec=3600)
+    assert [s["stage_id"] for s in t.stages()] == [sid]
+    # age the marker past the TTL
+    marker = os.path.join(t.meta_dir, f"stage-{sid}.json")
+    os.utime(marker, (os.path.getmtime(marker) - 7200,) * 2)
+    t.vacuum(retain_last=1, orphan_grace_sec=0, stage_ttl_sec=3600)
+    assert t.stages() == []
+    for e in f:
+        assert not os.path.exists(os.path.join(t.root, e["path"]))
+    assert t.read(spark).count() == 8 and not t.is_committed(1)
+
+
+def test_tags_pin_retention_and_time_travel(spark, scratch):
+    """A tag pins the vacuum floor: every version from the oldest tag
+    forward survives any retain_last, the tagged read stays byte-stable
+    across later rewrites, and dropping the tag releases the history."""
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(10))), batch_id=0)
+    v_train = t.tag("train-run-7")
+    assert t.tags() == {"train-run-7": v_train}
+    before = {r["doc_id"] for r in t.read_tag(spark, "train-run-7").collect()}
+
+    for b in range(1, 12):  # churn far past retain_last
+        t.commit(add_files=t.write_data_files(
+            _rows(spark, range(10 + b * 5, 15 + b * 5), lsn0=b * 100)), batch_id=b)
+    t.vacuum(retain_last=2, orphan_grace_sec=0)
+    # tagged version still readable and identical; history contiguous
+    assert t.oldest_retained_version() == v_train
+    assert {r["doc_id"] for r in t.read_tag(spark, "train-run-7").collect()} == before
+    t.history(spark).count()  # no VersionVacuumedError holes
+
+    t.drop_tag("train-run-7")
+    t.vacuum(retain_last=2, orphan_grace_sec=0)
+    assert t.oldest_retained_version() > v_train
+    with pytest.raises(Exception, match="vacuum"):
+        t.read(spark, version=v_train).collect()
+    # guards
+    with pytest.raises(ValueError, match="retained range"):
+        t.tag("too-old", version=v_train)
+    with pytest.raises(ValueError, match="tag name"):
+        t.tag("bad name!")
+    with pytest.raises(KeyError):
+        t.drop_tag("nope")
