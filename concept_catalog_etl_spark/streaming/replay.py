@@ -46,6 +46,7 @@ def replay_stream(
     vacuum_retain_last: int = 8,
     source_format: str = "text",
     sync_derived=None,
+    audit=None,
 ):
     """Structured Streaming replay.
 
@@ -72,6 +73,16 @@ def replay_stream(
     ``vacuum_retain_last`` bounds snapshot/file GC so downstream CDC
     consumers can chain ``read_changes(from_version=...)`` across at least
     that many versions (older asks raise ``VersionVacuumedError``).
+
+    ``audit`` turns the sink into write-audit-publish: each batch is STAGED
+    (``MergeConfig.stage_only``), the callable
+    ``audit(spark, table, stage_id, metrics) -> bool`` inspects the staged
+    state (``table.read_stage``), and the batch is published on True /
+    aborted on False. A REJECTED batch is skipped, not retried: the stream
+    checkpoint advances, its batch_id stays uncommitted (``metrics``
+    records ``published: False``), so a corrected upstream can re-feed it
+    later as an ordinary backfill. Readers never observe an unaudited
+    batch.
 
     ``sync_derived`` is a list of callables ``(spark) -> dict`` run at the
     same maintenance cadence, BEFORE compaction/vacuum (they read the change
@@ -109,9 +120,24 @@ def replay_stream(
         raw = reader.load(os.path.join(binlog_dir, "*.jsonl"))
 
     batch_metrics: list[dict] = []
+    sink_cfg = cfg
+    if audit is not None:
+        import dataclasses
+
+        from ..operators.merge import MergeConfig as _MC
+
+        sink_cfg = dataclasses.replace(cfg or _MC(), stage_only=True)
 
     def _sink(df, batch_id: int):
-        m = apply_batch(df.sparkSession, table, df, batch_id, cfg)
+        m = apply_batch(df.sparkSession, table, df, batch_id, sink_cfg)
+        if audit is not None and not m.get("skipped"):
+            sid = m["stage_id"]
+            if audit(df.sparkSession, table, sid, m):
+                table.publish_stage(sid)
+                m["published"] = True
+            else:
+                table.abort_stage(sid)
+                m["published"] = False
         batch_metrics.append(m)
         applied = sum(1 for x in batch_metrics if not x.get("skipped"))
         if maintenance_every and applied and applied % maintenance_every == 0:

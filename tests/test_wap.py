@@ -275,3 +275,51 @@ def test_tags_pin_retention_and_time_travel(spark, scratch):
         t.tag("bad name!")
     with pytest.raises(KeyError):
         t.drop_tag("nope")
+
+
+def test_streaming_audit_gate_publishes_and_rejects(spark, scratch):
+    """replay_stream(audit=...): every micro-batch stages, audits through
+    read_stage, and publishes on pass / aborts on fail. An accepting audit
+    converges to the oracle; a rejecting audit keeps the rejected batch's
+    writes out while later batches keep flowing."""
+    from concept_catalog_etl_spark.oracle import replay_dir
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+    from helpers import assert_state_equals_oracle
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=1500, n_docs=120, n_files=3, seed=21)
+    t = make_table(scratch, n_buckets=4)
+    audited = []
+
+    def audit(sp, table, sid, metrics):
+        n = table.read_stage(sp, sid).count()
+        audited.append((sid, n))
+        return True
+
+    metrics = replay_stream(
+        spark, d, t, os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=1, audit=audit,
+    )
+    assert all(m.get("published") for m in metrics if not m.get("skipped"))
+    assert len(audited) == sum(1 for m in metrics if not m.get("skipped"))
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, t, oracle_state)
+    assert t.stages() == []
+
+    # rejecting audit on a fresh table: batch 1 is refused, others land
+    t2 = make_table(os.path.join(scratch, "r2"), n_buckets=4)
+
+    def reject_second(sp, table, sid, metrics):
+        return metrics["batch_id"] != 1
+
+    m2 = replay_stream(
+        spark, d, t2, os.path.join(scratch, "ckpt2"),
+        max_files_per_trigger=1, audit=reject_second,
+    )
+    flags = {m["batch_id"]: m["published"] for m in m2 if not m.get("skipped")}
+    assert flags[1] is False and flags[0] is True and flags[2] is True
+    assert not t2.is_committed(1) and t2.is_committed(0) and t2.is_committed(2)
+    assert t2.stages() == []
+    # the rejected batch's rows are absent: table state < oracle state
+    assert t2.read(spark).count() < len(oracle_state)
