@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q_sample_fixed_k",
     "q_dedup_normalized",
     "q_token_drift",
+    "q_ngram_dup_rate",
+    "q_tfidf_topk",
 ]
 
 

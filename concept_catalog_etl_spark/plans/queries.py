@@ -2571,6 +2571,129 @@ GROUP BY source
 """
 
 
+def q_ngram_dup_rate(spark, sf, n: int = 8):
+    """Per-source 8-gram duplication rate — the memorization-risk metric a
+    training pipeline tracks (a high duplicated-n-gram mass means the model
+    will see repeated spans even after doc-level dedup).
+
+    Plan: explode word 8-grams, two-level aggregation — (source, gram)
+    counts first (map-side combinable; the shuffle carries one row per
+    distinct gram per partition), then per-source totals. Grouping is on
+    the gram STRING for exact oracle equality; at 100 TB you'd group on
+    xxhash64(gram) — identical plan shape, 8-byte shuffle keys."""
+    d = _spread(spark, _t(spark, sf, "documents"))
+    w = F.split(F.lower(F.trim("text")), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    g = (
+        d.filter(F.size(w) >= n)
+        .select("source", F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 4).alias("dup_rate"),
+        )
+    )
+
+
+SQL_NGRAM_DUP_RATE = r"""
+WITH w AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT source, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8
+),
+c AS (
+  SELECT source, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(1.0 - COUNT(*) * 1.0 / SUM(c), 4) AS dup_rate
+FROM c GROUP BY source
+"""
+
+
+def q_tfidf_topk(spark, sf, k: int = 3):
+    """Top-k TF-IDF terms per document (keyword extraction / topic-drift
+    probe). Determinism across engines: idf is snapped to fixed point
+    (round(ln(N/df)*1e6) BIGINT) and the score is the exact integer
+    tf * idf_e6; ties break on the word.
+
+    Scale shape: tf is one (doc,word)-keyed map-side-combinable count; df
+    is vocab-bounded (language-bounded at 100 TB) → broadcast back; N rides
+    a lazy 1-row broadcast (no extra corpus pass); top-k is one window over
+    the (doc,word) rows."""
+    d = _spread(spark, _t(spark, sf, "documents"))
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("word"),
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    ndocs = d.agg(F.count("*").cast("double").alias("_n"))
+    idf_e6 = F.round(F.log(F.col("_n") / F.col("df")) * 1e6, 0).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id", "word", F.col("tf").cast("bigint").alias("tf"),
+            (F.col("tf") * idf_e6).cast("bigint").alias("score_e6"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "word", "tf",
+                "score_e6")
+    )
+
+
+SQL_TFIDF_TOPK = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+),
+df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (
+  SELECT COUNT(*) * 1.0 AS n FROM documents
+),
+scored AS (
+  SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+         CAST(tf * CAST(round(ln(n / df) * 1000000, 0) AS BIGINT) AS BIGINT)
+           AS score_e6
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tf, score_e6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_e6 DESC, word ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, word, tf, score_e6
+FROM ranked WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2632,6 +2755,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_logprob": q_unigram_logprob,
     "q_token_drift": q_token_drift,
     "q_redact_pii": q_redact_pii,
+    "q_ngram_dup_rate": q_ngram_dup_rate,
+    "q_tfidf_topk": q_tfidf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2692,4 +2817,6 @@ ORACLES: dict[str, str] = {
     "q_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "q_token_drift": SQL_TOKEN_DRIFT,
     "q_redact_pii": SQL_REDACT_PII,
+    "q_ngram_dup_rate": SQL_NGRAM_DUP_RATE,
+    "q_tfidf_topk": SQL_TFIDF_TOPK,
 }
