@@ -31,6 +31,39 @@ N_FILES = int(os.environ.get("BENCH_FILES", "8"))
 FILES_PER_BATCH = int(os.environ.get("BENCH_FILES_PER_BATCH", "4"))
 MAX_TOKENS = int(os.environ.get("BENCH_MAX_TOKENS", "24"))
 
+
+def _calib_work(iters: int = 800) -> bytes:
+    import hashlib
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, process-local
+    h = b""
+    for _ in range(iters):
+        h = hashlib.sha256(buf + h).digest()
+    return h
+
+
+def cpu_calibration(k: int) -> dict:
+    """Fixed pure-CPU reference work (chained sha256 over process-local
+    buffers): a HOST-SPEED normalizer stamped into every bench line, so
+    cross-round comparisons survive host/VM swaps — round-3 measured the
+    same code 25-40% slower after a mid-round VM replacement, which is
+    indistinguishable from a code regression without this. calib_1p is
+    single-core speed; calib_kp is the wall for k processes doing the same
+    work concurrently (aggregate throughput under full load, the shape the
+    replay actually runs at)."""
+    import time as _t
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = _t.time()
+    _calib_work()
+    one = _t.time() - t0
+    with ProcessPoolExecutor(max_workers=k) as ex:
+        t0 = _t.time()
+        list(ex.map(_calib_work, [800] * k))
+        kp = _t.time() - t0
+    return {"calib_1p_sec": round(one, 3), "calib_kp_sec": round(kp, 3),
+            "calib_k": k}
+
 BENCH_QUERIES = [
     "q_scan_filter",
     "q_counts",
@@ -224,6 +257,7 @@ def main() -> None:
         "cpus": CPUS,
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **cpu_calibration(CPUS),
     }
     if mor_sec is not None:
         out["replay_mor_sec"] = round(mor_sec, 3)
