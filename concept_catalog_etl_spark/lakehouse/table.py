@@ -224,6 +224,7 @@ class LakeTable:
         sort_within: bool = False,
         with_bloom: bool | None = None,
         n_buckets_override: int | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
         """Write `df` (logical+system columns) bucketed by key; return file entries.
 
@@ -255,7 +256,13 @@ class LakeTable:
             # bucket give tight, near-disjoint parquet row-group min/max, so
             # point/range lookups skip row groups inside big files
             out = out.sortWithinPartitions("_bucket", key)
-        out.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        writer = out.write.partitionBy("_bucket").mode("overwrite")
+        if max_records_per_file:
+            # file-size governor (Iceberg write.target-file-size analog):
+            # without it a compacted 100 TB bucket collapses into one
+            # unsplittable-at-commit-granularity giant file
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(out_dir)
         if with_bloom is None:
             # blooms ride the read-optimizing (compaction) rewrites by
             # default — never the hot ingest path (hashing every key of
@@ -1261,6 +1268,7 @@ class LakeTable:
         max_files_per_bucket: int = 1,
         expire_tombstones_below_lsn: int | None = None,
         max_buckets_per_run: int | None = None,
+        target_rows_per_file: int | None = None,
     ) -> dict:
         """Rewrite fragmented buckets (and optionally expire tombstones older
         than the out-of-orderness horizon). Metadata-atomic like any commit;
@@ -1269,13 +1277,30 @@ class LakeTable:
         ``max_buckets_per_run`` caps one run's work to the worst offenders
         (incremental compaction — at 100 TB a maintenance tick must be
         bounded; repeated ticks converge because each rewrite resets its
-        bucket's file count)."""
+        bucket's file count).
+        ``target_rows_per_file`` bounds OUTPUT file size (Iceberg
+        write.target-file-size analog): the rewrite splits each bucket at
+        that many rows, and the fragmentation test allows
+        ceil(bucket_rows/target) files so a bounded bucket is not
+        re-compacted forever."""
         snap = self.snapshot()
         by_bucket: dict[int, int] = {
             m["bucket"]: m["n_files"] for m in snap["manifests"]
         }
         n_files_before = sum(by_bucket.values())
-        todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
+        if target_rows_per_file:
+            rows_by_bucket: dict[int, int] = {}
+            for f in self.files(snap=snap):
+                rows_by_bucket[f["bucket"]] = (
+                    rows_by_bucket.get(f["bucket"], 0) + int(f["rows"])
+                )
+            todo = {
+                b for b, n in by_bucket.items()
+                if n > max(max_files_per_bucket,
+                           -(-rows_by_bucket.get(b, 0) // target_rows_per_file))
+            }
+        else:
+            todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
         cursor_props: dict | None = None
         if expire_tombstones_below_lsn is not None:
             # expire only buckets that may actually hold an expirable
@@ -1325,7 +1350,9 @@ class LakeTable:
                     & (F.col("_lsn") < expire_tombstones_below_lsn)
                 )
             )
-        files = self.write_data_files(df, sort_within=True)
+        files = self.write_data_files(
+            df, sort_within=True, max_records_per_file=target_rows_per_file
+        )
         self.commit_with_retry(
             add_files=files, remove_buckets=todo, extra_props=cursor_props,
             expect_version=snap["version"],

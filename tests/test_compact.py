@@ -155,3 +155,48 @@ def test_compaction_sorts_within_buckets_for_rowgroup_pruning(spark, scratch):
     miss = table.read_keys(spark, ["doc-999999"])
     assert "Parquet" not in miss._jdf.queryExecution().executedPlan().toString()
     assert miss.count() == 0
+
+
+def test_compact_target_rows_per_file_bounds_and_converges(spark, scratch):
+    """target_rows_per_file splits each rewritten bucket at the target
+    (no unsplittable giant files), every output file respects the bound,
+    reads stay exact, and a second run is a NO-OP — the fragmentation test
+    allows ceil(rows/target) files so bounded buckets are never
+    re-compacted forever."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from helpers import make_table
+
+    t = make_table(scratch, n_buckets=2)
+    for c in range(8):  # fragment: 8 commits x 2 buckets
+        rows = spark.range(c * 250, (c + 1) * 250).select(
+            F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+            F.array(F.lit(1)).alias("tokens"), F.lit(1).alias("n_tok"),
+            F.lit("crawl").alias("source"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+            F.col("id").alias("_lsn"), F.lit(False).alias("_deleted"),
+        )
+        t.commit(add_files=t.write_data_files(rows), batch_id=c)
+    before = t.read(spark).count()
+
+    # ~8 files x ~125 rows per bucket; allowed = ceil(1000/300) = 4
+    r = t.compact(spark, target_rows_per_file=300)
+    assert r["buckets_compacted"] == 2
+    files = t.files()
+    assert all(f["rows"] <= 300 for f in files)
+    per_bucket = {}
+    for f in files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(n >= 2 for n in per_bucket.values())  # actually split
+    assert t.read(spark).count() == before
+    # key-sorted within files (row-group pruning) still holds per file
+    for f in files:
+        ks = pq.read_table(
+            os.path.join(t.root, f["path"]), columns=["doc_id"]
+        ).column(0).to_pylist()
+        assert ks == sorted(ks)
+    # stability: a second run with the same target is a no-op
+    v = t.current_version()
+    r2 = t.compact(spark, target_rows_per_file=300)
+    assert r2["buckets_compacted"] == 0 and t.current_version() == v
