@@ -42,6 +42,7 @@ def replay_stream(
     trigger_interval: str | None = None,
     maintenance_every: int | None = None,
     maintenance_max_buckets: int | None = 16,
+    maintenance_target_rows_per_file: int | None = None,
     tombstone_horizon_lsns: int | None = None,
     vacuum_retain_last: int = 8,
     source_format: str = "text",
@@ -154,6 +155,7 @@ def replay_stream(
                 spark, max_files_per_bucket=1,
                 max_buckets_per_run=maintenance_max_buckets,
                 expire_tombstones_below_lsn=expire_below,
+                target_rows_per_file=maintenance_target_rows_per_file,
             )
             # single-writer loop: no in-flight files between our own batches
             table.vacuum(retain_last=vacuum_retain_last, orphan_grace_sec=0)

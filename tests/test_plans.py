@@ -242,3 +242,25 @@ def test_rollup_and_pivot_single_pass(spark):
     assert roll.count("Exchange") == 1, roll
     piv = _plan(Q.q_pivot(spark, sf))
     assert piv.count("Exchange") == 1, piv
+
+
+def test_ngram_dup_rate_partial_agg_no_cartesian(spark, sf_dir="/root/testdata/sf0.001"):
+    """Two-level aggregation: the (source,gram) count must have a partial
+    (map-side) phase so duplicate grams die before the exchange, and the
+    plan must not contain a cartesian/nested-loop join."""
+    from concept_catalog_etl_spark.plans.queries import q_ngram_dup_rate
+
+    plan = _plan(q_ngram_dup_rate(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_broadcasts_df_and_reuses_corpus_pass(spark, sf_dir="/root/testdata/sf0.001"):
+    """df (vocab-bounded) and the 1-row N must both arrive by broadcast —
+    the (doc,word) side never shuffles for either join."""
+    from concept_catalog_etl_spark.plans.queries import q_tfidf_topk
+
+    plan = _plan(q_tfidf_topk(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2 or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
