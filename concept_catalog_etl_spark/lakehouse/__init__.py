@@ -1,3 +1,4 @@
+from .catalog import Catalog, CatalogConflictError
 from .schema import Field, TableSchema, can_widen, parse_type
 from .table import SYS_COLS, SYS_NAMES, LakeTable, bucket_expr
 
@@ -10,4 +11,6 @@ __all__ = [
     "bucket_expr",
     "SYS_COLS",
     "SYS_NAMES",
+    "Catalog",
+    "CatalogConflictError",
 ]

@@ -1,0 +1,175 @@
+"""Multi-table catalog: atomic cross-table snapshot visibility.
+
+A CDC stream often fans out to several tables (the holding, its derived
+aggregate, a search index). Each table commits independently and is
+internally consistent, but a reader joining two of them can observe table A
+after a batch and table B before it. The catalog closes that gap the same
+way the table closes it for files: an immutable versioned mapping
+``{table_name -> (root, version)}`` behind an atomically swapped pointer.
+
+- Writers commit to tables as usual (ledgers, retries, WAP — unchanged).
+- When a consistent cut exists (e.g. batch N applied to every fan-out
+  table), the coordinator calls ``publish({name: version, ...})`` — ONE
+  ``os.replace`` makes the whole cut visible.
+- Readers resolve through ``read(spark, name)`` / ``pin()`` and see every
+  table at the published cut; a crash between table commits and publish
+  leaves readers on the previous cut — stale but CONSISTENT, and the
+  ledger makes the re-drive of the coordinator idempotent.
+
+Durability of pinned versions: ``publish`` stamps each updated table with
+the ``_catalog`` tag at its pinned version, and tags pin the table's vacuum
+retention floor — so table-level GC can never delete a version the catalog
+still references, with no coupling beyond the tag file.
+
+Concurrency: the catalog version file is created with ``open(..., "x")``
+(same optimistic protocol as table commits); a losing publisher re-reads
+and re-publishes. Versions are monotonic per table (a publish can only
+advance or hold each pin).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import LakeTable
+
+
+class CatalogConflictError(RuntimeError):
+    pass
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "catalog")
+
+    # ------------------------------------------------------------- lifecycle
+    @staticmethod
+    def create(root: str) -> "Catalog":
+        c = Catalog(root)
+        os.makedirs(c.meta_dir, exist_ok=False)
+        c._write({"version": 0, "tables": {}})
+        return c
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "catalog", "_current"))
+
+    # --------------------------------------------------------------- pointer
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "_current")) as f:
+            return int(f.read().strip())
+
+    def _snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"c{v}.json")) as f:
+            return json.load(f)
+
+    def _write(self, snap: dict) -> None:
+        path = os.path.join(self.meta_dir, f"c{snap['version']}.json")
+        with open(path, "x") as f:  # 'x': optimistic-concurrency conflict
+            json.dump(snap, f)
+        tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap["version"]))
+        os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+
+    # ----------------------------------------------------------------- reads
+    def pin(self) -> dict[str, int]:
+        """The current consistent cut: {table_name: pinned version}."""
+        return {n: t["version"] for n, t in self._snapshot()["tables"].items()}
+
+    def table(self, name: str) -> LakeTable:
+        rec = self._snapshot()["tables"].get(name)
+        if rec is None:
+            raise KeyError(f"no such catalog table: {name}")
+        return LakeTable(rec["root"])
+
+    def read(self, spark: SparkSession, name: str, **read_kw) -> DataFrame:
+        """Read ``name`` at its PINNED version — two catalog reads in the
+        same cut always join consistently, whatever the tables' writers are
+        doing concurrently."""
+        rec = self._snapshot()["tables"].get(name)
+        if rec is None:
+            raise KeyError(f"no such catalog table: {name}")
+        return LakeTable(rec["root"]).read(spark, version=rec["version"], **read_kw)
+
+    # ---------------------------------------------------------------- writes
+    def register(self, name: str, table: LakeTable,
+                 version: int | None = None) -> dict:
+        """Add (or re-root) a table under ``name``, pinned at ``version``
+        (default: the table's current version)."""
+        v = table.current_version() if version is None else int(version)
+        table.tag("_catalog", v)  # pin before the mapping references it
+        return self._publish_fn(
+            lambda tables: {**tables, name: {"root": table.root, "version": v}}
+        )
+
+    def publish(self, updates: dict[str, int],
+                expect_version: int | None = None,
+                max_retries: int = 5) -> dict:
+        """Atomically advance the pins of ``updates`` tables to the given
+        versions — THE consistent-cut swap. Monotonic per table; unknown
+        names raise; each updated table is stamped with the ``_catalog``
+        tag at its new pin so table-level vacuum retains the cut."""
+
+        def apply(tables: dict) -> dict:
+            out = dict(tables)
+            for name, v in updates.items():
+                if name not in out:
+                    raise KeyError(f"no such catalog table: {name}")
+                if v < out[name]["version"]:
+                    raise CatalogConflictError(
+                        f"{name}: pin may only advance "
+                        f"({out[name]['version']} -> {v})"
+                    )
+                out[name] = {**out[name], "version": int(v)}
+            return out
+
+        # Tag protocol around the swap — at every instant the version each
+        # cut references is covered by SOME tag:
+        #   1. "_catalog_pending" at the new pin (old "_catalog" still
+        #      covers the old cut),
+        #   2. pointer swap,
+        #   3. move "_catalog" to the new pin, drop the pending tag.
+        # A crash leaves at worst a stale pending tag (bounded
+        # over-retention, overwritten by the next publish) — never a cut
+        # whose version a racing table vacuum may delete.
+        cur = self._snapshot()["tables"]
+        for name, v in updates.items():
+            if name not in cur:
+                raise KeyError(f"no such catalog table: {name}")
+            LakeTable(cur[name]["root"]).tag("_catalog_pending", v)
+        snap = self._publish_fn(apply, expect_version, max_retries)
+        for name, v in updates.items():
+            t = LakeTable(snap["tables"][name]["root"])
+            t.tag("_catalog", v)
+            try:
+                t.drop_tag("_catalog_pending")
+            except KeyError:
+                pass
+        return snap
+
+    def _publish_fn(self, fn, expect_version: int | None = None,
+                    max_retries: int = 5) -> dict:
+        for _ in range(max_retries + 1):
+            snap = self._snapshot()
+            if expect_version is not None and snap["version"] != expect_version:
+                raise CatalogConflictError(
+                    f"expected catalog v{expect_version}, found v{snap['version']}"
+                )
+            new = {"version": snap["version"] + 1, "tables": fn(snap["tables"])}
+            try:
+                self._write(new)
+                return new
+            except FileExistsError:
+                if expect_version is not None:
+                    raise CatalogConflictError(
+                        f"concurrent catalog publish at v{new['version']}"
+                    ) from None
+                continue  # reload and re-apply fn on the winner's mapping
+        raise CatalogConflictError("catalog publish retries exhausted")
