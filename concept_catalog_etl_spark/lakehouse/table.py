@@ -756,7 +756,10 @@ class LakeTable:
         out = []
         for fn in sorted(os.listdir(self.meta_dir)):
             if fn.startswith("stage-") and fn.endswith(".json"):
-                rec = self._load_stage(fn[len("stage-"):-len(".json")])
+                try:
+                    rec = self._load_stage(fn[len("stage-"):-len(".json")])
+                except KeyError:
+                    continue  # published/aborted between listdir and load
                 out.append({
                     "stage_id": rec["stage_id"],
                     "base_version": rec["base_version"],
