@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--files-per-batch", type=int, default=10)
     ap.add_argument("--impl", choices=["jvm", "arrow"], default="jvm")
     ap.add_argument("--write-mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument(
+        "--audit-max-delete-ratio", type=float, default=None,
+        help="enable write-audit-publish: stage each batch, reject it "
+             "(abort, batch_id left uncommitted) if it would tombstone "
+             "more than this fraction of the pre-batch row count",
+    )
     args = ap.parse_args()
 
     from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
@@ -61,10 +67,22 @@ def main() -> None:
         table = LakeTable.create(args.table, schema, n_buckets=args.n_buckets)
 
     cfg = MergeConfig(impl=args.impl, write_mode=args.write_mode)
+    audit = None
+    if args.audit_max_delete_ratio is not None:
+        ratio = args.audit_max_delete_ratio
+
+        def audit(sp, tbl, sid, metrics):  # noqa: ANN001 — WAP gate
+            before = tbl.read(sp).count()
+            after = tbl.read_stage(sp, sid).count()
+            return before == 0 or (before - after) / before <= ratio
+
+    if audit is not None and args.mode != "stream":
+        ap.error("--audit-max-delete-ratio requires --mode stream")
     if args.mode == "stream":
         metrics = replay_stream(
             spark, args.binlog_dir, table, args.checkpoint,
             cfg=cfg, max_files_per_trigger=args.files_per_batch,
+            audit=audit,
         )
     else:
         files = sorted(
@@ -73,7 +91,12 @@ def main() -> None:
             if f.endswith(".jsonl")
         )
         metrics = replay_batch(spark, files, table, args.files_per_batch, cfg)
-    print(json.dumps({"batches": len(metrics), "table_version": table.current_version()}))
+    out = {"batches": len(metrics), "table_version": table.current_version()}
+    if audit is not None:
+        out["rejected_batches"] = sum(
+            1 for m in metrics if m.get("published") is False
+        )
+    print(json.dumps(out))
     spark.stop()
 
 

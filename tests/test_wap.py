@@ -323,3 +323,50 @@ def test_streaming_audit_gate_publishes_and_rejects(spark, scratch):
     assert t2.stages() == []
     # the rejected batch's rows are absent: table state < oracle state
     assert t2.read(spark).count() < len(oracle_state)
+
+
+def test_submit_audit_flag_rejects_mass_delete(spark, scratch, monkeypatch, capsys):
+    """The launch-contract surface: submit_main --audit-max-delete-ratio
+    stages each streaming batch and rejects one that would tombstone more
+    than the threshold. Run in-process (getOrCreate reuses the test
+    session) with a binlog whose second file is a mass delete."""
+    import json as _json
+    import sys
+
+    import submit_main
+
+    # submit_main ends with spark.stop(); in-process that would kill the
+    # shared test session — neutralize it (the subprocess launch contract
+    # is covered by tests/test_spark_submit.py)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    d = os.path.join(scratch, "binlog")
+    os.makedirs(d)
+    ups = [{"op": "insert", "doc_id": f"doc-{i:04d}", "event_ts":
+            "2026-01-01T00:00:00", "lsn": i, "schema_version": 1,
+            "payload": {"tokens": [1, 2], "n_tok": 2, "source": "crawl"}}
+           for i in range(40)]
+    dels = [{"op": "delete", "doc_id": f"doc-{i:04d}", "event_ts":
+             "2026-02-01T00:00:00", "lsn": 1000 + i, "schema_version": 1,
+             "payload": None} for i in range(30)]
+    with open(os.path.join(d, "a-inserts.jsonl"), "w") as f:
+        f.write("\n".join(_json.dumps(e) for e in ups))
+    with open(os.path.join(d, "b-deletes.jsonl"), "w") as f:
+        f.write("\n".join(_json.dumps(e) for e in dels))
+
+    tdir = os.path.join(scratch, "table")
+    monkeypatch.setattr(sys, "argv", [
+        "submit_main.py", "--binlog-dir", d, "--table", tdir,
+        "--checkpoint", os.path.join(scratch, "ckpt"),
+        "--mode", "stream", "--write-mode", "mor", "--n-buckets", "4",
+        "--files-per-batch", "1", "--audit-max-delete-ratio", "0.5",
+    ])
+    submit_main.main()
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rejected_batches"] == 1
+
+    from concept_catalog_etl_spark.lakehouse import LakeTable
+
+    t = LakeTable(tdir)
+    assert t.read(spark).count() == 40  # deletes were refused
+    assert t.stages() == []
