@@ -785,11 +785,21 @@ class LakeTable:
         except OSError:
             pass
 
-    def publish_stage(self, stage_id: str, max_retries: int = 5) -> dict:
+    def publish_stage(self, stage_id: str, max_retries: int = 5,
+                      missing_ok: bool = False) -> dict:
         """Atomically publish an audited stage. Exactly-once when the stage
         carries a batch_id: a crash after the commit but before the marker
-        cleanup makes re-publish a ledger skip, never a double-apply."""
-        rec = self._load_stage(stage_id)
+        cleanup makes re-publish a ledger skip, never a double-apply.
+        ``missing_ok=True`` treats a vanished marker as already settled
+        (published or aborted by a racing publisher) — the contract a
+        multi-process audit service wants; the default raises KeyError so a
+        typo'd stage_id fails loudly."""
+        try:
+            rec = self._load_stage(stage_id)
+        except KeyError:
+            if missing_ok:
+                return self.snapshot()
+            raise
         kw = rec["kwargs"]
         batch_id, writer_id = kw.get("batch_id"), kw.get("writer_id")
         if batch_id is not None and self.is_committed(batch_id, writer_id):

@@ -370,3 +370,38 @@ def test_submit_audit_flag_rejects_mass_delete(spark, scratch, monkeypatch, caps
     t = LakeTable(tdir)
     assert t.read(spark).count() == 40  # deletes were refused
     assert t.stages() == []
+
+
+def test_publish_from_separate_process_and_double_publish_race(spark, scratch):
+    """WAP handoff across OS processes: the ingest process stages; a
+    SEPARATE process (an audit service — no Spark needed, publish is pure
+    metadata) publishes. Two racing publishers of the same stage land it
+    exactly once (second is a ledger skip), whatever the interleaving."""
+    import subprocess
+    import sys as _sys
+
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(10))), batch_id=0)
+    sid = t.stage_commit(
+        add_files=t.write_data_files(_rows(spark, range(10, 16), lsn0=60)),
+        batch_id=1,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = (
+        "import sys; sys.path.insert(0, sys.argv[1]);"
+        "from concept_catalog_etl_spark.lakehouse import LakeTable;"
+        "LakeTable(sys.argv[2]).publish_stage(sys.argv[3], missing_ok=True);"
+        "print('OK')"
+    )
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", worker, repo, t.root, sid],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=60) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert t.read(spark).count() == 16
+    assert t.is_committed(1)
+    assert t.stages() == []
+    # exactly once: the batch's rows appear a single time
+    assert t.read(spark).filter(F.col("doc_id") == "doc-000012").count() == 1
