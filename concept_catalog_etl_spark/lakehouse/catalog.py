@@ -71,12 +71,37 @@ class Catalog:
 
     def _write(self, snap: dict) -> None:
         path = os.path.join(self.meta_dir, f"c{snap['version']}.json")
-        with open(path, "x") as f:  # 'x': optimistic-concurrency conflict
+        # write-complete-then-link: os.link gives the same exclusive-create
+        # conflict check as open('x') but the visible file is ALWAYS whole —
+        # a crash mid-write can never leave a truncated c{v}.json, which is
+        # what makes _roll_forward's adoption of an orphan safe
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump(snap, f)
+        try:
+            os.link(tmp, path)  # FileExistsError == lost the version race
+        finally:
+            os.unlink(tmp)
         tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(snap["version"]))
         os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+
+    def _roll_forward(self) -> None:
+        """Complete a crashed publisher's swap: a c{v+1}.json that exists
+        while ``_current`` still reads v is a fully-written (link-atomic)
+        next mapping whose writer died before the pointer swap. Without
+        adoption every later publish would hit FileExistsError on that
+        version forever — the catalog would be wedged."""
+        while True:
+            v = self.current_version()
+            nxt = os.path.join(self.meta_dir, f"c{v + 1}.json")
+            if not os.path.exists(nxt):
+                return
+            tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(v + 1))
+            os.replace(tmp, os.path.join(self.meta_dir, "_current"))
 
     # ----------------------------------------------------------------- reads
     def pin(self) -> dict[str, int]:
@@ -104,10 +129,19 @@ class Catalog:
         """Add (or re-root) a table under ``name``, pinned at ``version``
         (default: the table's current version)."""
         v = table.current_version() if version is None else int(version)
-        table.tag("_catalog", v)  # pin before the mapping references it
-        return self._publish_fn(
+        # same pending-tag dance as publish(): moving "_catalog" directly
+        # would un-pin a version a still-current cut references (this table
+        # may already be registered at an older pin)
+        table.tag("_catalog_pending", v)
+        snap = self._publish_fn(
             lambda tables: {**tables, name: {"root": table.root, "version": v}}
         )
+        table.tag("_catalog", v)
+        try:
+            table.drop_tag("_catalog_pending")
+        except KeyError:
+            pass
+        return snap
 
     def publish(self, updates: dict[str, int],
                 expect_version: int | None = None,
@@ -157,6 +191,7 @@ class Catalog:
     def _publish_fn(self, fn, expect_version: int | None = None,
                     max_retries: int = 5) -> dict:
         for _ in range(max_retries + 1):
+            self._roll_forward()  # adopt a crashed publisher's orphan swap
             snap = self._snapshot()
             if expect_version is not None and snap["version"] != expect_version:
                 raise CatalogConflictError(

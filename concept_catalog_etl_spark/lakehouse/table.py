@@ -692,6 +692,7 @@ class LakeTable:
         extra_props: dict | None = None,
         new_schema: TableSchema | None = None,
         metrics: dict | None = None,
+        expect_version: int | None = None,
     ) -> str:
         """Stage a commit for audit; returns a ``stage_id``. The staged
         state is readable via ``read_stage`` but invisible to every other
@@ -700,8 +701,18 @@ class LakeTable:
         the stage-marker cleanup — the same ledger contract as ``commit``.
         ``new_schema`` stages a schema evolution with the data (the audit
         surface reads under the evolved schema); ``metrics`` land in the
-        metrics log only at publish."""
+        metrics log only at publish. ``expect_version`` anchors the stage at
+        the version the WORK was computed from (a COW merge's read
+        snapshot): a commit landing between that read and the stage is a
+        conflict NOW, not a silent clobber at publish — same contract as
+        ``commit``."""
         snap = self.snapshot()
+        if expect_version is not None and snap["version"] != expect_version:
+            raise CommitConflictError(
+                f"concurrent commit before stage: expected v{expect_version},"
+                f" found v{snap['version']} — recompute against the new"
+                " snapshot"
+            )
         touched: set[int] = {f["bucket"] for f in (add_files or [])}
         if remove_buckets:
             touched |= set(remove_buckets)
@@ -739,8 +750,14 @@ class LakeTable:
                 "metrics": metrics,
             },
         }
-        with open(os.path.join(self.meta_dir, f"stage-{stage_id}.json"), "x") as f:
+        # atomic marker publish (tmp + rename — uuid ids can't collide, so
+        # no exclusivity needed): a crash mid-write must never leave a
+        # truncated stage-*.json that wedges stages()/vacuum() forever
+        path = os.path.join(self.meta_dir, f"stage-{stage_id}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump(record, f)
+        os.replace(tmp, path)
         return stage_id
 
     def _load_stage(self, stage_id: str) -> dict:
@@ -1301,9 +1318,16 @@ class LakeTable:
             m["bucket"]: m["n_files"] for m in snap["manifests"]
         }
         n_files_before = sum(by_bucket.values())
+        # one manifest walk feeds BOTH the size-target fragmentation test and
+        # the tombstone-expiry planning below
+        all_files = (
+            self.files(snap=snap)
+            if (target_rows_per_file or expire_tombstones_below_lsn is not None)
+            else []
+        )
         if target_rows_per_file:
             rows_by_bucket: dict[int, int] = {}
-            for f in self.files(snap=snap):
+            for f in all_files:
                 rows_by_bucket[f["bucket"]] = (
                     rows_by_bucket.get(f["bucket"], 0) + int(f["rows"])
                 )
@@ -1322,7 +1346,7 @@ class LakeTable:
             # conservatively included). Without this, a steady-state
             # maintenance tick would rewrite K fully-compacted buckets
             # forever just to look for tombstones that are not there.
-            for f in self.files(snap=snap):
+            for f in all_files:
                 maybe = f.get("has_tombstone", True) and (
                     f.get("min_lsn") is None
                     or f["min_lsn"] < expire_tombstones_below_lsn
@@ -1446,8 +1470,11 @@ class LakeTable:
         out = {}
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("tag-") and fn.endswith(".json"):
-                with open(os.path.join(self.meta_dir, fn)) as f:
-                    rec = json.load(f)
+                try:
+                    with open(os.path.join(self.meta_dir, fn)) as f:
+                        rec = json.load(f)
+                except FileNotFoundError:
+                    continue  # a racing drop_tag won between listdir and open
                 out[rec["name"]] = int(rec["version"])
         return out
 
@@ -1511,14 +1538,14 @@ class LakeTable:
         _now = _t0_.time()
         for st in self.stages():
             path = os.path.join(self.meta_dir, f"stage-{st['stage_id']}.json")
-            if stage_ttl_sec is not None:
-                try:
-                    if _now - os.path.getmtime(path) > stage_ttl_sec:
-                        self.abort_stage(st["stage_id"])
-                        continue
-                except OSError:
+            try:
+                if (stage_ttl_sec is not None
+                        and _now - os.path.getmtime(path) > stage_ttl_sec):
+                    self.abort_stage(st["stage_id"])
                     continue
-            rec = self._load_stage(st["stage_id"])
+                rec = self._load_stage(st["stage_id"])
+            except (OSError, KeyError):
+                continue  # a racing publisher settled the stage mid-walk
             live_m |= {m["path"] for m in rec["audit_snapshot"]["manifests"]}
         # each retained manifest is opened once even if many snapshots share it
         for rel in live_m:
@@ -1584,4 +1611,12 @@ class LakeTable:
                 and int(fn[1:-5]) < floor
             ):
                 os.remove(os.path.join(self.meta_dir, fn))  # expire snapshot
+            elif ".tmp." in fn:
+                # a crashed writer's atomic-publish temp (pointer swap,
+                # stage marker, tag) — dead once past the grace window
+                try:
+                    if _now - os.path.getmtime(full) >= orphan_grace_sec:
+                        os.remove(full)
+                except OSError:
+                    pass
         return removed

@@ -17,6 +17,12 @@ LSH dial — at 10^10 vectors you'd run 24-28 bits and more tables).
 Pure JVM end to end: plane dot products are expression trees over
 literals, cosine is a zip_with/aggregate fold — no Python on the data
 path.
+
+Index rows PERSIST norms computed by signature_transform, so the stored
+values are pinned to the fold in functions/vector.py at write time: if
+that fold's arithmetic ever changes (e.g. element cast width), run
+``rebuild_rowview`` — mixing index generations would make round(sim, 6)
+differ in the last digit across rows near a threshold.
 """
 
 from __future__ import annotations

@@ -642,6 +642,10 @@ def apply_batch(
             lineage=lineage,
             new_schema=new_schema,
             metrics=metrics,
+            # anchor at the version this merge READ (cow rewrites must not
+            # stage across a commit that landed mid-merge — same race the
+            # non-stage branch's expect_version catches); mor appends commute
+            expect_version=None if cfg.write_mode == "mor" else expect_version,
         )
     else:
         table.commit_with_retry(

@@ -80,10 +80,12 @@ def replay_stream(
     ``audit(spark, table, stage_id, metrics) -> bool`` inspects the staged
     state (``table.read_stage``), and the batch is published on True /
     aborted on False. A REJECTED batch is skipped, not retried: the stream
-    checkpoint advances, its batch_id stays uncommitted (``metrics``
-    records ``published: False``), so a corrected upstream can re-feed it
-    later as an ordinary backfill. Readers never observe an unaudited
-    batch.
+    checkpoint advances and ``metrics`` records ``published: False``.
+    Re-feed corrected data as a NEW batch (a re-fed file naturally gets a
+    fresh foreachBatch id) — do NOT reuse the rejected batch_id: the
+    ledger's ring floor assumes id density, so after LEDGER_KEEP later
+    commits the old id would read as "committed long ago" and be silently
+    skipped. Readers never observe an unaudited batch.
 
     ``sync_derived`` is a list of callables ``(spark) -> dict`` run at the
     same maintenance cadence, BEFORE compaction/vacuum (they read the change

@@ -135,3 +135,47 @@ def test_vacuum_cannot_delete_a_pinned_cut(spark, scratch):
     t.vacuum(retain_last=2, orphan_grace_sec=0)
     assert t.oldest_retained_version() > pinned
     assert cat.read(spark, "t").count() == 5 + 9 * 3
+
+
+def test_catalog_rolls_forward_past_crashed_publish(spark, scratch):
+    """A publisher that wrote c{v+1}.json but died before the pointer swap
+    must not wedge the catalog: the next publish adopts the orphan (its
+    content is whole by link-atomicity) and continues on top."""
+    import json as _json
+
+    t = make_table(scratch, n_buckets=2)
+    t.commit(add_files=t.write_data_files(_docs(spark, range(4))), batch_id=0)
+    cat = Catalog.create(os.path.join(scratch, "cat"))
+    cat.register("t", t)
+    v = cat.current_version()
+
+    # simulate the crash: next version file exists, pointer not swapped
+    snap = cat._snapshot()
+    orphan = {"version": v + 1, "tables": snap["tables"]}
+    with open(os.path.join(cat.meta_dir, f"c{v + 1}.json"), "w") as f:
+        _json.dump(orphan, f)
+    assert cat.current_version() == v  # pointer still old
+
+    t.commit(add_files=t.write_data_files(_docs(spark, range(4, 7), lsn0=40)),
+             batch_id=1)
+    cat.publish({"t": t.current_version()})  # adopts orphan, then publishes
+    assert cat.current_version() == v + 2
+    assert cat.read(spark, "t").count() == 7
+
+
+def test_reregister_keeps_old_cut_pinned_until_swap(spark, scratch):
+    """Re-registering a table at a newer version must not un-pin the
+    version the still-current cut references (pending-tag dance)."""
+    t = make_table(scratch, n_buckets=2)
+    t.commit(add_files=t.write_data_files(_docs(spark, range(5))), batch_id=0)
+    cat = Catalog.create(os.path.join(scratch, "cat"))
+    cat.register("t", t)
+    old_pin = cat.pin()["t"]
+    for b in range(1, 10):
+        t.commit(add_files=t.write_data_files(
+            _docs(spark, range(5 + b * 2, 7 + b * 2), lsn0=b * 10)), batch_id=b)
+    cat.register("t", t)  # re-pin at current
+    # after re-register the OLD pin may be released, the new one must hold
+    t.vacuum(retain_last=1, orphan_grace_sec=0)
+    assert cat.read(spark, "t").count() == 5 + 9 * 2
+    assert old_pin < cat.pin()["t"]

@@ -405,3 +405,20 @@ def test_publish_from_separate_process_and_double_publish_race(spark, scratch):
     assert t.stages() == []
     # exactly once: the batch's rows appear a single time
     assert t.read(spark).filter(F.col("doc_id") == "doc-000012").count() == 1
+
+
+def test_stage_anchors_at_merge_read_version(spark, scratch):
+    """A COW merge computed against v1 must not STAGE across a commit that
+    landed mid-merge — the stage itself raises, mirroring the non-stage
+    branch's expect_version conflict (a publish later would otherwise
+    clobber the interleaved commit's rows in the rewritten buckets)."""
+    t = make_table(scratch, n_buckets=4)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(10))), batch_id=0)
+    v_read = t.current_version()
+    staged_files = t.write_data_files(_rows(spark, range(10, 14), lsn0=40))
+    # interleaved commit before the stage
+    t.commit(add_files=t.write_data_files(_rows(spark, range(20, 24), lsn0=80)),
+             batch_id=1)
+    with pytest.raises(CommitConflictError, match="before stage"):
+        t.stage_commit(add_files=staged_files, remove_buckets={0, 1, 2, 3},
+                       batch_id=2, expect_version=v_read)
