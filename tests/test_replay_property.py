@@ -207,3 +207,67 @@ def test_random_evolution_replay_matches_oracle(spark, events, split, seed):
     }
     assert got == want
     shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- WAP property: random publish/abort interleavings -----------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(event_st, min_size=1, max_size=24),
+       cuts=st.lists(st.integers(1, 23), min_size=0, max_size=3),
+       accept=st.lists(st.booleans(), min_size=4, max_size=4),
+       seed=st.integers(0, 10**6),
+       mode=st.sampled_from(["cow", "mor"]))
+def test_random_wap_replay_equals_oracle_over_published_batches(
+        spark, events, cuts, accept, seed, mode):
+    """Write-audit-publish under arbitrary event mixes and arbitrary
+    publish/abort decisions: the final state must equal the oracle replay
+    of ONLY the published batches' files — an aborted stage leaves no
+    trace (no rows, no tombstones, no ledger entry), and later batches
+    merge against the post-decision state."""
+    import glob as _glob
+
+    d = os.path.join(SCRATCH, f"wap_{seed}_{len(events)}_{mode}")
+    shutil.rmtree(d, ignore_errors=True)
+    binlog = os.path.join(d, "binlog")
+    os.makedirs(binlog)
+    lines = [_line(ev, lsn) for lsn, ev in enumerate(events)]
+    bounds = sorted({min(c, len(lines)) for c in cuts} | {0, len(lines)})
+    chunks = [lines[a:b] for a, b in zip(bounds, bounds[1:]) if lines[a:b]]
+    for i, chunk in enumerate(chunks):
+        with open(os.path.join(binlog, f"f{i}.jsonl"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+    paths = sorted(_glob.glob(os.path.join(binlog, "*.jsonl")))
+
+    from concept_catalog_etl_spark.operators.merge import MergeConfig, apply_batch
+
+    table = make_table(d, n_buckets=4)
+    cfg = MergeConfig(write_mode=mode, stage_only=True)
+    accepted_dir = os.path.join(d, "accepted")
+    os.makedirs(accepted_dir)
+    any_accepted = False
+    for bid, p in enumerate(paths):
+        m = apply_batch(spark, table, spark.read.text([p]), bid, cfg)
+        ok = accept[bid % len(accept)]
+        if ok:
+            table.publish_stage(m["stage_id"])
+            shutil.copy(p, accepted_dir)
+            any_accepted = True
+            assert table.is_committed(bid)
+        else:
+            table.abort_stage(m["stage_id"])
+            assert not table.is_committed(bid)
+
+    got = table_state(spark, table)
+    if any_accepted:
+        oracle_state, _schema, _stats = replay_dir(accepted_dir)
+        want = {
+            k: {f: (list(v[f]) if isinstance(v.get(f), list) else v.get(f))
+                for f in ("doc_id", "tokens", "n_tok", "source")}
+            for k, v in oracle_state.items()
+        }
+    else:
+        want = {}
+    assert got == want
+    assert table.stages() == []
+    shutil.rmtree(d, ignore_errors=True)
