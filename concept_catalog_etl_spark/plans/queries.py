@@ -2694,6 +2694,155 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_scd2_history(spark, sf):
+    """SCD2 (type-2 slowly-changing-dimension) history from the change log:
+    per user, collapse consecutive events with the same `event_type` into
+    validity intervals [valid_from, valid_to) with an `is_current` flag —
+    the standard "what was true when" table a CDC pipeline derives next to
+    the latest-state MERGE output (reference analog: the upsert in
+    files/load.py:20-22 keeps only latest state; this keeps the history).
+
+    Plan: one shuffle on user_id; change-point detection (lag), run ids
+    (running sum), per-run min-ts aggregation, then valid_to = lead(run
+    start) — all inside the SAME user_id partitioning, so the window
+    chain after the first exchange is shuffle-free. Timestamps are emitted
+    as epoch micros (bigint) so the cross-engine hash is exact."""
+    w_ord = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    brk = F.when(
+        F.lag("event_type").over(w_lag).isNull()
+        | (F.lag("event_type").over(w_lag) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = e.withColumn("brk", brk).withColumn("run_id", F.sum("brk").over(w_ord))
+    g = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("vf"), F.count("*").cast("bigint").alias("n_events")
+    )
+    w_run = W.partitionBy("user_id").orderBy("run_id")
+    vt = F.lead("vf").over(w_run)
+    return g.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("vf").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(vt.cast("timestamp")).alias("valid_to_us"),
+        vt.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+SQL_SCD2_HISTORY = r"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, event_type, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+),
+g AS (
+  SELECT user_id, run_id, event_type, min(ts) AS vf,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type,
+       epoch_us(vf) AS valid_from_us,
+       epoch_us(lead(vf) OVER w2) AS valid_to_us,
+       (lead(vf) OVER w2 IS NULL) AS is_current,
+       n_events
+FROM g
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+"""
+
+
+def q_span_dedup(spark, sf, span: int = 8):
+    """C4-style corpus-wide span dedup: split every document into
+    consecutive 8-word spans, keep only the FIRST occurrence of each span
+    across the whole corpus (ordered by doc_id, span position), and
+    reassemble the surviving text — the span-level complement of doc-level
+    dedup (removes boilerplate repeated across documents without dropping
+    the documents).
+
+    Plan: the keeper set is `groupBy(span).agg(min(struct(doc_id, idx)))`
+    — map-side combinable, ONE shuffle keyed on the span, no window (a
+    window over span groups would buffer every duplicate; the min-struct
+    agg kills duplicates in the map-side partial). Reassembly is a second
+    shuffle on doc_id with an array_sort(collect_list) — per-doc state is
+    bounded by doc length. Totals come straight off the scan (no explode,
+    no shuffle). At 100 TB you'd shuffle xxhash64(span) instead of the
+    span string — identical plan, 8-byte keys."""
+    d = _spread(spark, _t(spark, sf, "documents"))
+    w = F.split(F.lower(F.trim("text")), "\\s+")
+    n_spans = F.ceil(F.size(w) / span).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * span + 1, span)),
+    )
+    totals = d.select("doc_id", n_spans.cast("bigint").alias("total_spans"))
+    ex = d.select("doc_id", F.posexplode(spans).alias("idx", "span"))
+    kept = (
+        ex.groupBy("span")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.idx").alias("idx"),
+                "span")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("kept_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "total_spans",
+        F.coalesce("kept_spans", F.lit(0)).cast("bigint").alias("kept_spans"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+SQL_SPAN_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+totals AS (
+  SELECT doc_id, CAST(ceil(len(ws) / 8.0) AS BIGINT) AS total_spans FROM w
+),
+ex AS (
+  SELECT doc_id, CAST(i AS INT) AS idx,
+         array_to_string(ws[i*8+1 : i*8+8], ' ') AS span
+  FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+),
+kept AS (
+  SELECT doc_id, idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+  FROM ex
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_spans,
+         string_agg(span, ' ' ORDER BY idx) AS clean_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.total_spans,
+       COALESCE(r.kept_spans, 0) AS kept_spans,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2757,6 +2906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_redact_pii": q_redact_pii,
     "q_ngram_dup_rate": q_ngram_dup_rate,
     "q_tfidf_topk": q_tfidf_topk,
+    "q_scd2_history": q_scd2_history,
+    "q_span_dedup": q_span_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2819,4 +2970,6 @@ ORACLES: dict[str, str] = {
     "q_redact_pii": SQL_REDACT_PII,
     "q_ngram_dup_rate": SQL_NGRAM_DUP_RATE,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
+    "q_scd2_history": SQL_SCD2_HISTORY,
+    "q_span_dedup": SQL_SPAN_DEDUP,
 }

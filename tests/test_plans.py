@@ -264,3 +264,28 @@ def test_tfidf_broadcasts_df_and_reuses_corpus_pass(spark, sf_dir="/root/testdat
     assert plan.count("BroadcastExchange") >= 2 or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_windows_share_one_user_exchange(spark,
+                                              sf_dir="/root/testdata/sf0.001"):
+    """The SCD2 chain (lag → running-sum → groupBy(user,run) → lead) is
+    all user_id-clustered: after the first hash exchange on user_id the
+    window/agg pipeline must not reshuffle."""
+    from concept_catalog_etl_spark.plans.queries import q_scd2_history
+
+    plan = _plan(q_scd2_history(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_span_dedup_keeper_agg_is_partial(spark,
+                                          sf_dir="/root/testdata/sf0.001"):
+    """The keeper set must come from min(struct(doc_id, idx)) — a map-side
+    combinable aggregation (duplicate spans die pre-shuffle) — NOT from a
+    row_number window over span groups, which would buffer every duplicate
+    on the reduce side."""
+    from concept_catalog_etl_spark.plans.queries import q_span_dedup
+
+    plan = _plan(q_span_dedup(spark, sf_dir))
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan, plan
