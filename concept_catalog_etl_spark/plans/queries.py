@@ -2764,7 +2764,10 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
 """
 
 
-def q_span_dedup(spark, sf, span: int = 8):
+SPAN_DEDUP_WORDS = 8  # span width shared by the Spark plan and its oracle
+
+
+def q_span_dedup(spark, sf, span: int = SPAN_DEDUP_WORDS):
     """C4-style corpus-wide span dedup: split every document into
     consecutive 8-word spans, keep only the FIRST occurrence of each span
     across the whole corpus (ordered by doc_id, span position), and
@@ -2813,18 +2816,24 @@ def q_span_dedup(spark, sf, span: int = 8):
     )
 
 
-SQL_SPAN_DEDUP = r"""
+# the oracle is generated from the SAME span constant the Spark plan
+# defaults to, so the two sides cannot silently diverge on the width
+SQL_SPAN_DEDUP = rf"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
   FROM documents
 ),
 totals AS (
-  SELECT doc_id, CAST(ceil(len(ws) / 8.0) AS BIGINT) AS total_spans FROM w
+  SELECT doc_id, CAST(ceil(len(ws) / {SPAN_DEDUP_WORDS}.0) AS BIGINT)
+           AS total_spans FROM w
 ),
 ex AS (
   SELECT doc_id, CAST(i AS INT) AS idx,
-         array_to_string(ws[i*8+1 : i*8+8], ' ') AS span
-  FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+         array_to_string(
+           ws[i*{SPAN_DEDUP_WORDS}+1 : i*{SPAN_DEDUP_WORDS}+{SPAN_DEDUP_WORDS}],
+           ' ') AS span
+  FROM w, UNNEST(range(0, CAST(ceil(len(ws) / {SPAN_DEDUP_WORDS}.0) AS BIGINT)))
+         AS t(i)
 ),
 kept AS (
   SELECT doc_id, idx, span,
