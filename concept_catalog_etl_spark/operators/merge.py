@@ -94,6 +94,11 @@ class MergeConfig:
     # table.read_stage and then publish_stage / abort_stage. Readers never
     # see an unaudited batch; exactly-once rides the same batch_id ledger.
     stage_only: bool = False
+    # ledger namespace: None = the main (streaming-tail) ledger. A secondary
+    # writer replaying ids the tail already used — e.g. the DLQ recovery
+    # loop re-driving dead-letter batches under their ORIGINAL batch ids —
+    # must set its own namespace or the tail's ledger would skip it.
+    writer_id: str | None = None
 
 
 def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict]:
@@ -281,7 +286,7 @@ def apply_batch(
     import time as _time
 
     cfg = cfg or MergeConfig()
-    if table.is_committed(batch_id):
+    if table.is_committed(batch_id, cfg.writer_id):
         return {"batch_id": batch_id, "skipped": True}
 
     is_text = "value" in raw.columns
@@ -639,6 +644,7 @@ def apply_batch(
             add_files=files,
             remove_buckets=None if cfg.write_mode == "mor" else set(affected),
             batch_id=batch_id,
+            writer_id=cfg.writer_id,
             lineage=lineage,
             new_schema=new_schema,
             metrics=metrics,
@@ -653,6 +659,7 @@ def apply_batch(
             # mor appends deltas — the base (and older deltas) stay referenced
             remove_buckets=None if cfg.write_mode == "mor" else set(affected),
             batch_id=batch_id,
+            writer_id=cfg.writer_id,
             lineage=lineage,
             new_schema=new_schema,
             metrics=metrics,
