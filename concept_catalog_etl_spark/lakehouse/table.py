@@ -1281,15 +1281,31 @@ class LakeTable:
         return out.filter(F.col("_change_type").isNotNull())
 
     # ------------------------------------------------------------------- dlq
-    def write_dlq(self, df: DataFrame, batch_id: int) -> None:
-        out = os.path.join(self.root, "_dlq", f"batch_id={batch_id}")
-        df.write.mode("overwrite").parquet(out)
+    def dlq_partition(self, batch_id: int, writer_id: str | None = None) -> str:
+        """Dead-letter partition path, namespaced per WRITER: concurrent
+        writers (backfill + live tail) legitimately reuse batch ids — a
+        batch-id-only path would make them share one Hadoop committer
+        staging dir (task-commit crash) and then overwrite each other's
+        captured rows."""
+        return os.path.join(
+            self.root, "_dlq",
+            f"writer_id={writer_id or '_main'}", f"batch_id={batch_id}",
+        )
+
+    def write_dlq(self, df: DataFrame, batch_id: int,
+                  writer_id: str | None = None) -> None:
+        df.write.mode("overwrite").parquet(self.dlq_partition(batch_id, writer_id))
 
     def read_dlq(self, spark: SparkSession) -> DataFrame | None:
+        import glob as _glob
+
         d = os.path.join(self.root, "_dlq")
-        if not os.path.exists(d) or not os.listdir(d):
+        # enumerate real partition dirs (a drained writer leaves an empty
+        # writer_id dir behind; an unmatched glob would make Spark throw)
+        parts = sorted(_glob.glob(os.path.join(d, "writer_id=*", "batch_id=*")))
+        if not parts:
             return None
-        return spark.read.option("basePath", d).parquet(os.path.join(d, "batch_id=*"))
+        return spark.read.option("basePath", d).parquet(*parts)
 
     # --------------------------------------------------------------- compact
     def compact(

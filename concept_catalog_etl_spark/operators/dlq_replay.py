@@ -2,7 +2,7 @@
 
 ``apply_batch`` captures rejected change events (unparseable lines,
 unknown ops, null keys/ordering, null-token payloads) under
-``_dlq/batch_id=N`` with their raw text. The reference keeps its failed
+``_dlq/writer_id=W/batch_id=N`` with their raw text. The reference keeps its failed
 payloads too (``files/load.py:31-32``) but never re-drives them;
 ``replay_dlq`` closes that loop: each dead-letter batch goes back through
 the SAME merge kernel after an optional vectorized repair, under a
@@ -101,7 +101,7 @@ def replay_dlq(
     table: LakeTable,
     repair: Callable[[DataFrame], DataFrame] | None = None,
     cfg: MergeConfig | None = None,
-    writer_id: str = "dlq",
+    writer_prefix: str = "dlq",
 ) -> list[dict]:
     """Re-drive every dead-letter batch through the merge path.
 
@@ -109,20 +109,29 @@ def replay_dlq(
     text (one ``value`` string column) — e.g. a ``regexp_replace`` that
     strips the corruption an upstream producer has since fixed. No repair
     means "retry as-is" (for rows dead-lettered by a since-fixed parser
-    bug). Returns per-batch metrics: ``recovered`` (events the merge
-    applied), ``residual`` (rows still failing — they stay dead-lettered),
-    ``skipped`` (ledger said this batch id already recovered).
+    bug). DLQ partitions are keyed (source writer, batch id) — concurrent
+    writers reuse batch ids — so recovery runs under one ledger namespace
+    PER SOURCE WRITER (``dlq:<writer>``). Returns per-batch metrics:
+    ``recovered`` (events the merge applied), ``residual`` (rows still
+    failing — they stay dead-lettered), ``skipped`` (ledger said this
+    batch was already recovered).
     """
     dlq = table.read_dlq(spark)
     results: list[dict] = []
     if dlq is None:
         return results
-    batch_ids = sorted(
-        r["batch_id"] for r in dlq.select("batch_id").distinct().collect()
+    partitions = sorted(
+        (r["writer_id"], r["batch_id"])
+        for r in dlq.select("writer_id", "batch_id").distinct().collect()
     )
-    base = replace(cfg or MergeConfig(), writer_id=writer_id, write_dlq=False)
-    for bid in batch_ids:
-        part = os.path.join(table.root, "_dlq", f"batch_id={bid}")
+    for src_writer, bid in partitions:
+        src = None if src_writer == "_main" else src_writer
+        base = replace(
+            cfg or MergeConfig(),
+            writer_id=f"{writer_prefix}:{src_writer}",
+            write_dlq=False,
+        )
+        part = table.dlq_partition(bid, src)
         raw = spark.read.parquet(part).select(F.col("_raw").alias("value"))
         if repair is not None:
             raw = repair(raw)
@@ -136,11 +145,12 @@ def replay_dlq(
         m = apply_batch(spark, table, raw, bid, base)
         # post-commit (or ledger-skip): now the partition may be rewritten
         if n_res:
-            table.write_dlq(residue, bid)
+            table.write_dlq(residue, bid, src)
         else:
             shutil.rmtree(part, ignore_errors=True)
         results.append(
             {
+                "writer_id": src_writer,
                 "batch_id": bid,
                 "skipped": bool(m.get("skipped")),
                 "recovered": int(m.get("events_data", 0) or 0),

@@ -630,7 +630,7 @@ def apply_batch(
         if obs is None:
             dlq_count = bad_df.count()
         if dlq_count:
-            table.write_dlq(bad_df, batch_id)
+            table.write_dlq(bad_df, batch_id, cfg.writer_id)
     metrics["dlq_count"] = int(dlq_count)
     _mark("dlq")
 
