@@ -1,0 +1,111 @@
+"""Snapshot + delta export chain: plain-parquet handoff a consumer can
+reconstruct without the engine, incremental after the first snapshot,
+field-id-safe across schema evolution."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.sinks import (
+    export_delta,
+    export_snapshot,
+    read_export,
+)
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+from helpers import make_table, table_state
+
+
+def _export_state(spark, dest, key="doc_id"):
+    rows = read_export(spark, dest).collect()
+    out = {}
+    for r in rows:
+        d = r.asDict(recursive=True)
+        if d.get("tokens") is not None:
+            d["tokens"] = [int(t) for t in d["tokens"]]
+        out[d[key]] = d
+    return out
+
+
+def test_snapshot_then_delta_chain_reconstructs(spark, scratch):
+    d = os.path.join(scratch, "exp")
+    log = os.path.join(d, "log")
+    paths = sorted(generate_binlog(log, n_events=2500, n_docs=180,
+                                   n_files=6, seed=31))
+    table = make_table(d)
+    dest = os.path.join(d, "handoff")
+
+    replay_batch(spark, paths[:3], table, files_per_batch=1)
+    man0 = export_snapshot(spark, table, dest, shard_rows=500)
+    assert man0["kind"] == "snapshot" and man0["rows"] > 0
+
+    # the table moves on (updates + deletes); the export ships only deltas
+    replay_batch(spark, paths[3:], table, files_per_batch=1,
+                 start_batch_id=3)
+    man1 = export_delta(spark, table, dest)
+    assert man1["kind"] == "delta" and man1["version"] == table.current_version()
+
+    want = table_state(spark, table)
+    got = _export_state(spark, dest)
+    assert got.keys() == want.keys()
+    for k, wrow in want.items():
+        grow = got[k]
+        for col, val in wrow.items():
+            assert grow.get(col) == val, (k, col, grow.get(col), val)
+
+    # nothing moved → no-op, chain unchanged
+    assert export_delta(spark, table, dest) == {
+        "skipped": True, "version": table.current_version()}
+
+    # re-export of an already-published window is a cheap manifest read
+    assert export_delta(spark, table, dest,
+                        to_version=table.current_version()) == {
+        "skipped": True, "version": table.current_version()}
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_chain_survives_schema_evolution(spark, scratch):
+    """Rename + add + widen land BETWEEN snapshot and delta: the
+    reconstruction must match old shards to new names by FIELD ID — an
+    unchanged key's renamed column must keep its value (name matching
+    would null it)."""
+    d = os.path.join(scratch, "exp_evo")
+    log = os.path.join(d, "log")
+    paths = sorted(generate_binlog(
+        log, n_events=1600, n_docs=130, n_files=4, seed=33,
+        schema_changes=[
+            {"at_event": 900, "kind": "add", "column": "quality",
+             "new_type": "double"},
+            {"at_event": 1000, "kind": "rename", "column": "source",
+             "new_name": "origin"},
+            {"at_event": 1100, "kind": "widen", "column": "n_tok",
+             "new_type": "bigint"},
+        ],
+    ))
+    table = make_table(d)
+    dest = os.path.join(d, "handoff")
+
+    replay_batch(spark, paths[:2], table, files_per_batch=1)
+    export_snapshot(spark, table, dest)
+    replay_batch(spark, paths[2:], table, files_per_batch=1,
+                 start_batch_id=2)
+    export_delta(spark, table, dest)
+
+    assert "origin" in table.schema().names()
+    want = table_state(spark, table)
+    exp = read_export(spark, dest)
+    assert set(exp.columns) == {"doc_id", "tokens", "n_tok", "origin",
+                                "quality"}
+    got = {r["doc_id"]: r.asDict(recursive=True) for r in exp.collect()}
+    assert got.keys() == want.keys()
+    # keys untouched since the snapshot keep their renamed-column value
+    n_checked = 0
+    for k, wrow in want.items():
+        grow = got[k]
+        assert grow["origin"] == wrow["origin"], k
+        assert grow["n_tok"] == wrow["n_tok"]
+        assert [int(t) for t in (grow["tokens"] or [])] == wrow["tokens"]
+        n_checked += 1
+    assert n_checked == len(want)
+    shutil.rmtree(d, ignore_errors=True)
