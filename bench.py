@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "q_token_drift",
     "q_ngram_dup_rate",
     "q_tfidf_topk",
+    "q_scd2_history",
+    "q_span_dedup",
 ]
 
 
