@@ -118,3 +118,49 @@ def test_dlq_replay_fully_repaired_batches_retire(spark, scratch):
     oracle_state, _schema, _ostats = replay_dir(orig)
     assert_state_equals_oracle(spark, table, oracle_state)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dlq_replay_crash_between_commit_and_rewrite(spark, scratch,
+                                                     monkeypatch):
+    """The crash-ordering claim: dying AFTER a batch's merge commit but
+    BEFORE its residue rewrite must lose nothing — the rerun ledger-skips
+    the merge, recomputes the residue from the intact partition, and
+    converges to the same state/DLQ as an uninterrupted run."""
+    import concept_catalog_etl_spark.lakehouse.table as table_mod
+
+    d = os.path.join(scratch, "dlq_crash")
+    orig = os.path.join(d, "orig")
+    corr = os.path.join(d, "corr")
+    generate_binlog(orig, n_events=1200, n_docs=100, n_files=3, seed=17)
+    junk = ["never parses"]
+    _corrupt(orig, corr, every=6, junk=junk)
+    table = make_table(d)
+    paths = sorted(
+        os.path.join(corr, f) for f in os.listdir(corr) if f.endswith(".jsonl")
+    )
+    replay_batch(spark, paths, table, files_per_batch=1)
+
+    # crash exactly at the vulnerable point: first residue rewrite attempt
+    real_write = table_mod.LakeTable.write_dlq
+    calls = {"n": 0}
+
+    def dying_write(self, df, batch_id, writer_id=None):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before residue rewrite")
+
+    monkeypatch.setattr(table_mod.LakeTable, "write_dlq", dying_write)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        replay_dlq(spark, table, repair=_strip_prefix)
+    assert calls["n"] == 1
+    monkeypatch.setattr(table_mod.LakeTable, "write_dlq", real_write)
+
+    # the crashed batch's merge committed; its partition still holds ALL
+    # original rows (over-complete, never under) — rerun converges
+    results = replay_dlq(spark, table, repair=_strip_prefix)
+    assert any(r["skipped"] for r in results)  # the committed batch
+    oracle_state, _schema, ostats = replay_dir(orig)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    dlq = table.read_dlq(spark)
+    residual = dlq.count() if dlq is not None else 0
+    assert residual == ostats["dlq"] + len(junk)
+    shutil.rmtree(d, ignore_errors=True)
