@@ -109,3 +109,50 @@ def test_export_chain_survives_schema_evolution(spark, scratch):
         n_checked += 1
     assert n_checked == len(want)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_rides_streaming_maintenance_tick(spark, scratch):
+    """The handoff stays synced from inside the ingest loop: export_delta
+    as a `sync_derived` callable on the streaming maintenance cadence
+    (it runs BEFORE compaction/vacuum, so the change-feed versions it
+    needs are still retained). A final explicit sync drains the tail;
+    the reconstruction equals the engine read."""
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+    d = os.path.join(scratch, "exp_stream")
+    log = os.path.join(d, "log")
+    paths = sorted(generate_binlog(log, n_events=2000, n_docs=150,
+                                   n_files=8, seed=37))
+    table = make_table(d)
+    dest = os.path.join(d, "handoff")
+
+    # seed through the SAME stream checkpoint (a fresh checkpoint would
+    # restart foreachBatch ids at 0 and collide with already-used ledger
+    # ids), snapshot the handoff, then resume with the export on the tick
+    stream_dir = os.path.join(d, "stream_in")
+    os.makedirs(stream_dir)
+    ckpt = os.path.join(d, "ckpt")
+    for p in paths[:2]:
+        os.link(p, os.path.join(stream_dir, os.path.basename(p)))
+    replay_stream(spark, stream_dir, table, ckpt, max_files_per_trigger=2)
+    export_snapshot(spark, table, dest)
+
+    for p in paths[2:]:
+        os.link(p, os.path.join(stream_dir, os.path.basename(p)))
+    replay_stream(
+        spark, stream_dir, table, ckpt, max_files_per_trigger=2,
+        maintenance_every=2,
+        sync_derived=[lambda s: export_delta(s, table, dest)],
+    )
+    # ticks fired mid-stream: the chain holds more than the seed snapshot
+    from concept_catalog_etl_spark.sinks.export import _read_latest
+    assert len(_read_latest(dest)["chain"]) > 1
+
+    export_delta(spark, table, dest)  # drain the post-last-tick tail
+    want = table_state(spark, table)
+    got = _export_state(spark, dest)
+    assert got.keys() == want.keys()
+    for k, wrow in want.items():
+        for col, val in wrow.items():
+            assert got[k].get(col) == val, (k, col)
+    shutil.rmtree(d, ignore_errors=True)
