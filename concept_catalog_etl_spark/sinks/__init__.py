@@ -1,1 +1,6 @@
-from .export import export_delta, export_snapshot, read_export  # noqa: F401
+from .export import (  # noqa: F401
+    export_delta,
+    export_snapshot,
+    read_export,
+    sync_export,
+)

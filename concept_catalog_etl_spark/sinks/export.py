@@ -205,3 +205,34 @@ def read_export(spark: SparkSession, dest: str) -> DataFrame:
         winner.filter(F.col("_w._ct") != "delete")
         .select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
     )
+
+
+def sync_export(
+    spark: SparkSession,
+    table: LakeTable,
+    dest: str,
+    shard_rows: int | None = None,
+    max_chain: int | None = None,
+) -> dict:
+    """Self-healing sync: the one call a scheduler loops on.
+
+    * no chain yet → initial ``export_snapshot``;
+    * normally → ``export_delta`` (O(window));
+    * the chain lagged past the table's vacuum retention (the delta
+      window's from-version is gone) → recover with a FRESH snapshot —
+      the same lag-recovery contract as ``rebuild_rowview``;
+    * ``max_chain`` bounds reconstruction cost for consumers: once the
+      chain holds that many directories, re-snapshot (which resets the
+      chain to one entry) instead of appending another delta.
+    """
+    from ..lakehouse.table import VersionVacuumedError
+
+    latest = _read_latest(dest)
+    if latest is None:
+        return export_snapshot(spark, table, dest, shard_rows=shard_rows)
+    if max_chain is not None and len(latest["chain"]) >= max_chain:
+        return export_snapshot(spark, table, dest, shard_rows=shard_rows)
+    try:
+        return export_delta(spark, table, dest, shard_rows=shard_rows)
+    except VersionVacuumedError:
+        return export_snapshot(spark, table, dest, shard_rows=shard_rows)

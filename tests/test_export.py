@@ -156,3 +156,47 @@ def test_export_rides_streaming_maintenance_tick(spark, scratch):
         for col, val in wrow.items():
             assert got[k].get(col) == val, (k, col)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sync_export_recovers_from_vacuum_lag_and_bounds_chain(spark,
+                                                               scratch):
+    """sync_export is the scheduler's single call: initial snapshot, then
+    deltas; when the chain lags past vacuum retention it self-heals with
+    a fresh snapshot (VersionVacuumedError path), and max_chain forces a
+    re-snapshot that resets reconstruction cost."""
+    from concept_catalog_etl_spark.sinks import sync_export
+
+    d = os.path.join(scratch, "exp_sync")
+    log = os.path.join(d, "log")
+    paths = sorted(generate_binlog(log, n_events=2400, n_docs=150,
+                                   n_files=8, seed=41))
+    table = make_table(d)
+    dest = os.path.join(d, "handoff")
+
+    m = sync_export(spark, table, dest)   # empty table: initial snapshot
+    assert m["kind"] == "snapshot" and m["rows"] == 0
+    replay_batch(spark, paths[:4], table, files_per_batch=1)
+    assert sync_export(spark, table, dest)["kind"] == "delta"
+
+    # lag the chain past retention: many commits + aggressive vacuum
+    replay_batch(spark, paths[4:], table, files_per_batch=1,
+                 start_batch_id=4)  # versions move well past the chain tip
+    table.vacuum(retain_last=1, orphan_grace_sec=0)
+    m = sync_export(spark, table, dest)
+    assert m["kind"] == "snapshot"  # recovered, not crashed
+
+    want = table_state(spark, table)
+    got = _export_state(spark, dest)
+    assert got == want
+
+    # max_chain: one more delta would exceed the bound -> re-snapshot
+    from concept_catalog_etl_spark.sinks.export import _read_latest
+    assert len(_read_latest(dest)["chain"]) == 1
+    EXTRA = os.path.join(log, "extra")
+    extra = sorted(generate_binlog(EXTRA, n_events=200, n_docs=150,
+                                   n_files=1, seed=43, start_lsn=50_000))
+    replay_batch(spark, extra, table, files_per_batch=1,
+                 start_batch_id=12)
+    assert sync_export(spark, table, dest, max_chain=1)["kind"] == "snapshot"
+    assert len(_read_latest(dest)["chain"]) == 1
+    shutil.rmtree(d, ignore_errors=True)
