@@ -37,6 +37,24 @@ def main() -> None:
              "(abort, batch_id left uncommitted) if it would tombstone "
              "more than this fraction of the pre-batch row count",
     )
+    ap.add_argument(
+        "--maintenance-every", type=int, default=None,
+        help="stream mode: run the bounded compaction+vacuum maintenance "
+             "tick after every N applied batches",
+    )
+    ap.add_argument(
+        "--export-dest", default=None,
+        help="keep a plain-parquet handoff chain synced at this path "
+             "(sinks.sync_export): on the maintenance tick when enabled, "
+             "and once after the replay drains",
+    )
+    ap.add_argument(
+        "--replay-dlq", action="store_true",
+        help="after the replay drains, re-drive dead-letter batches "
+             "as-is through the merge (recovers rows rejected by a "
+             "since-fixed producer/parser defect; unrepairable rows stay "
+             "dead-lettered)",
+    )
     args = ap.parse_args()
 
     from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
@@ -78,11 +96,21 @@ def main() -> None:
 
     if audit is not None and args.mode != "stream":
         ap.error("--audit-max-delete-ratio requires --mode stream")
+    if args.maintenance_every is not None and args.mode != "stream":
+        ap.error("--maintenance-every requires --mode stream")
+
+    sync_derived = None
+    if args.export_dest and args.maintenance_every:
+        from concept_catalog_etl_spark.sinks import sync_export
+
+        sync_derived = [lambda sp: sync_export(sp, table, args.export_dest)]
+
     if args.mode == "stream":
         metrics = replay_stream(
             spark, args.binlog_dir, table, args.checkpoint,
             cfg=cfg, max_files_per_trigger=args.files_per_batch,
-            audit=audit,
+            audit=audit, maintenance_every=args.maintenance_every,
+            sync_derived=sync_derived,
         )
     else:
         files = sorted(
@@ -96,6 +124,18 @@ def main() -> None:
         out["rejected_batches"] = sum(
             1 for m in metrics if m.get("published") is False
         )
+    if args.replay_dlq:
+        from concept_catalog_etl_spark.operators.dlq_replay import replay_dlq
+
+        rec = replay_dlq(spark, table, cfg=cfg)
+        out["dlq_recovered"] = sum(r["recovered"] for r in rec)
+        out["dlq_residual"] = sum(r["residual"] for r in rec)
+    if args.export_dest:
+        from concept_catalog_etl_spark.sinks import sync_export
+
+        m = sync_export(spark, table, args.export_dest)
+        out["export"] = {"kind": m.get("kind", "noop"),
+                         "version": m.get("version")}
     print(json.dumps(out))
     spark.stop()
 

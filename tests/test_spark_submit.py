@@ -40,7 +40,7 @@ def test_spark_submit_py_files_end_to_end(spark, scratch):
     paths = generate_binlog(blog, n_events=1500, n_docs=120, n_files=3, seed=21)
     table_root = os.path.join(scratch, "lake")
 
-    def submit():
+    def submit(*extra):
         env = dict(os.environ)
         # neutral cwd + no repo on PYTHONPATH: the zip must carry the engine
         env.pop("PYTHONPATH", None)
@@ -58,6 +58,7 @@ def test_spark_submit_py_files_end_to_end(spark, scratch):
                 "--mode", "batch",
                 "--n-buckets", "8",
                 "--files-per-batch", "2",
+                *extra,
             ],
             capture_output=True, text=True, timeout=600,
             cwd=scratch, env=env,
@@ -76,14 +77,22 @@ def test_spark_submit_py_files_end_to_end(spark, scratch):
     for k, v in want.items():
         assert got[k]["tokens"] == list(v["tokens"]), k
 
-    # resubmitting the same binlog in a NEW process must be ledger-skipped
-    r2 = submit()
+    # resubmitting the same binlog in a NEW process must be ledger-skipped;
+    # the ops flags ride the same launch: DLQ retry (generator-malformed
+    # lines are unrepairable -> all residual) and the handoff export
+    dest = os.path.join(scratch, "handoff")
+    r2 = submit("--replay-dlq", "--export-dest", dest)
     assert r2.returncode == 0, r2.stderr[-3000:]
-    v2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])[
-        "table_version"
-    ]
-    assert v2 == v1, "replayed batches must be skipped by the ledger"
+    out2 = json.loads(
+        [l for l in r2.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert out2["table_version"] == v1, "replayed batches must ledger-skip"
     assert table_state(spark, table) == got
+    assert out2["dlq_recovered"] == 0 and out2["dlq_residual"] > 0
+    assert out2["export"]["kind"] == "snapshot"
+    from concept_catalog_etl_spark.sinks import read_export
+
+    assert {r["doc_id"] for r in read_export(spark, dest).collect()} == set(got)
 
 
 @pytest.mark.skipif(
