@@ -271,3 +271,55 @@ def test_random_wap_replay_equals_oracle_over_published_batches(
     assert got == want
     assert table.stages() == []
     shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- export-chain property: random cuts x random sync points -----------
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(event_st, min_size=2, max_size=24),
+       cuts=st.lists(st.integers(1, 23), min_size=1, max_size=4),
+       sync_after=st.lists(st.booleans(), min_size=5, max_size=5),
+       seed=st.integers(0, 10**6),
+       mode=st.sampled_from(["cow", "mor"]))
+def test_random_export_sync_points_reconstruct(spark, events, cuts,
+                                               sync_after, seed, mode):
+    """For arbitrary event mixes, arbitrary batch boundaries and an
+    ARBITRARY subset of batches followed by a handoff sync, the export
+    chain's reconstruction must equal the engine read after a final
+    drain — deletes, LWW collisions, wrapped payloads and all."""
+    from concept_catalog_etl_spark.operators.merge import MergeConfig, apply_batch
+    from concept_catalog_etl_spark.sinks import read_export, sync_export
+
+    d = os.path.join(SCRATCH, f"export_{seed}_{len(events)}_{mode}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    lines = [_line(ev, lsn) for lsn, ev in enumerate(events)]
+    bounds = sorted({min(c, len(lines)) for c in cuts} | {0, len(lines)})
+    chunks = [lines[a:b] for a, b in zip(bounds, bounds[1:]) if lines[a:b]]
+    paths = []
+    for i, chunk in enumerate(chunks):
+        p = os.path.join(d, f"f{i}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(chunk) + "\n")
+        paths.append(p)
+
+    table = make_table(d, n_buckets=4)
+    dest = os.path.join(d, "handoff")
+    cfg = MergeConfig(write_mode=mode)
+    sync_export(spark, table, dest)  # seed: empty snapshot
+    for bid, p in enumerate(paths):
+        apply_batch(spark, table, spark.read.text([p]), bid, cfg)
+        if sync_after[bid % len(sync_after)]:
+            sync_export(spark, table, dest)
+    sync_export(spark, table, dest)  # final drain
+
+    want = table_state(spark, table)
+    got = {}
+    for r in read_export(spark, dest).collect():
+        row = r.asDict(recursive=True)
+        if row.get("tokens") is not None:
+            row["tokens"] = [int(t) for t in row["tokens"]]
+        got[row["doc_id"]] = row
+    assert got == want
+    shutil.rmtree(d, ignore_errors=True)
