@@ -10,7 +10,7 @@ sink needs:
       <root>/meta/v<N>.json                 snapshot: O(n_buckets) manifest list
       <root>/meta/m-<bucket>-<uuid>.json    immutable per-bucket file manifests
       <root>/meta/_current                                   pointer (atomic swap)
-      <root>/_dlq/batch_id=<id>/*.parquet                    dead-letter side-output
+      <root>/_dlq/writer_id=<w>/batch_id=<id>/*.parquet      dead-letter side-output
       <root>/_metrics/metrics.jsonl                          per-batch metrics
 
 * **Snapshots** are immutable and two-level: ``v<N>.json`` holds an
@@ -1300,9 +1300,24 @@ class LakeTable:
         import glob as _glob
 
         d = os.path.join(self.root, "_dlq")
+        # migrate any pre-writer-namespace layout (_dlq/batch_id=N) into
+        # writer_id=_main on first read — captured rows from an older table
+        # must not become invisible to recovery/monitoring after upgrade
+        legacy = sorted(_glob.glob(os.path.join(d, "batch_id=*")))
+        if legacy:
+            main = os.path.join(d, "writer_id=_main")
+            os.makedirs(main, exist_ok=True)
+            for p in legacy:
+                tgt = os.path.join(main, os.path.basename(p))
+                if not os.path.exists(tgt):
+                    os.rename(p, tgt)
         # enumerate real partition dirs (a drained writer leaves an empty
-        # writer_id dir behind; an unmatched glob would make Spark throw)
-        parts = sorted(_glob.glob(os.path.join(d, "writer_id=*", "batch_id=*")))
+        # writer_id dir behind; an unmatched glob would make Spark throw),
+        # skipping in-flight .tmp-* / .prev swap dirs from a replay rewrite
+        parts = sorted(
+            p for p in _glob.glob(os.path.join(d, "writer_id=*", "batch_id=*"))
+            if not p.endswith(".prev") and ".tmp-" not in p
+        )
         if not parts:
             return None
         return spark.read.option("basePath", d).parquet(*parts)

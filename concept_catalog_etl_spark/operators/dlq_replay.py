@@ -96,12 +96,52 @@ def _residue(raw: DataFrame, table: LakeTable, cfg: MergeConfig) -> DataFrame:
     )
 
 
+def _recover_partition_swaps(table: LakeTable) -> None:
+    """Finish any partition swap a crashed replay left half-done. The swap
+    protocol renames the old partition to ``<part>.prev`` before moving the
+    residue in, so exactly two crash states need repair: ``.prev`` present
+    with the main dir missing (restore the original — nothing was lost) and
+    ``.prev`` present alongside a completed main dir (drop the leftover)."""
+    import glob as _glob
+
+    for prev in _glob.glob(
+        os.path.join(table.root, "_dlq", "writer_id=*", "batch_id=*.prev")
+    ):
+        main = prev[: -len(".prev")]
+        if os.path.exists(main):
+            shutil.rmtree(prev, ignore_errors=True)
+        else:
+            os.rename(prev, main)
+
+
+def _swap_partition(spark: SparkSession, part: str,
+                    residue: DataFrame | None) -> None:
+    """Replace a DLQ partition with its residue WITHOUT a delete-then-write
+    window (``mode('overwrite')`` clears the target before writing, so a
+    crash mid-write would lose still-failing rows). Residue is written to a
+    sibling temp dir first; the old partition survives as ``.prev`` until
+    the new one is in place; ``_recover_partition_swaps`` repairs the two
+    possible crash points on the next run."""
+    prev = part + ".prev"
+    if residue is None:
+        os.rename(part, prev)
+        shutil.rmtree(prev, ignore_errors=True)
+        return
+    tmp = part + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    residue.write.parquet(tmp)
+    os.rename(part, prev)
+    os.rename(tmp, part)
+    shutil.rmtree(prev, ignore_errors=True)
+
+
 def replay_dlq(
     spark: SparkSession,
     table: LakeTable,
     repair: Callable[[DataFrame], DataFrame] | None = None,
     cfg: MergeConfig | None = None,
     writer_prefix: str = "dlq",
+    repair_id: str = "v0",
 ) -> list[dict]:
     """Re-drive every dead-letter batch through the merge path.
 
@@ -109,13 +149,27 @@ def replay_dlq(
     text (one ``value`` string column) — e.g. a ``regexp_replace`` that
     strips the corruption an upstream producer has since fixed. No repair
     means "retry as-is" (for rows dead-lettered by a since-fixed parser
-    bug). DLQ partitions are keyed (source writer, batch id) — concurrent
-    writers reuse batch ids — so recovery runs under one ledger namespace
-    PER SOURCE WRITER (``dlq:<writer>``). Returns per-batch metrics:
-    ``recovered`` (events the merge applied), ``residual`` (rows still
-    failing — they stay dead-lettered), ``skipped`` (ledger said this
-    batch was already recovered).
+    bug).
+
+    ``repair_id`` names the repair GENERATION and is part of the ledger
+    namespace (``dlq.<repair_id>:<writer>``): re-running the same attempt
+    (crash recovery) is ledger-skipped, but a NEW repair must ship under a
+    new id so its newly-repairable rows actually merge — under a consumed
+    id the merge would skip and the residue rewrite would drop them
+    unapplied. Re-merging rows an earlier generation already applied is
+    state-idempotent (LWW on the original ``(event_ts, lsn)``).
+
+    Rows captured WITHOUT raw text (the columnar source nulls ``_raw``
+    except for unparseable lines) cannot be re-driven textually; they are
+    retained as residue verbatim, never dropped.
+
+    DLQ partitions are keyed (source writer, batch id) — concurrent
+    writers reuse batch ids — so recovery runs per source writer. Returns
+    per-batch metrics: ``recovered`` (events the merge actually applied —
+    still-failing ``bad_tokens`` rows excluded), ``residual`` (rows still
+    dead-lettered), ``skipped`` (ledger: this generation already ran).
     """
+    _recover_partition_swaps(table)
     dlq = table.read_dlq(spark)
     results: list[dict] = []
     if dlq is None:
@@ -128,32 +182,44 @@ def replay_dlq(
         src = None if src_writer == "_main" else src_writer
         base = replace(
             cfg or MergeConfig(),
-            writer_id=f"{writer_prefix}:{src_writer}",
+            writer_id=f"{writer_prefix}.{repair_id}:{src_writer}",
             write_dlq=False,
         )
         part = table.dlq_partition(bid, src)
-        raw = spark.read.parquet(part).select(F.col("_raw").alias("value"))
+        rows = spark.read.parquet(part)
+        # no raw text (columnar-source capture) -> not replayable, keep
+        untouchable = rows.filter(F.col("_raw").isNull()).localCheckpoint(
+            eager=True
+        )
+        n_keep = untouchable.count()
+        raw = rows.filter(F.col("_raw").isNotNull()).select(
+            F.col("_raw").alias("value")
+        )
         if repair is not None:
             raw = repair(raw)
-        # sever lineage from the partition files we will overwrite below,
+        # sever lineage from the partition files we will swap out below,
         # and drop rows the repair nulled out entirely
         raw = raw.filter(F.col("value").isNotNull()).localCheckpoint(eager=True)
         # residue BEFORE the merge: pre-batch schema (what the kernel sees),
-        # and materialized so nothing reads the partition after the rewrite
+        # and materialized so nothing reads the partition after the swap
         residue = _residue(raw, table, base).localCheckpoint(eager=True)
-        n_res = residue.count()
+        n_res = residue.count() + n_keep
         m = apply_batch(spark, table, raw, bid, base)
-        # post-commit (or ledger-skip): now the partition may be rewritten
-        if n_res:
-            table.write_dlq(residue, bid, src)
-        else:
-            shutil.rmtree(part, ignore_errors=True)
+        # post-commit (or ledger-skip): now the partition may be swapped
+        _swap_partition(
+            spark, part,
+            residue.unionByName(untouchable.select(*residue.columns))
+            if n_res else None,
+        )
+        recovered = max(
+            0, int(m.get("events_data", 0) or 0) - int(m.get("bad_tokens", 0) or 0)
+        )
         results.append(
             {
                 "writer_id": src_writer,
                 "batch_id": bid,
                 "skipped": bool(m.get("skipped")),
-                "recovered": int(m.get("events_data", 0) or 0),
+                "recovered": recovered,
                 "residual": int(n_res),
             }
         )

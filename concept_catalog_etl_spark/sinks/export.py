@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -134,12 +135,21 @@ def export_delta(
     to_v = table.current_version() if to_version is None else to_version
     if to_v <= from_v:
         return {"skipped": True, "version": from_v}
+    name = f"delta-v{from_v}-v{to_v}"
+    final_dir = os.path.join(dest, name)
+    if os.path.exists(final_dir):
+        # crash-recovery re-publish: the window was already written (the
+        # rename only moves complete trees) — skip the change-feed scan and
+        # just re-swap the pointer
+        with open(os.path.join(final_dir, "_manifest.json")) as f:
+            man = json.load(f)
+        _swap_latest(dest, {"version": to_v, "chain": latest["chain"] + [name]})
+        return man
     changes = table.read_changes(spark, from_v, to_v)
     from ..lakehouse.schema import TableSchema
 
     schema = TableSchema.from_json(table.snapshot(to_v)["schema"])
     cols = [(f.name, f.type, f.id) for f in schema.fields]
-    name = f"delta-v{from_v}-v{to_v}"
     man = _write_dir(
         changes,
         os.path.join(dest, name),
@@ -213,6 +223,7 @@ def sync_export(
     dest: str,
     shard_rows: int | None = None,
     max_chain: int | None = None,
+    gc_grace_sec: float | None = 86_400.0,
 ) -> dict:
     """Self-healing sync: the one call a scheduler loops on.
 
@@ -228,11 +239,40 @@ def sync_export(
     from ..lakehouse.table import VersionVacuumedError
 
     latest = _read_latest(dest)
-    if latest is None:
-        return export_snapshot(spark, table, dest, shard_rows=shard_rows)
-    if max_chain is not None and len(latest["chain"]) >= max_chain:
-        return export_snapshot(spark, table, dest, shard_rows=shard_rows)
     try:
-        return export_delta(spark, table, dest, shard_rows=shard_rows)
-    except VersionVacuumedError:
-        return export_snapshot(spark, table, dest, shard_rows=shard_rows)
+        if latest is None:
+            return export_snapshot(spark, table, dest, shard_rows=shard_rows)
+        if max_chain is not None and len(latest["chain"]) >= max_chain:
+            return export_snapshot(spark, table, dest, shard_rows=shard_rows)
+        try:
+            return export_delta(spark, table, dest, shard_rows=shard_rows)
+        except VersionVacuumedError:
+            return export_snapshot(spark, table, dest, shard_rows=shard_rows)
+    finally:
+        # superseded dirs (post-re-snapshot) and crashed .tmp trees decay
+        # after the grace window; None disables GC entirely
+        if gc_grace_sec is not None:
+            gc_export(dest, grace_sec=gc_grace_sec)
+
+
+def gc_export(dest: str, grace_sec: float = 86_400.0) -> list[str]:
+    """Remove export directories no longer referenced by ``LATEST``'s
+    chain — superseded snapshots/deltas after a re-snapshot, and crashed
+    ``.tmp-*`` trees. ``grace_sec`` (default one day) protects a consumer
+    that resolved the previous pointer moments before the swap: a dir is
+    only dropped once it has been unreferenced AND untouched that long.
+    Returns the removed directory names."""
+    latest = _read_latest(dest)
+    live = set(latest["chain"]) if latest else set()
+    now = time.time()
+    removed = []
+    for name in sorted(os.listdir(dest)):
+        p = os.path.join(dest, name)
+        if name in live or not os.path.isdir(p):
+            continue
+        if not (name.startswith("snapshot-") or name.startswith("delta-")):
+            continue
+        if now - os.path.getmtime(p) >= grace_sec:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed

@@ -49,6 +49,11 @@ def main() -> None:
              "and once after the replay drains",
     )
     ap.add_argument(
+        "--export-max-chain", type=int, default=32,
+        help="re-snapshot the handoff once its chain holds this many "
+             "directories, bounding consumer reconstruction cost",
+    )
+    ap.add_argument(
         "--replay-dlq", action="store_true",
         help="after the replay drains, re-drive dead-letter batches "
              "as-is through the merge (recovers rows rejected by a "
@@ -103,7 +108,8 @@ def main() -> None:
     if args.export_dest and args.maintenance_every:
         from concept_catalog_etl_spark.sinks import sync_export
 
-        sync_derived = [lambda sp: sync_export(sp, table, args.export_dest)]
+        sync_derived = [lambda sp: sync_export(
+            sp, table, args.export_dest, max_chain=args.export_max_chain)]
 
     if args.mode == "stream":
         metrics = replay_stream(
@@ -133,7 +139,8 @@ def main() -> None:
     if args.export_dest:
         from concept_catalog_etl_spark.sinks import sync_export
 
-        m = sync_export(spark, table, args.export_dest)
+        m = sync_export(spark, table, args.export_dest,
+                        max_chain=args.export_max_chain)
         out["export"] = {"kind": m.get("kind", "noop"),
                          "version": m.get("version")}
     print(json.dumps(out))

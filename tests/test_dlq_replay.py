@@ -126,7 +126,7 @@ def test_dlq_replay_crash_between_commit_and_rewrite(spark, scratch,
     BEFORE its residue rewrite must lose nothing — the rerun ledger-skips
     the merge, recomputes the residue from the intact partition, and
     converges to the same state/DLQ as an uninterrupted run."""
-    import concept_catalog_etl_spark.lakehouse.table as table_mod
+
 
     d = os.path.join(scratch, "dlq_crash")
     orig = os.path.join(d, "orig")
@@ -140,19 +140,21 @@ def test_dlq_replay_crash_between_commit_and_rewrite(spark, scratch,
     )
     replay_batch(spark, paths, table, files_per_batch=1)
 
-    # crash exactly at the vulnerable point: first residue rewrite attempt
-    real_write = table_mod.LakeTable.write_dlq
+    # crash exactly at the vulnerable point: first residue swap attempt
+    import concept_catalog_etl_spark.operators.dlq_replay as dlq_mod
+
+    real_swap = dlq_mod._swap_partition
     calls = {"n": 0}
 
-    def dying_write(self, df, batch_id, writer_id=None):
+    def dying_swap(sp, part, residue):
         calls["n"] += 1
         raise RuntimeError("injected crash before residue rewrite")
 
-    monkeypatch.setattr(table_mod.LakeTable, "write_dlq", dying_write)
+    monkeypatch.setattr(dlq_mod, "_swap_partition", dying_swap)
     with pytest.raises(RuntimeError, match="injected crash"):
         replay_dlq(spark, table, repair=_strip_prefix)
     assert calls["n"] == 1
-    monkeypatch.setattr(table_mod.LakeTable, "write_dlq", real_write)
+    monkeypatch.setattr(dlq_mod, "_swap_partition", real_swap)
 
     # the crashed batch's merge committed; its partition still holds ALL
     # original rows (over-complete, never under) — rerun converges
@@ -163,4 +165,150 @@ def test_dlq_replay_crash_between_commit_and_rewrite(spark, scratch,
     dlq = table.read_dlq(spark)
     residual = dlq.count() if dlq is not None else 0
     assert residual == ostats["dlq"] + len(junk)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dlq_replay_new_repair_generation_recovers_later(spark, scratch):
+    """Finding from review: a first replay without the right repair
+    ledger-consumes the batch; a LATER working repair must still recover
+    the rows — that's what repair generations (repair_id) are for. The
+    rows re-merge under the new generation's ledger namespace, and
+    re-applying anything an earlier generation already merged is
+    LWW-idempotent."""
+    d = os.path.join(scratch, "dlq_regen")
+    orig = os.path.join(d, "orig")
+    corr = os.path.join(d, "corr")
+    generate_binlog(orig, n_events=900, n_docs=80, n_files=2, seed=19,
+                    p_malformed=0.0)
+    _corrupt(orig, corr, every=5, junk=None)
+    table = make_table(d)
+    paths = sorted(
+        os.path.join(corr, f) for f in os.listdir(corr) if f.endswith(".jsonl")
+    )
+    replay_batch(spark, paths, table, files_per_batch=1)
+    dlq_n = table.read_dlq(spark).count()
+    assert dlq_n > 0
+
+    # generation v0: no repair — nothing recovers, nothing is lost
+    r0 = replay_dlq(spark, table, repair=None, repair_id="v0")
+    assert all(x["recovered"] == 0 for x in r0)
+    assert table.read_dlq(spark).count() == dlq_n
+
+    # generation v1: the fix shipped — rows merge and the DLQ drains
+    r1 = replay_dlq(spark, table, repair=_strip_prefix, repair_id="v1")
+    assert sum(x["recovered"] for x in r1) > 0
+    assert table.read_dlq(spark) is None
+    oracle_state, _schema, _stats = replay_dir(orig)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dlq_partition_swap_crash_states_recover(spark, scratch):
+    """The residue rewrite must never pass through an empty-partition
+    window. Simulate both crash points of the swap protocol directly and
+    assert _recover_partition_swaps restores a consistent partition."""
+    from concept_catalog_etl_spark.operators.dlq_replay import (
+        _recover_partition_swaps,
+    )
+
+    d = os.path.join(scratch, "dlq_swap")
+    table = make_table(d)
+    rows = spark.createDataFrame(
+        [("x", "unparseable", None, None, None, None)],
+        "_raw string, _dlq_reason string, op string, doc_id string, "
+        "event_ts timestamp, lsn long",
+    )
+    table.write_dlq(rows, 0)
+    part = table.dlq_partition(0)
+
+    # crash state A: old partition moved aside, new one never arrived
+    os.rename(part, part + ".prev")
+    _recover_partition_swaps(table)
+    assert os.path.exists(part) and not os.path.exists(part + ".prev")
+    assert table.read_dlq(spark).count() == 1
+
+    # crash state B: swap completed but the stale .prev was never dropped
+    import shutil as _sh
+    _sh.copytree(part, part + ".prev")
+    _recover_partition_swaps(table)
+    assert os.path.exists(part) and not os.path.exists(part + ".prev")
+    assert table.read_dlq(spark).count() == 1
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_residue_classification_matches_merge_kernel(spark, scratch):
+    """Drift guard for the review's reuse finding: _residue must classify
+    EXACTLY like the merge kernel for every dead-letter reason class. One
+    adversarial batch carrying each class; the kernel's captured DLQ rows
+    and _residue over the same raw must agree on (_raw, reason) multiset —
+    and 'recovered' must exclude still-failing bad_tokens rows."""
+    import json as _json
+
+    from concept_catalog_etl_spark.operators.dlq_replay import _residue
+    from concept_catalog_etl_spark.operators.merge import (
+        MergeConfig, apply_batch,
+    )
+
+    lines = [
+        'not json at all',                                          # unparseable
+        _json.dumps({"op": "promote", "doc_id": "d1", "event_ts":
+                     "2026-01-01T00:00:00", "lsn": 1}),             # unknown_op
+        _json.dumps({"op": "update", "event_ts":
+                     "2026-01-01T00:00:01", "lsn": 2,
+                     "payload": {"tokens": [1], "n_tok": 1}}),      # null_key
+        _json.dumps({"op": "update", "doc_id": "d2", "lsn": 3,
+                     "payload": {"tokens": [1], "n_tok": 1}}),      # null_ordering
+        _json.dumps({"op": "insert", "doc_id": "d3", "event_ts":
+                     "2026-01-01T00:00:02", "lsn": 4}),             # null_payload
+        _json.dumps({"op": "insert", "doc_id": "d4", "event_ts":
+                     "2026-01-01T00:00:03", "lsn": 5,
+                     "payload": {"n_tok": 1}}),                     # bad_tokens
+        _json.dumps({"op": "insert", "doc_id": "d5", "event_ts":
+                     "2026-01-01T00:00:04", "lsn": 6,
+                     "payload": {"tokens": [7, 8], "n_tok": 2}}),   # clean
+    ]
+    d = os.path.join(scratch, "dlq_parity")
+    os.makedirs(d)
+    p = os.path.join(d, "b.jsonl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    table = make_table(d)
+    cfg = MergeConfig()
+    raw = spark.read.text([p])
+    m = apply_batch(spark, table, raw, 0, cfg)
+    kernel = sorted(
+        (r["_raw"], r["_dlq_reason"])
+        for r in table.read_dlq(spark).select("_raw", "_dlq_reason").collect()
+    )
+    mine = sorted(
+        (r["_raw"], r["_dlq_reason"])
+        for r in _residue(raw, table, cfg).collect()
+    )
+    assert kernel == mine and len(kernel) == 6
+    assert {r for _, r in kernel} == {
+        "unparseable", "unknown_op", "null_key", "null_ordering",
+        "null_payload", "bad_tokens",
+    }
+    # recovered arithmetic: events_data counts goodish (incl. bad_tokens);
+    # the replay metric must not
+    assert int(m["events_data"]) - int(m["bad_tokens"]) == 1
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_dlq_layout_migrates_on_read(spark, scratch):
+    """Pre-writer-namespace tables hold _dlq/batch_id=N; read_dlq must
+    migrate them into writer_id=_main instead of stranding them."""
+    d = os.path.join(scratch, "dlq_legacy")
+    table = make_table(d)
+    legacy = os.path.join(table.root, "_dlq", "batch_id=3")
+    spark.createDataFrame(
+        [("junk", "unparseable", None, None, None, None)],
+        "_raw string, _dlq_reason string, op string, doc_id string, "
+        "event_ts timestamp, lsn long",
+    ).write.parquet(legacy)
+    dlq = table.read_dlq(spark)
+    assert dlq.count() == 1
+    row = dlq.collect()[0]
+    assert row["writer_id"] == "_main" and row["batch_id"] == 3
+    assert not os.path.exists(legacy)
     shutil.rmtree(d, ignore_errors=True)

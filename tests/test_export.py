@@ -200,3 +200,37 @@ def test_sync_export_recovers_from_vacuum_lag_and_bounds_chain(spark,
     assert sync_export(spark, table, dest, max_chain=1)["kind"] == "snapshot"
     assert len(_read_latest(dest)["chain"]) == 1
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gc_export_drops_superseded_dirs_after_grace(spark, scratch):
+    """After a re-snapshot resets the chain, the superseded snapshot and
+    delta dirs (and crashed .tmp trees) are garbage — gc_export removes
+    them once past the grace window, and reconstruction still works."""
+    from concept_catalog_etl_spark.sinks import gc_export, sync_export
+
+    d = os.path.join(scratch, "exp_gc")
+    log = os.path.join(d, "log")
+    paths = sorted(generate_binlog(log, n_events=1000, n_docs=90,
+                                   n_files=4, seed=47))
+    table = make_table(d)
+    dest = os.path.join(d, "handoff")
+    replay_batch(spark, paths[:2], table, files_per_batch=1)
+    sync_export(spark, table, dest)
+    replay_batch(spark, paths[2:], table, files_per_batch=1,
+                 start_batch_id=2)
+    sync_export(spark, table, dest)                 # chain: snapshot+delta
+    # fake a crashed write too
+    os.makedirs(os.path.join(dest, "snapshot-v99.tmp-dead"))
+    sync_export(spark, table, dest, max_chain=1)    # re-snapshot, chain=1
+
+    # within grace: everything still on disk
+    names = set(os.listdir(dest))
+    assert any(n.startswith("delta-") for n in names)
+    removed = gc_export(dest, grace_sec=0)
+    assert removed and all(
+        n.startswith(("snapshot-", "delta-")) for n in removed)
+    left = {n for n in os.listdir(dest) if os.path.isdir(os.path.join(dest, n))}
+    from concept_catalog_etl_spark.sinks.export import _read_latest
+    assert left == set(_read_latest(dest)["chain"])
+    assert _export_state(spark, dest) == table_state(spark, table)
+    shutil.rmtree(d, ignore_errors=True)
