@@ -1302,21 +1302,41 @@ class LakeTable:
         d = os.path.join(self.root, "_dlq")
         # migrate any pre-writer-namespace layout (_dlq/batch_id=N) into
         # writer_id=_main on first read — captured rows from an older table
-        # must not become invisible to recovery/monitoring after upgrade
+        # must not become invisible to recovery/monitoring after upgrade.
+        # Best-effort and race-tolerant: a concurrent reader may win any
+        # individual rename (we just re-glob after); if the target partition
+        # already exists the legacy FILES move in under unique names.
         legacy = sorted(_glob.glob(os.path.join(d, "batch_id=*")))
         if legacy:
             main = os.path.join(d, "writer_id=_main")
             os.makedirs(main, exist_ok=True)
             for p in legacy:
                 tgt = os.path.join(main, os.path.basename(p))
-                if not os.path.exists(tgt):
+                try:
                     os.rename(p, tgt)
+                except OSError:
+                    if not os.path.isdir(p):
+                        continue  # a concurrent reader migrated it
+                    try:  # target exists: merge files in, then drop the dir
+                        tag = uuid.uuid4().hex[:8]
+                        for f in os.listdir(p):
+                            if f.startswith(("_", ".")):  # _SUCCESS, .crc
+                                os.remove(os.path.join(p, f))
+                                continue
+                            os.rename(os.path.join(p, f),
+                                      os.path.join(tgt, f"legacy-{tag}-{f}"))
+                        os.rmdir(p)
+                    except OSError:
+                        pass  # lost a race mid-merge; next read retries
         # enumerate real partition dirs (a drained writer leaves an empty
         # writer_id dir behind; an unmatched glob would make Spark throw),
         # skipping in-flight .tmp-* / .prev swap dirs from a replay rewrite
+        # (tested on the BASENAME — a root path containing '.tmp-' must not
+        # blind the reader)
         parts = sorted(
             p for p in _glob.glob(os.path.join(d, "writer_id=*", "batch_id=*"))
-            if not p.endswith(".prev") and ".tmp-" not in p
+            if not os.path.basename(p).endswith(".prev")
+            and ".tmp-" not in os.path.basename(p)
         )
         if not parts:
             return None

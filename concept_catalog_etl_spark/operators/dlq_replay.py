@@ -96,32 +96,50 @@ def _residue(raw: DataFrame, table: LakeTable, cfg: MergeConfig) -> DataFrame:
     )
 
 
+GEN_MARKER = "_generation"
+
+
+def _partition_generation(part: str) -> str | None:
+    p = os.path.join(part, GEN_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
+
+
 def _recover_partition_swaps(table: LakeTable) -> None:
     """Finish any partition swap a crashed replay left half-done. The swap
     protocol renames the old partition to ``<part>.prev`` before moving the
     residue in, so exactly two crash states need repair: ``.prev`` present
     with the main dir missing (restore the original — nothing was lost) and
-    ``.prev`` present alongside a completed main dir (drop the leftover)."""
+    ``.prev`` present alongside a completed main dir (drop the leftover).
+    Orphaned ``.tmp-*`` trees from a crash before the first rename are
+    swept too. Single-owner like the streaming ingest loop itself: run one
+    replay_dlq at a time per table (a second process's recovery could race
+    an in-flight swap)."""
     import glob as _glob
 
-    for prev in _glob.glob(
-        os.path.join(table.root, "_dlq", "writer_id=*", "batch_id=*.prev")
-    ):
+    base = os.path.join(table.root, "_dlq", "writer_id=*")
+    for prev in _glob.glob(os.path.join(base, "batch_id=*.prev")):
         main = prev[: -len(".prev")]
         if os.path.exists(main):
             shutil.rmtree(prev, ignore_errors=True)
         else:
             os.rename(prev, main)
+    for tmp in _glob.glob(os.path.join(base, "batch_id=*.tmp-*")):
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _swap_partition(spark: SparkSession, part: str,
-                    residue: DataFrame | None) -> None:
+                    residue: DataFrame | None, generation: str) -> None:
     """Replace a DLQ partition with its residue WITHOUT a delete-then-write
     window (``mode('overwrite')`` clears the target before writing, so a
     crash mid-write would lose still-failing rows). Residue is written to a
     sibling temp dir first; the old partition survives as ``.prev`` until
     the new one is in place; ``_recover_partition_swaps`` repairs the two
-    possible crash points on the next run."""
+    possible crash points on the next run. The surviving partition is
+    stamped with the repair ``generation`` that produced it — the guard
+    that makes a rewrite legal at most once per generation."""
     prev = part + ".prev"
     if residue is None:
         os.rename(part, prev)
@@ -130,6 +148,8 @@ def _swap_partition(spark: SparkSession, part: str,
     tmp = part + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     residue.write.parquet(tmp)
+    with open(os.path.join(tmp, GEN_MARKER), "w") as f:
+        f.write(generation)
     os.rename(part, prev)
     os.rename(tmp, part)
     shutil.rmtree(prev, ignore_errors=True)
@@ -186,6 +206,20 @@ def replay_dlq(
             write_dlq=False,
         )
         part = table.dlq_partition(bid, src)
+        # a partition already stamped with this generation is FINAL for it:
+        # its merge committed and its rewrite completed. Re-deriving the
+        # residue would be with TODAY's parser/repair — under a consumed
+        # ledger id a shrunken residue means dropping rows that were never
+        # merged. The stamp makes the rewrite legal at most once per
+        # generation (ship a new repair under a new repair_id).
+        if _partition_generation(part) == repair_id:
+            rows_now = spark.read.parquet(part)
+            results.append({
+                "writer_id": src_writer, "batch_id": bid,
+                "skipped": True, "recovered": 0,
+                "residual": int(rows_now.count()),
+            })
+            continue
         rows = spark.read.parquet(part)
         # no raw text (columnar-source capture) -> not replayable, keep
         untouchable = rows.filter(F.col("_raw").isNull()).localCheckpoint(
@@ -205,11 +239,13 @@ def replay_dlq(
         residue = _residue(raw, table, base).localCheckpoint(eager=True)
         n_res = residue.count() + n_keep
         m = apply_batch(spark, table, raw, bid, base)
-        # post-commit (or ledger-skip): now the partition may be swapped
+        # post-commit (or crash-recovery ledger-skip completing THIS
+        # generation's interrupted rewrite): swap the partition and stamp it
         _swap_partition(
             spark, part,
             residue.unionByName(untouchable.select(*residue.columns))
             if n_res else None,
+            generation=repair_id,
         )
         recovered = max(
             0, int(m.get("events_data", 0) or 0) - int(m.get("bad_tokens", 0) or 0)

@@ -256,23 +256,43 @@ def sync_export(
 
 
 def gc_export(dest: str, grace_sec: float = 86_400.0) -> list[str]:
-    """Remove export directories no longer referenced by ``LATEST``'s
-    chain — superseded snapshots/deltas after a re-snapshot, and crashed
-    ``.tmp-*`` trees. ``grace_sec`` (default one day) protects a consumer
-    that resolved the previous pointer moments before the swap: a dir is
-    only dropped once it has been unreferenced AND untouched that long.
+    """Two-phase GC for the export destination: superseded snapshot/delta
+    dirs (after a re-snapshot reset the chain) and crashed ``.tmp-*``
+    trees. Export dirs are immutable, so mtime records CREATION, not when
+    a dir fell out of the chain — the grace window therefore runs from a
+    TOMBSTONE written the first time GC sees a dir unreferenced
+    (``_gc_state.json``). A consumer that resolved the previous pointer
+    just before the swap has a full ``grace_sec`` (default one day) to
+    finish reading; an in-flight ``.tmp-`` write likewise cannot be
+    reaped until a grace window passes with it still unpublished.
     Returns the removed directory names."""
+    if not os.path.isdir(dest):
+        return []
     latest = _read_latest(dest)
     live = set(latest["chain"]) if latest else set()
+    state_path = os.path.join(dest, "_gc_state.json")
+    tombs: dict[str, float] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            tombs = json.load(f)
     now = time.time()
     removed = []
+    seen = set()
     for name in sorted(os.listdir(dest)):
         p = os.path.join(dest, name)
         if name in live or not os.path.isdir(p):
             continue
         if not (name.startswith("snapshot-") or name.startswith("delta-")):
             continue
-        if now - os.path.getmtime(p) >= grace_sec:
+        seen.add(name)
+        t = tombs.setdefault(name, now)  # phase 1: record unreference time
+        if now - t >= grace_sec:         # phase 2: past grace -> reap
             shutil.rmtree(p, ignore_errors=True)
             removed.append(name)
+    # drop stale tombstones (dir reaped, or republished back into the chain)
+    tombs = {n: t for n, t in tombs.items() if n in seen and n not in removed}
+    tmp = state_path + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(tombs, f)
+    os.replace(tmp, state_path)
     return removed

@@ -60,6 +60,13 @@ def main() -> None:
              "since-fixed producer/parser defect; unrepairable rows stay "
              "dead-lettered)",
     )
+    ap.add_argument(
+        "--dlq-repair-id", default="v0",
+        help="repair GENERATION for --replay-dlq: bump it after shipping "
+             "a parser/producer fix so newly-repairable rows re-merge "
+             "(a consumed generation is ledger-skipped and never "
+             "rewrites its partitions again)",
+    )
     args = ap.parse_args()
 
     from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
@@ -133,7 +140,8 @@ def main() -> None:
     if args.replay_dlq:
         from concept_catalog_etl_spark.operators.dlq_replay import replay_dlq
 
-        rec = replay_dlq(spark, table, cfg=cfg)
+        rec = replay_dlq(spark, table, cfg=cfg,
+                         repair_id=args.dlq_repair_id)
         out["dlq_recovered"] = sum(r["recovered"] for r in rec)
         out["dlq_residual"] = sum(r["residual"] for r in rec)
     if args.export_dest:

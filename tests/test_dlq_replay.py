@@ -146,7 +146,7 @@ def test_dlq_replay_crash_between_commit_and_rewrite(spark, scratch,
     real_swap = dlq_mod._swap_partition
     calls = {"n": 0}
 
-    def dying_swap(sp, part, residue):
+    def dying_swap(sp, part, residue, generation):
         calls["n"] += 1
         raise RuntimeError("injected crash before residue rewrite")
 
@@ -311,4 +311,43 @@ def test_legacy_dlq_layout_migrates_on_read(spark, scratch):
     row = dlq.collect()[0]
     assert row["writer_id"] == "_main" and row["batch_id"] == 3
     assert not os.path.exists(legacy)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_same_generation_rerun_cannot_drop_newly_repairable_rows(spark,
+                                                                 scratch):
+    """Review follow-up: the generation marker makes a rewrite legal at
+    most once per repair_id. Re-running a CONSUMED generation with a
+    changed (now-working) repair must leave the partition untouched —
+    never silently drop rows that were not merged — until the operator
+    ships the fix under a new repair_id."""
+    d = os.path.join(scratch, "dlq_genguard")
+    orig = os.path.join(d, "orig")
+    corr = os.path.join(d, "corr")
+    generate_binlog(orig, n_events=600, n_docs=60, n_files=2, seed=29,
+                    p_malformed=0.0)
+    _corrupt(orig, corr, every=4, junk=None)
+    table = make_table(d)
+    paths = sorted(
+        os.path.join(corr, f) for f in os.listdir(corr) if f.endswith(".jsonl")
+    )
+    replay_batch(spark, paths, table, files_per_batch=1)
+    n0 = table.read_dlq(spark).count()
+
+    replay_dlq(spark, table, repair=None, repair_id="v0")   # fix not shipped
+    assert table.read_dlq(spark).count() == n0
+
+    # operator mistake: working repair under the consumed generation —
+    # the marker short-circuits, nothing merges AND nothing is dropped
+    r = replay_dlq(spark, table, repair=_strip_prefix, repair_id="v0")
+    assert all(x["skipped"] for x in r)
+    assert table.read_dlq(spark).count() == n0
+    state_before = table_state(spark, table)
+
+    # correct path: new generation -> rows merge, DLQ drains
+    replay_dlq(spark, table, repair=_strip_prefix, repair_id="v1")
+    assert table.read_dlq(spark) is None
+    oracle_state, _schema, _stats = replay_dir(orig)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    assert table_state(spark, table) != state_before
     shutil.rmtree(d, ignore_errors=True)
