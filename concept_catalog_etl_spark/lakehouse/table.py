@@ -1300,34 +1300,6 @@ class LakeTable:
         import glob as _glob
 
         d = os.path.join(self.root, "_dlq")
-        # migrate any pre-writer-namespace layout (_dlq/batch_id=N) into
-        # writer_id=_main on first read — captured rows from an older table
-        # must not become invisible to recovery/monitoring after upgrade.
-        # Best-effort and race-tolerant: a concurrent reader may win any
-        # individual rename (we just re-glob after); if the target partition
-        # already exists the legacy FILES move in under unique names.
-        legacy = sorted(_glob.glob(os.path.join(d, "batch_id=*")))
-        if legacy:
-            main = os.path.join(d, "writer_id=_main")
-            os.makedirs(main, exist_ok=True)
-            for p in legacy:
-                tgt = os.path.join(main, os.path.basename(p))
-                try:
-                    os.rename(p, tgt)
-                except OSError:
-                    if not os.path.isdir(p):
-                        continue  # a concurrent reader migrated it
-                    try:  # target exists: merge files in, then drop the dir
-                        tag = uuid.uuid4().hex[:8]
-                        for f in os.listdir(p):
-                            if f.startswith(("_", ".")):  # _SUCCESS, .crc
-                                os.remove(os.path.join(p, f))
-                                continue
-                            os.rename(os.path.join(p, f),
-                                      os.path.join(tgt, f"legacy-{tag}-{f}"))
-                        os.rmdir(p)
-                    except OSError:
-                        pass  # lost a race mid-merge; next read retries
         # enumerate real partition dirs (a drained writer leaves an empty
         # writer_id dir behind; an unmatched glob would make Spark throw),
         # skipping in-flight .tmp-* / .prev swap dirs from a replay rewrite
@@ -1338,9 +1310,59 @@ class LakeTable:
             if not os.path.basename(p).endswith(".prev")
             and ".tmp-" not in os.path.basename(p)
         )
-        if not parts:
-            return None
-        return spark.read.option("basePath", d).parquet(*parts)
+        out = (
+            spark.read.option("basePath", d).parquet(*parts) if parts else None
+        )
+        # pre-writer-namespace layout (_dlq/batch_id=N): surface those rows
+        # WITHOUT mutating on read (reads must work concurrently with a
+        # replay and on read-only mounts); migrate_legacy_dlq — called from
+        # the single-owner replay loop — moves them for real
+        legacy = sorted(_glob.glob(os.path.join(d, "batch_id=*")))
+        if legacy:
+            old = (
+                spark.read.option("basePath", d).parquet(*legacy)
+                .withColumn("writer_id", F.lit("_legacy"))
+            )
+            out = old if out is None else out.unionByName(old)
+        return out
+
+    def migrate_legacy_dlq(self) -> int:
+        """Move pre-writer-namespace dead-letter partitions
+        (``_dlq/batch_id=N``) under ``writer_id=_legacy`` so the recovery
+        loop can process them. Called from ``replay_dlq`` (single-owner —
+        NOT from reads, which must never mutate); ``_legacy`` rather than
+        ``_main`` so the move can never land files in a partition an
+        active writer also targets. Returns the number of dirs moved."""
+        import glob as _glob
+
+        d = os.path.join(self.root, "_dlq")
+        legacy = sorted(_glob.glob(os.path.join(d, "batch_id=*")))
+        if not legacy:
+            return 0
+        tgt_dir = os.path.join(d, "writer_id=_legacy")
+        os.makedirs(tgt_dir, exist_ok=True)
+        moved = 0
+        for p in legacy:
+            tgt = os.path.join(tgt_dir, os.path.basename(p))
+            try:
+                os.rename(p, tgt)
+                moved += 1
+            except OSError:
+                if not os.path.isdir(p):
+                    continue
+                try:  # retry after a crashed partial move: merge files in
+                    tag = uuid.uuid4().hex[:8]
+                    for f in os.listdir(p):
+                        if f.startswith(("_", ".")):  # _SUCCESS, .crc
+                            os.remove(os.path.join(p, f))
+                            continue
+                        os.rename(os.path.join(p, f),
+                                  os.path.join(tgt, f"legacy-{tag}-{f}"))
+                    os.rmdir(p)
+                    moved += 1
+                except OSError:
+                    pass  # leave for the next replay to retry
+        return moved
 
     # --------------------------------------------------------------- compact
     def compact(

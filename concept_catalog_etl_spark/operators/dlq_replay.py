@@ -99,12 +99,18 @@ def _residue(raw: DataFrame, table: LakeTable, cfg: MergeConfig) -> DataFrame:
 GEN_MARKER = "_generation"
 
 
-def _partition_generation(part: str) -> str | None:
+def _partition_generations(part: str) -> set[str]:
+    """Every repair generation whose rewrite has COMPLETED on this
+    partition (newline-separated history in the marker). Membership — not
+    equality with the latest — is the rewrite guard: after v0 and v1 both
+    ran, a stale rerun of v0 must still short-circuit (an equality check
+    against the newest stamp would let it rewrite off a ledger-skipped
+    merge and drop rows the current repair could fix but never applied)."""
     p = os.path.join(part, GEN_MARKER)
     if not os.path.exists(p):
-        return None
+        return set()
     with open(p) as f:
-        return f.read().strip() or None
+        return {ln.strip() for ln in f if ln.strip()}
 
 
 def _recover_partition_swaps(table: LakeTable) -> None:
@@ -148,8 +154,9 @@ def _swap_partition(spark: SparkSession, part: str,
     tmp = part + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     residue.write.parquet(tmp)
+    history = _partition_generations(part) | {generation}
     with open(os.path.join(tmp, GEN_MARKER), "w") as f:
-        f.write(generation)
+        f.write("\n".join(sorted(history)))
     os.rename(part, prev)
     os.rename(tmp, part)
     shutil.rmtree(prev, ignore_errors=True)
@@ -190,6 +197,7 @@ def replay_dlq(
     dead-lettered), ``skipped`` (ledger: this generation already ran).
     """
     _recover_partition_swaps(table)
+    table.migrate_legacy_dlq()  # pre-writer-namespace dirs -> writer_id=_legacy
     dlq = table.read_dlq(spark)
     results: list[dict] = []
     if dlq is None:
@@ -206,13 +214,13 @@ def replay_dlq(
             write_dlq=False,
         )
         part = table.dlq_partition(bid, src)
-        # a partition already stamped with this generation is FINAL for it:
-        # its merge committed and its rewrite completed. Re-deriving the
-        # residue would be with TODAY's parser/repair — under a consumed
-        # ledger id a shrunken residue means dropping rows that were never
-        # merged. The stamp makes the rewrite legal at most once per
-        # generation (ship a new repair under a new repair_id).
-        if _partition_generation(part) == repair_id:
+        # a partition whose generation HISTORY contains this repair_id is
+        # FINAL for it: its merge committed and its rewrite completed.
+        # Re-deriving the residue would be with TODAY's parser/repair —
+        # under a consumed ledger id a shrunken residue means dropping rows
+        # that were never merged. Membership (not newest-stamp equality)
+        # also covers re-running an OLD generation after newer ones ran.
+        if repair_id in _partition_generations(part):
             rows_now = spark.read.parquet(part)
             results.append({
                 "writer_id": src_writer, "batch_id": bid,

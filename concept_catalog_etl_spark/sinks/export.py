@@ -54,11 +54,16 @@ def _read_latest(dest: str) -> dict | None:
         return json.load(f)
 
 
-def _swap_latest(dest: str, payload: dict) -> None:
-    tmp = os.path.join(dest, f"_{LATEST}.{uuid.uuid4().hex[:8]}.tmp")
+def _atomic_json(path: str, payload: dict) -> None:
+    """Publish a JSON file by write-temp-then-replace (no torn reads)."""
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(dest, LATEST))
+    os.replace(tmp, path)
+
+
+def _swap_latest(dest: str, payload: dict) -> None:
+    _atomic_json(os.path.join(dest, LATEST), payload)
 
 
 def _write_dir(df: DataFrame, final_dir: str, manifest: dict,
@@ -289,10 +294,17 @@ def gc_export(dest: str, grace_sec: float = 86_400.0) -> list[str]:
         if now - t >= grace_sec:         # phase 2: past grace -> reap
             shutil.rmtree(p, ignore_errors=True)
             removed.append(name)
+    # sweep crashed atomic-publish temp files once they are stale (an
+    # in-flight writer's temp lives for milliseconds; an hour is safe)
+    for name in os.listdir(dest):
+        if name.endswith(".tmp") and not os.path.isdir(os.path.join(dest, name)):
+            p = os.path.join(dest, name)
+            try:
+                if now - os.path.getmtime(p) >= 3600:
+                    os.remove(p)
+            except OSError:
+                pass
     # drop stale tombstones (dir reaped, or republished back into the chain)
     tombs = {n: t for n, t in tombs.items() if n in seen and n not in removed}
-    tmp = state_path + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(tombs, f)
-    os.replace(tmp, state_path)
+    _atomic_json(state_path, tombs)
     return removed

@@ -295,25 +295,6 @@ def test_residue_classification_matches_merge_kernel(spark, scratch):
     shutil.rmtree(d, ignore_errors=True)
 
 
-def test_legacy_dlq_layout_migrates_on_read(spark, scratch):
-    """Pre-writer-namespace tables hold _dlq/batch_id=N; read_dlq must
-    migrate them into writer_id=_main instead of stranding them."""
-    d = os.path.join(scratch, "dlq_legacy")
-    table = make_table(d)
-    legacy = os.path.join(table.root, "_dlq", "batch_id=3")
-    spark.createDataFrame(
-        [("junk", "unparseable", None, None, None, None)],
-        "_raw string, _dlq_reason string, op string, doc_id string, "
-        "event_ts timestamp, lsn long",
-    ).write.parquet(legacy)
-    dlq = table.read_dlq(spark)
-    assert dlq.count() == 1
-    row = dlq.collect()[0]
-    assert row["writer_id"] == "_main" and row["batch_id"] == 3
-    assert not os.path.exists(legacy)
-    shutil.rmtree(d, ignore_errors=True)
-
-
 def test_same_generation_rerun_cannot_drop_newly_repairable_rows(spark,
                                                                  scratch):
     """Review follow-up: the generation marker makes a rewrite legal at
@@ -350,4 +331,86 @@ def test_same_generation_rerun_cannot_drop_newly_repairable_rows(spark,
     oracle_state, _schema, _stats = replay_dir(orig)
     assert_state_equals_oracle(spark, table, oracle_state)
     assert table_state(spark, table) != state_before
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stale_generation_rerun_after_newer_one_is_inert(spark, scratch):
+    """Third review pass: after v0 AND v1 both completed, re-running v0
+    (submit_main's default id) with yet another repair must short-circuit
+    on the generation HISTORY — newest-stamp equality would let it rewrite
+    off a ledger-skipped merge and drop rows the new repair could fix."""
+    d = os.path.join(scratch, "dlq_stale_gen")
+    orig = os.path.join(d, "orig")
+    corr = os.path.join(d, "corr")
+    generate_binlog(orig, n_events=500, n_docs=50, n_files=1, seed=53,
+                    p_malformed=0.0)
+    # two corruption layers: v1 strips only the outer one
+    _corrupt(orig, corr, every=3, junk=None)
+    files = sorted(os.listdir(corr))
+    for name in files:
+        p = os.path.join(corr, name)
+        lines = open(p).read().splitlines()
+        lines = ["YY|" + ln if ln.startswith(PREFIX) and i % 2 == 0 else ln
+                 for i, ln in enumerate(lines)]
+        open(p, "w").write("\n".join(lines) + "\n")
+    table = make_table(d)
+    paths = [os.path.join(corr, f) for f in files]
+    replay_batch(spark, paths, table, files_per_batch=1)
+    n0 = table.read_dlq(spark).count()
+
+    replay_dlq(spark, table, repair=None, repair_id="v0")
+    r1 = replay_dlq(spark, table, repair=_strip_prefix, repair_id="v1")
+    # v1 recovered the single-layer rows; double-layer rows remain
+    assert sum(x["recovered"] for x in r1) > 0
+    n_left = table.read_dlq(spark).count()
+    assert 0 < n_left < n0
+
+    # the full fix, but accidentally under the long-consumed v0 id:
+    # nothing may merge AND nothing may be dropped
+    full_fix = lambda raw: raw.select(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace("value", r"^YY\|", ""), r"^XCORRUPTX\|", ""
+        ).alias("value"))
+    r2 = replay_dlq(spark, table, repair=full_fix, repair_id="v0")
+    assert all(x["skipped"] for x in r2)
+    assert table.read_dlq(spark).count() == n_left
+
+    # under a fresh id the same fix drains the queue
+    replay_dlq(spark, table, repair=full_fix, repair_id="v2")
+    assert table.read_dlq(spark) is None
+    oracle_state, _schema, _stats = replay_dir(orig)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_layout_visible_on_read_and_migrated_by_replay(spark,
+                                                              scratch):
+    """read_dlq must surface pre-writer-namespace rows WITHOUT mutating
+    (reads can run concurrently with a replay / on read-only mounts);
+    replay_dlq — the single owner — migrates them under writer_id=_legacy
+    and can recover them."""
+    d = os.path.join(scratch, "dlq_legacy2")
+    table = make_table(d)
+    legacy = os.path.join(table.root, "_dlq", "batch_id=3")
+    line = ('{"op": "insert", "doc_id": "L1", "event_ts": '
+            '"2026-01-01T00:00:00", "lsn": 9, '
+            '"payload": {"tokens": [4, 5], "n_tok": 2}}')
+    spark.createDataFrame(
+        [(PREFIX + line, "unparseable", None, None, None, None)],
+        "_raw string, _dlq_reason string, op string, doc_id string, "
+        "event_ts timestamp, lsn long",
+    ).write.parquet(legacy)
+
+    dlq = table.read_dlq(spark)
+    assert dlq.count() == 1
+    assert dlq.collect()[0]["writer_id"] == "_legacy"
+    assert os.path.exists(legacy)  # the read did NOT move anything
+
+    res = replay_dlq(spark, table, repair=_strip_prefix)
+    assert not os.path.exists(legacy)
+    assert res == [{"writer_id": "_legacy", "batch_id": 3, "skipped": False,
+                    "recovered": 1, "residual": 0}]
+    assert table.read_dlq(spark) is None
+    got = {r["doc_id"]: list(r["tokens"]) for r in table.read(spark).collect()}
+    assert got == {"L1": [4, 5]}
     shutil.rmtree(d, ignore_errors=True)
