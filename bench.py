@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_tfidf_topk",
     "q_scd2_history",
     "q_span_dedup",
+    "q_merge_patch",
 ]
 
 

@@ -311,6 +311,55 @@ SELECT user_id, event_id, value FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_merge_patch(spark, sf):
+    """Partial-update (merge-patch) MERGE: per-FIELD last-writer-wins — the
+    faithful distributed ``$set`` (``/root/reference/files/load.py:20-22``;
+    Paimon's partial-update merge engine). Events-as-binlog over three
+    derived patch fields, each set by a deterministic subset of events
+    (event_id mod 2/3/5); 'error' events are deletes that null every field
+    at their coordinate. ONE hash aggregation with map-side combine — see
+    operators/patch.py for semantics and the 100 TB posture."""
+    from ..operators.patch import partial_update_state
+
+    ev = _t(spark, sf, "events")
+    is_err = F.col("event_type") == "error"
+    patches = ev.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(is_err, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        F.when(F.col("event_id") % 2 == 0, F.col("value")).alias("val"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("etype"),
+        F.when(F.col("event_id") % 5 == 0, F.col("props")).alias("plbl"),
+    )
+    return partial_update_state(
+        patches, key="user_id", fields=["val", "etype", "plbl"],
+        ts_col="ts", seq_col="lsn",
+    )
+
+
+SQL_MERGE_PATCH = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         CASE WHEN event_id % 2 = 0 THEN value END AS val,
+         CASE WHEN event_id % 3 = 0 THEN event_type END AS etype,
+         CASE WHEN event_id % 5 = 0 THEN props END AS plbl
+  FROM events
+)
+SELECT user_id,
+  (max(CASE WHEN op = 'delete' OR val IS NOT NULL
+            THEN {'t': ts, 's': lsn, 'v': CASE WHEN op <> 'delete' THEN val END} END)).v AS val,
+  (max(CASE WHEN op = 'delete' OR etype IS NOT NULL
+            THEN {'t': ts, 's': lsn, 'v': CASE WHEN op <> 'delete' THEN etype END} END)).v AS etype,
+  (max(CASE WHEN op = 'delete' OR plbl IS NOT NULL
+            THEN {'t': ts, 's': lsn, 'v': CASE WHEN op <> 'delete' THEN plbl END} END)).v AS plbl
+FROM p
+GROUP BY user_id
+HAVING (max({'t': ts, 's': lsn, 'v': op})).v <> 'delete'
+"""
+
+
 def q_join_enrich(spark, sf):
     """Broadcast dim join (orders × customer) with aggregation."""
     o = _t(spark, sf, "orders")
@@ -2869,6 +2918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_anti": q_merge_anti,
     "q_merge_semi": q_merge_semi,
     "q_merge_final_state": q_merge_final_state,
+    "q_merge_patch": q_merge_patch,
     "q_join_enrich": q_join_enrich,
     "q_salted_join": q_salted_join,
     "q_union_evolved": q_union_evolved,
@@ -2932,6 +2982,7 @@ ORACLES: dict[str, str] = {
     "q_merge_anti": SQL_MERGE_ANTI,
     "q_merge_semi": SQL_MERGE_SEMI,
     "q_merge_final_state": SQL_MERGE_FINAL_STATE,
+    "q_merge_patch": SQL_MERGE_PATCH,
     "q_join_enrich": SQL_JOIN_ENRICH,
     "q_salted_join": SQL_SALTED_JOIN,
     "q_union_evolved": SQL_UNION_EVOLVED,

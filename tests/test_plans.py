@@ -289,3 +289,16 @@ def test_span_dedup_keeper_agg_is_partial(spark,
     plan = _plan(q_span_dedup(spark, sf_dir))
     assert "partial_min" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_merge_patch_one_shuffle_partial_agg(spark,
+                                             sf_dir="/root/testdata/sf0.001"):
+    """Per-field LWW must plan as ONE hash aggregation with map-side combine
+    (partial_max on the field structs — hot keys die pre-shuffle), one
+    exchange on the key, and NO window sort per field."""
+    from concept_catalog_etl_spark.plans.queries import q_merge_patch
+
+    plan = _plan(q_merge_patch(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
