@@ -45,6 +45,8 @@ data files) is sketched in ARCHITECTURE.md.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -88,3 +90,76 @@ def partial_update_state(
     if keep_deleted:
         return out
     return out.filter(~F.col("_deleted")).drop("_deleted")
+
+
+# Aggregation merge engine (Paimon's ``aggregation`` analog): each field
+# folds with a declared aggregate function instead of LWW — the CDC shape of
+# a metrics rollup table (counter increments, running max, latest label)
+# fed by change events rather than absolute rows.
+_AGG_FNS: dict[str, Callable[[Column, Column], Column]] = {
+    "sum": lambda f, coord: F.sum(f),
+    "min": lambda f, coord: F.min(f),
+    "max": lambda f, coord: F.max(f),
+    "count": lambda f, coord: F.count(f),
+    "bool_or": lambda f, coord: F.max(f.cast("boolean")),
+    "bool_and": lambda f, coord: F.min(f.cast("boolean")),
+    # first/last setter by event coordinate — null fields never contribute
+    "first_non_null": lambda f, coord: F.min(
+        F.when(f.isNotNull(), F.struct(coord.alias("c"), f.alias("v")))
+    ).getField("v"),
+    "last_non_null": lambda f, coord: F.max(
+        F.when(f.isNotNull(), F.struct(coord.alias("c"), f.alias("v")))
+    ).getField("v"),
+}
+
+
+def aggregate_state(
+    df: DataFrame,
+    key: str = "doc_id",
+    aggs: dict[str, str] | None = None,
+    ts_col: str = "event_ts",
+    seq_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold change events into per-key aggregate state.
+
+    ``aggs`` maps field column → function name (``sum | min | max | count |
+    bool_or | bool_and | first_non_null | last_non_null``). NULL fields are
+    skipped (every listed function ignores nulls). A ``delete`` RESETS the
+    key at its coordinate: only events strictly after the key's latest
+    delete contribute, and the key is dropped entirely iff the delete is
+    its globally latest event — the same visibility rule as
+    ``partial_update_state``, so the two engines compose predictably.
+
+    Physical plan: the per-key latest-delete coordinate is one map-side-
+    combinable aggregation over just the delete rows (output ≈ |deleted
+    keys|, tiny next to the event stream); it joins back on the key and the
+    surviving events fold in ONE hash aggregation — every aggregate above
+    is algebraic, so partial aggregation absorbs hot keys pre-shuffle.
+    Keys with no delete skip the reset filter via the left join's NULL.
+    (A single-pass reset-aware fold is not a monoid — a partial sum cannot
+    retro-exclude events once a later delete coordinate is discovered — so
+    the two-pass shape is the correct distributed plan, not a shortcut.)
+    """
+    aggs = aggs or {}
+    for f, fn in aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unknown aggregate {fn!r} for field {f!r}")
+    is_del = F.col(op_col) == "delete"
+    coord = F.struct(F.col(ts_col).alias("t"), F.col(seq_col).alias("s"))
+
+    dels = (
+        df.filter(is_del)
+        .groupBy(key)
+        .agg(F.max(coord).alias("_del_coord"))
+    )
+    live = df.join(dels, on=key, how="left").filter(
+        ~is_del & (F.col("_del_coord").isNull() | (coord > F.col("_del_coord")))
+    )
+    out_aggs = [
+        _AGG_FNS[fn](F.col(f), coord).alias(f) for f, fn in aggs.items()
+    ]
+    folded = live.groupBy(key).agg(*out_aggs)
+    # drop keys whose latest event overall is the delete (no survivor rows
+    # means the key never reaches `folded` — the filter above already did it)
+    return folded

@@ -338,6 +338,56 @@ def q_merge_patch(spark, sf):
     )
 
 
+def q_merge_aggregate(spark, sf):
+    """Aggregation merge engine (Paimon's ``aggregation`` analog): change
+    events fold into per-key aggregate state — counter sums, running max,
+    latest label — with 'error' events RESETTING the key at their
+    coordinate (only later events contribute; a key whose latest event is
+    the reset drops out). Two-pass plan: tiny delete-coordinate agg + join,
+    then one algebraic hash aggregation — see operators/patch.py."""
+    from ..operators.patch import aggregate_state
+
+    ev = _t(spark, sf, "events")
+    is_err = F.col("event_type") == "error"
+    changes = ev.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(is_err, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        F.col("value").alias("val"),
+        F.col("event_type").alias("etype"),
+    )
+    out = aggregate_state(
+        changes,
+        key="user_id",
+        aggs={"val": "sum", "etype": "last_non_null"},
+        ts_col="ts",
+        seq_col="lsn",
+    )
+    return out.select(
+        "user_id", F.round("val", 4).alias("val_sum"), F.col("etype").alias("last_etype")
+    )
+
+
+SQL_MERGE_AGGREGATE = """
+WITH d AS (
+  SELECT user_id, max({'t': ts, 's': event_id}) AS dc
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+), live AS (
+  SELECT e.user_id, e.ts, e.event_id, e.value, e.event_type
+  FROM events e LEFT JOIN d ON e.user_id = d.user_id
+  WHERE e.event_type <> 'error'
+    AND (d.dc IS NULL OR {'t': e.ts, 's': e.event_id} > d.dc)
+)
+SELECT user_id,
+       round(sum(value), 4) AS val_sum,
+       (max(CASE WHEN event_type IS NOT NULL
+                 THEN {'c': {'t': ts, 's': event_id}, 'v': event_type} END)).v
+         AS last_etype
+FROM live GROUP BY user_id
+"""
+
+
 SQL_MERGE_PATCH = """
 WITH p AS (
   SELECT user_id, ts, event_id AS lsn,
@@ -2919,6 +2969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_semi": q_merge_semi,
     "q_merge_final_state": q_merge_final_state,
     "q_merge_patch": q_merge_patch,
+    "q_merge_aggregate": q_merge_aggregate,
     "q_join_enrich": q_join_enrich,
     "q_salted_join": q_salted_join,
     "q_union_evolved": q_union_evolved,
@@ -2983,6 +3034,7 @@ ORACLES: dict[str, str] = {
     "q_merge_semi": SQL_MERGE_SEMI,
     "q_merge_final_state": SQL_MERGE_FINAL_STATE,
     "q_merge_patch": SQL_MERGE_PATCH,
+    "q_merge_aggregate": SQL_MERGE_AGGREGATE,
     "q_join_enrich": SQL_JOIN_ENRICH,
     "q_salted_join": SQL_SALTED_JOIN,
     "q_union_evolved": SQL_UNION_EVOLVED,

@@ -130,3 +130,90 @@ def test_patch_matches_sequential_set_fold(spark, events, seed):
     df = _df(spark, shuffled).repartition(5)
     out = _result(partial_update_state(df, fields=FIELDS))
     assert out == _sequential_set(rows)
+
+
+# ---------------------------------------------------------------------------
+# aggregation merge engine
+# ---------------------------------------------------------------------------
+
+from concept_catalog_etl_spark.operators.patch import aggregate_state  # noqa: E402
+
+
+def _sequential_aggregate(rows):
+    """Golden model: apply events in (ts, lsn) order; delete resets the key
+    (drops accumulated state); key visible iff any event after its last
+    delete."""
+    state: dict[str, dict] = {}
+    for d, s, lsn, op, a, b in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        if op == "delete":
+            state.pop(d, None)
+            continue
+        doc = state.setdefault(d, {"sum": None, "last": None})
+        if a is not None:
+            doc["sum"] = a if doc["sum"] is None else doc["sum"] + a
+        if b is not None:
+            doc["last"] = b
+    return {d: (v["sum"], v["last"]) for d, v in state.items()}
+
+
+def _agg_result(df):
+    return {r["doc_id"]: (r["a"], r["b"]) for r in df.collect()}
+
+
+def test_aggregate_sum_and_last_with_reset(spark):
+    rows = [
+        ("x", 1, 1, "update", 10, "u"),
+        ("x", 2, 2, "update", 5, None),    # sum accumulates, last survives
+        ("x", 3, 3, "delete", None, None),  # reset
+        ("x", 4, 4, "update", 7, "w"),     # only this survives the reset
+        ("y", 1, 5, "update", 1, "a"),
+        ("y", 2, 6, "delete", None, None),  # y's latest is the reset → gone
+    ]
+    out = _agg_result(
+        aggregate_state(
+            _df(spark, rows), aggs={"a": "sum", "b": "last_non_null"}
+        )
+    )
+    assert out == {"x": (7, "w")}
+
+
+def test_aggregate_unknown_fn_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        aggregate_state(_df(spark, []), aggs={"a": "median"})
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["update", "update", "delete"]),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=20)),
+            st.one_of(st.none(), st.sampled_from(["p", "q"])),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_aggregate_matches_sequential_fold(spark, events, seed):
+    rows = [
+        (d, s, i, op, None if op == "delete" else a, None if op == "delete" else b)
+        for i, (d, s, op, a, b) in enumerate(events)
+    ]
+    import random
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    df = _df(spark, shuffled).repartition(5)
+    out = _agg_result(
+        aggregate_state(df, aggs={"a": "sum", "b": "last_non_null"})
+    )
+    assert out == _sequential_aggregate(rows)
