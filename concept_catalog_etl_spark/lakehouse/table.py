@@ -73,6 +73,60 @@ SYS_NAMES = [n for n, _ in SYS_COLS]
 
 LEDGER_KEEP = 1024  # ring size of explicitly remembered batch ids
 
+# logical types whose parquet footer min/max are harvested into manifest
+# column stats (arrays/structs/binary have no useful scalar range)
+_STATS_PRIMITIVES = {
+    "string", "int", "integer", "bigint", "long", "smallint", "tinyint",
+    "double", "float", "boolean", "timestamp", "date",
+}
+
+
+def _stat_norm(v):
+    """JSON-safe, ORDER-PRESERVING encoding for manifest column stats.
+    Timestamps become fixed-width strings (lexical order == chronological);
+    bytes decode to str; numbers/bools/strings pass through."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _norm_bound(b, is_ts: bool):
+    """Encode a user range bound the way the manifest stats are stored."""
+    import datetime as _dt
+
+    if b is None:
+        return None
+    if is_ts and isinstance(b, str):
+        b = _dt.datetime.fromisoformat(b)
+    return _stat_norm(b)
+
+
+def _stats_intersect(entry: dict, range_ids: dict[str, tuple]) -> bool:
+    """False iff the file's column stats PROVE no row can satisfy every
+    range (bounds pre-encoded via ``_norm_bound``). Missing stats for a
+    column keep the file; a bound whose type can't be compared against the
+    stored stats keeps the file too (never prune on a guess)."""
+    stats = entry.get("col_stats") or {}
+    for sid, (lo, hi) in range_ids.items():
+        st = stats.get(sid)
+        if st is None:
+            continue
+        mn, mx = st
+        try:
+            if hi is not None and mn is not None and mn > hi:
+                return False
+            if lo is not None and mx is not None and mx < lo:
+                return False
+        except TypeError:
+            continue
+    return True
+
 
 class VersionVacuumedError(RuntimeError):
     """A time-travel / change-feed read asked for a snapshot whose files or
@@ -333,6 +387,37 @@ class LakeTable:
                         if ls is not None and ls.has_min_max:
                             v = int(ls.min)
                             min_lsn = v if min_lsn is None else min(min_lsn, v)
+                # Per-column min/max for primitive logical fields (Iceberg
+                # manifest column-stats analog), keyed by FIELD ID so the
+                # stats survive renames; `_event_ts` rides along under its
+                # (never-renamed) literal name for time-window scans. Read
+                # from the same footer metadata already in hand — no extra
+                # file I/O on the ingest path. Non-primitive fields and
+                # stat-less row groups contribute nothing (pruning stays
+                # conservative: no stats → keep the file).
+                col_stats: dict[str, list] = {}
+                stat_fields = [
+                    (str(f.id), f.name) for f in schema.fields
+                    if f.name != key and f.type in _STATS_PRIMITIVES
+                ] + [("_event_ts", "_event_ts")]
+                for sid, sname in stat_fields:
+                    if sname not in names:
+                        continue
+                    cidx = names.index(sname)
+                    smin = smax = None
+                    complete = True
+                    for rg in range(md.num_row_groups):
+                        cs = md.row_group(rg).column(cidx).statistics
+                        if cs is None or (cs.num_values and not cs.has_min_max):
+                            complete = False
+                            break
+                        if cs.num_values == 0:
+                            continue  # all-null row group: no range to widen
+                        mn, mx = _stat_norm(cs.min), _stat_norm(cs.max)
+                        smin = mn if smin is None else min(smin, mn)
+                        smax = mx if smax is None else max(smax, mx)
+                    if complete and smin is not None:
+                        col_stats[sid] = [smin, smax]
                 has_bloom = False
                 if with_bloom and key in md.schema.names:
                     from . import bloom as _bloom
@@ -356,6 +441,7 @@ class LakeTable:
                         "phys_cols": phys_cols,
                         "has_tombstone": has_tomb,
                         "min_lsn": min_lsn,
+                        **({"col_stats": col_stats} if col_stats else {}),
                         **({"delta": True} if delta else {}),
                         **({"bloom": True} if has_bloom else {}),
                         # bucket layout these files were hashed against —
@@ -911,6 +997,7 @@ class LakeTable:
         schema_override: TableSchema | None = None,
         include_deleted: bool = False,
         keys: list[str] | None = None,
+        col_ranges: dict[str, tuple] | None = None,
         _snap: dict | None = None,
     ) -> DataFrame:
         """Snapshot read with bucket + key-range file pruning and
@@ -941,6 +1028,39 @@ class LakeTable:
             # looked-up key, and rows of OTHER keys are filtered by the
             # caller anyway. Files without a sidecar are kept.
             files = [f for f in files if self._bloom_maybe(f, keys)]
+        if col_ranges:
+            # Column-stats file pruning (Iceberg manifest-stats analog):
+            # ``{column: (lo, hi)}``, either bound None for open ends; the
+            # same ranges are re-applied as a residual row filter below, so
+            # the result is exactly "live rows within every range".
+            # SOUNDNESS under multiple row versions: pruning is applied
+            # only to files in base-only buckets. A base bucket holds at
+            # most ONE version per key (CoW rewrites the whole bucket), so
+            # a pruned file cannot hide a newer out-of-range version whose
+            # key has an older in-range version elsewhere — in a
+            # delta-containing bucket it could (the stale row would
+            # resurrect past the LWW resolve), so those buckets keep every
+            # file and rely on the residual filter alone. Stats are keyed
+            # by field ID (rename-safe); a file with no stats for a column
+            # is kept (conservative).
+            range_ids: dict[str, tuple] = {}
+            for cname, bounds in col_ranges.items():
+                if cname == "_event_ts":
+                    sid, is_ts = "_event_ts", True
+                else:
+                    fld = next((f for f in schema.fields if f.name == cname), None)
+                    if fld is None:
+                        raise ValueError(f"unknown column {cname!r} in col_ranges")
+                    sid, is_ts = str(fld.id), fld.type == "timestamp"
+                # stats-comparable bounds: stored timestamp stats are
+                # fixed-width strings, so a str/datetime bound must take the
+                # same encoding or an exact-boundary row could mis-prune
+                range_ids[sid] = tuple(_norm_bound(b, is_ts) for b in bounds)
+            delta_bkts = {f["bucket"] for f in files if f.get("delta")}
+            files = [
+                f for f in files
+                if f["bucket"] in delta_bkts or _stats_intersect(f, range_ids)
+            ]
 
         extra = SYS_COLS if with_system_cols else []
         target_struct = schema.spark_struct(extra=extra)
@@ -1046,7 +1166,21 @@ class LakeTable:
             if not with_system_cols:
                 resolved = resolved.drop(*SYS_NAMES)
             outs.append(resolved)
-        return reduce(DataFrame.unionByName, outs)
+        out = reduce(DataFrame.unionByName, outs)
+        if col_ranges:
+            # residual row filter (also reaches the parquet scan for the
+            # base path via pushdown): rows with NULL in a ranged column
+            # drop, standard predicate semantics
+            for cname, (lo, hi) in col_ranges.items():
+                if cname == "_event_ts" and not with_system_cols:
+                    raise ValueError(
+                        "col_ranges on _event_ts requires with_system_cols=True"
+                    )
+                if lo is not None:
+                    out = out.filter(F.col(cname) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(cname) <= F.lit(hi))
+        return out
 
     def _bloom_maybe(self, entry: dict, keys: list[str]) -> bool:
         """True unless this file's bloom sidecar proves none of ``keys`` is

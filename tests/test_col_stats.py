@@ -1,0 +1,98 @@
+"""Manifest column-stats pruning (Iceberg manifest min/max analog).
+
+Pins: stats are harvested per file (keyed by field id, plus `_event_ts`);
+`read(col_ranges=...)` prunes base files whose range can't match and still
+returns exactly the live rows within range; delta-containing buckets are
+NEVER pruned (a pruned winner version would resurrect a stale in-range row
+past the LWW resolve); exact timestamp boundaries don't mis-prune for
+string bounds."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse.table import _stats_intersect
+from tests.helpers import make_table
+
+
+def _rows(spark, n, ntok, source, day, key_prefix, lsn0=0):
+    return spark.range(n).select(
+        F.format_string(f"{key_prefix}-%06d", F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int"), F.lit(7)).alias("tokens"),
+        F.lit(ntok).alias("n_tok"),
+        F.lit(source).alias("source"),
+        F.lit(f"2026-01-{day:02d} 00:00:00").cast("timestamp").alias("_event_ts"),
+        (F.col("id") + lsn0).alias("_lsn"),
+    )
+
+
+def test_stats_harvested_and_pruning_exact(spark, scratch):
+    table = make_table(scratch, n_buckets=2)
+    # 3 commits with disjoint key spaces AND disjoint n_tok/source/ts ranges
+    for c, (ntok, src, day) in enumerate([(2, "crawl", 1), (5, "books", 10), (9, "wiki", 20)]):
+        table.commit(
+            add_files=table.write_data_files(_rows(spark, 40, ntok, src, day, f"c{c}")),
+            batch_id=c,
+        )
+    files = table.files()
+    assert all(f.get("col_stats") for f in files)
+    schema = table.schema()
+    fid = {f.name: str(f.id) for f in schema.fields}
+    # one commit's files match n_tok in [4, 6] — the rest must prune
+    kept = [f for f in files if _stats_intersect(f, {fid["n_tok"]: (4, 6)})]
+    assert 0 < len(kept) < len(files)
+    assert all("c1" in (f["min_key"] or "") for f in kept)
+    got = table.read(spark, col_ranges={"n_tok": (4, 6)}).collect()
+    assert len(got) == 40 and all(r["n_tok"] == 5 for r in got)
+    # string column + combined ranges
+    got2 = table.read(
+        spark, col_ranges={"source": ("wiki", "wiki"), "n_tok": (0, 100)}
+    ).collect()
+    assert len(got2) == 40 and all(r["source"] == "wiki" for r in got2)
+    # _event_ts range with an EXACT-boundary string bound (regression: the
+    # fixed-width stats encoding must not lexically out-rank the bound)
+    got3 = table.read(
+        spark,
+        col_ranges={"_event_ts": ("2026-01-10 00:00:00", "2026-01-10 00:00:00")},
+        with_system_cols=True,
+    ).collect()
+    assert len(got3) == 40 and all(
+        r["_event_ts"] == dt.datetime(2026, 1, 10) for r in got3
+    )
+
+
+def test_delta_buckets_never_pruned(spark, scratch):
+    """A key's old version is in range, its NEWER delta version is not: the
+    row must NOT appear, even though stats-pruning the delta file would
+    'helpfully' drop the winner and resurrect the stale row."""
+    table = make_table(scratch, n_buckets=2)
+    table.commit(
+        add_files=table.write_data_files(_rows(spark, 20, 5, "crawl", 1, "k")),
+        batch_id=0,
+    )
+    # delta: same keys, newer coordinate, n_tok far OUT of the probed range
+    newer = _rows(spark, 20, 99, "crawl", 2, "k", lsn0=1000).withColumn(
+        "_event_ts", F.lit("2026-02-01 00:00:00").cast("timestamp")
+    ).withColumn("_deleted", F.lit(False))
+    table.commit(
+        add_files=table.write_data_files(newer, delta=True), batch_id=1
+    )
+    got = table.read(spark, col_ranges={"n_tok": (4, 6)}).collect()
+    assert got == []  # every live row has n_tok=99
+    got_hi = table.read(spark, col_ranges={"n_tok": (90, 100)}).collect()
+    assert len(got_hi) == 20 and all(r["n_tok"] == 99 for r in got_hi)
+
+
+def test_missing_stats_and_unknown_column(spark, scratch):
+    import pytest
+
+    table = make_table(scratch, n_buckets=2)
+    table.commit(
+        add_files=table.write_data_files(_rows(spark, 10, 3, "crawl", 1, "m")),
+        batch_id=0,
+    )
+    # files with no stats entry for a column are kept (conservative)
+    assert _stats_intersect({"col_stats": {}}, {"9": (0, 1)}) is True
+    assert _stats_intersect({}, {"9": (0, 1)}) is True
+    with pytest.raises(ValueError):
+        table.read(spark, col_ranges={"nope": (0, 1)}).collect()
