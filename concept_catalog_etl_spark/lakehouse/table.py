@@ -102,8 +102,13 @@ def _norm_bound(b, is_ts: bool):
 
     if b is None:
         return None
-    if is_ts and isinstance(b, str):
-        b = _dt.datetime.fromisoformat(b)
+    if is_ts:
+        if isinstance(b, str):
+            b = _dt.datetime.fromisoformat(b)
+        elif isinstance(b, _dt.date) and not isinstance(b, _dt.datetime):
+            # a bare date must take the full fixed-width encoding, or it
+            # lexically under-ranks equal-midnight stats and mis-prunes
+            b = _dt.datetime(b.year, b.month, b.day)
     return _stat_norm(b)
 
 
@@ -1028,6 +1033,11 @@ class LakeTable:
             # looked-up key, and rows of OTHER keys are filtered by the
             # caller anyway. Files without a sidecar are kept.
             files = [f for f in files if self._bloom_maybe(f, keys)]
+        # the MoR-resolve bucket split and the stats-pruning guard below
+        # MUST agree on this set for the pruning soundness argument to
+        # hold; pruning never removes a delta-bucket file, so computing it
+        # once up front is exact for both uses
+        delta_buckets = {f["bucket"] for f in files if f.get("delta")}
         if col_ranges:
             # Column-stats file pruning (Iceberg manifest-stats analog):
             # ``{column: (lo, hi)}``, either bound None for open ends; the
@@ -1046,6 +1056,10 @@ class LakeTable:
             range_ids: dict[str, tuple] = {}
             for cname, bounds in col_ranges.items():
                 if cname == "_event_ts":
+                    if not with_system_cols:
+                        raise ValueError(
+                            "col_ranges on _event_ts requires with_system_cols=True"
+                        )
                     sid, is_ts = "_event_ts", True
                 else:
                     fld = next((f for f in schema.fields if f.name == cname), None)
@@ -1056,10 +1070,9 @@ class LakeTable:
                 # fixed-width strings, so a str/datetime bound must take the
                 # same encoding or an exact-boundary row could mis-prune
                 range_ids[sid] = tuple(_norm_bound(b, is_ts) for b in bounds)
-            delta_bkts = {f["bucket"] for f in files if f.get("delta")}
             files = [
                 f for f in files
-                if f["bucket"] in delta_bkts or _stats_intersect(f, range_ids)
+                if f["bucket"] in delta_buckets or _stats_intersect(f, range_ids)
             ]
 
         extra = SYS_COLS if with_system_cols else []
@@ -1075,7 +1088,6 @@ class LakeTable:
         # space, so resolving each class independently is exact. In steady
         # state (compaction folds deltas in) the resolve touches only the
         # recently-written tail, not the table.
-        delta_buckets = {f["bucket"] for f in files if f.get("delta")}
         base_files = [f for f in files if f["bucket"] not in delta_buckets]
         resolve_files = [f for f in files if f["bucket"] in delta_buckets]
 
@@ -1172,10 +1184,6 @@ class LakeTable:
             # base path via pushdown): rows with NULL in a ranged column
             # drop, standard predicate semantics
             for cname, (lo, hi) in col_ranges.items():
-                if cname == "_event_ts" and not with_system_cols:
-                    raise ValueError(
-                        "col_ranges on _event_ts requires with_system_cols=True"
-                    )
                 if lo is not None:
                     out = out.filter(F.col(cname) >= F.lit(lo))
                 if hi is not None:

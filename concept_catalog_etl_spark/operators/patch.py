@@ -141,7 +141,8 @@ def aggregate_state(
     retro-exclude events once a later delete coordinate is discovered — so
     the two-pass shape is the correct distributed plan, not a shortcut.)
     """
-    aggs = aggs or {}
+    if not aggs:
+        raise ValueError("aggs is required: {field: aggregate-fn-name}")
     for f, fn in aggs.items():
         if fn not in _AGG_FNS:
             raise ValueError(f"unknown aggregate {fn!r} for field {f!r}")

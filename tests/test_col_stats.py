@@ -96,3 +96,30 @@ def test_missing_stats_and_unknown_column(spark, scratch):
     assert _stats_intersect({}, {"9": (0, 1)}) is True
     with pytest.raises(ValueError):
         table.read(spark, col_ranges={"nope": (0, 1)}).collect()
+
+
+def test_date_bound_and_eager_syscols_error(spark, scratch):
+    import pytest
+
+    table = make_table(scratch, n_buckets=2)
+    # contract error raises even when the table is empty / fully pruned
+    with pytest.raises(ValueError):
+        table.read(spark, col_ranges={"_event_ts": (None, "2026-01-10")})
+    table.commit(
+        add_files=table.write_data_files(_rows(spark, 15, 3, "crawl", 10, "d")),
+        batch_id=0,
+    )
+    # a bare datetime.date upper bound must include equal-midnight rows
+    # (regression: short ISO encoding lexically under-ranked the stats)
+    got = table.read(
+        spark,
+        col_ranges={"_event_ts": (None, dt.date(2026, 1, 10))},
+        with_system_cols=True,
+    ).collect()
+    assert len(got) == 15
+    none = table.read(
+        spark,
+        col_ranges={"_event_ts": (None, dt.date(2026, 1, 9))},
+        with_system_cols=True,
+    ).collect()
+    assert none == []

@@ -302,3 +302,16 @@ def test_merge_patch_one_shuffle_partial_agg(spark,
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_max" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_merge_aggregate_two_pass_no_window(spark,
+                                            sf_dir="/root/testdata/sf0.001"):
+    """Reset-aware aggregation must keep its documented shape: the final
+    fold is an algebraic hash aggregation with map-side combine
+    (partial_sum), and NO window sort sneaks in for the reset filter."""
+    from concept_catalog_etl_spark.plans.queries import q_merge_aggregate
+
+    plan = _plan(q_merge_aggregate(spark, sf_dir))
+    assert "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
