@@ -245,6 +245,13 @@ class LakeTable:
         return out
 
     def _write_manifest(self, snap: dict) -> None:
+        import time as _time
+
+        # wall-clock commit stamp (Iceberg snapshot timestamp-ms analog):
+        # set at WRITE time, always — a rollback's new snapshot gets its own
+        # stamp, keeping committed_at monotone over versions, which
+        # version_as_of relies on. Never used in data-path semantics.
+        snap["committed_at"] = round(_time.time(), 3)
         path = os.path.join(self.meta_dir, f"v{snap['version']}.json")
         with open(path, "x") as f:  # 'x': optimistic-concurrency conflict check
             json.dump(snap, f)
@@ -967,13 +974,58 @@ class LakeTable:
                 "n_delta_files": sum(1 for f in files if f.get("delta")),
                 "max_batch_id": props.get("max_batch_id"),
                 "schema_version": TableSchema.from_json(snap["schema"]).schema_version,
+                "committed_at": snap.get("committed_at"),
             })
         return spark.createDataFrame(
             rows,
             "version int, parent int, touched_buckets int, n_files int, "
             "n_rows bigint, n_delta_files int, max_batch_id bigint, "
-            "schema_version int",
+            "schema_version int, committed_at double",
         )
+
+    def version_as_of(self, ts: float) -> int:
+        """Latest retained version committed at or before wall-clock ``ts``
+        (Iceberg snapshot-as-of-timestamp analog; epoch seconds, or a
+        datetime / ISO string). ``committed_at`` is stamped at manifest
+        WRITE time so it is monotone over versions — including across a
+        rollback, whose restoring snapshot gets its own stamp."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts).timestamp()
+        elif isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        best = None
+        for v in range(self.oldest_retained_version(), self.current_version() + 1):
+            at = self.snapshot(v).get("committed_at")
+            if at is not None and at <= ts:
+                best = v
+        if best is None:
+            raise VersionVacuumedError(
+                f"no retained snapshot committed at or before {ts} "
+                f"(oldest retained: v{self.oldest_retained_version()})"
+            )
+        return best
+
+    def row_count(self, spark: SparkSession | None = None,
+                  version: int | None = None) -> int:
+        """Live-row count. O(metadata) when the snapshot provably has no
+        delta files and no tombstones (base rows are then exactly the live
+        rows, and manifest entries carry per-file row counts); otherwise an
+        exact Spark count through ``read`` — which needs ``spark``."""
+        snap = self.snapshot(version)
+        files = self.files(snap=snap)
+        resolve_free = not any(f.get("delta") for f in files) and not any(
+            f.get("has_tombstone", True) for f in files
+        )
+        if resolve_free:
+            return int(sum(f["rows"] for f in files))
+        if spark is None:
+            raise ValueError(
+                "row_count needs a SparkSession: this snapshot has deltas "
+                "or possible tombstones, so the count requires a resolve"
+            )
+        return self.read(spark, version=version).count()
 
     def read_metrics(self, spark: SparkSession) -> DataFrame | None:
         """Per-batch ingest metrics (events applied/failed, rows merged,

@@ -123,3 +123,48 @@ def test_date_bound_and_eager_syscols_error(spark, scratch):
         with_system_cols=True,
     ).collect()
     assert none == []
+
+
+def test_version_as_of_and_row_count(spark, scratch):
+    import time
+
+    import pytest
+
+    from concept_catalog_etl_spark.lakehouse.table import VersionVacuumedError
+
+    table = make_table(scratch, n_buckets=2)
+    stamps = [table.snapshot(0).get("committed_at")]
+    for c in range(2):
+        table.commit(
+            add_files=table.write_data_files(_rows(spark, 10, 3, "crawl", 1, f"v{c}")),
+            batch_id=c,
+        )
+        stamps.append(table.snapshot(table.current_version())["committed_at"])
+        time.sleep(0.05)
+    assert all(s is not None for s in stamps)
+    assert stamps == sorted(stamps)
+    # as-of each stamp resolves to that version; mid-gap resolves backward
+    assert table.version_as_of(stamps[1]) == 1
+    assert table.version_as_of(stamps[1] + 0.02) == 1
+    assert table.version_as_of(time.time() + 60) == 2
+    with pytest.raises(VersionVacuumedError):
+        table.version_as_of(stamps[0] - 10)
+    # ISO-string input
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(stamps[2]).isoformat()
+    assert table.version_as_of(iso) == 2
+    # metadata-only count (no deltas, provably tombstone-free)
+    assert table.row_count() == 20
+    assert table.row_count(version=1) == 10
+    # a delta commit forces the resolve path
+    newer = _rows(spark, 10, 4, "crawl", 2, "v0", lsn0=100).withColumn(
+        "_deleted", F.lit(False)
+    )
+    table.commit(add_files=table.write_data_files(newer, delta=True), batch_id=9)
+    with pytest.raises(ValueError):
+        table.row_count()
+    assert table.row_count(spark) == 20  # upserts, not inserts
+    # history carries the stamps
+    hist = {r["version"]: r["committed_at"] for r in table.history(spark).collect()}
+    assert hist[1] == pytest.approx(stamps[1])
