@@ -288,6 +288,7 @@ class LakeTable:
         schema_override: TableSchema | None = None,
         delta: bool = False,
         sort_within: bool = False,
+        cluster_cols: list[str] | None = None,
         with_bloom: bool | None = None,
         n_buckets_override: int | None = None,
         max_records_per_file: int | None = None,
@@ -316,7 +317,15 @@ class LakeTable:
             out = df.withColumn("_bucket", bucket_expr(key, nb))
             npart = min(nb, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
             out = out.repartition(npart, "_bucket")
-        if sort_within:
+        if cluster_cols:
+            # sort-order rewrite (Iceberg rewrite-with-sort-order analog):
+            # clustering by payload columns gives consecutive output files
+            # near-disjoint col_stats ranges on those columns, so
+            # read(col_ranges=...) prunes most of a bucket after
+            # compaction. Key goes last: point lookups trade row-group
+            # locality for column locality, but keep bloom-sidecar pruning.
+            out = out.sortWithinPartitions("_bucket", *cluster_cols, key)
+        elif sort_within:
             # read-optimizing layout (compaction path, NOT the hot ingest
             # path — Iceberg's split too): key-sorted rows inside each
             # bucket give tight, near-disjoint parquet row-group min/max, so
@@ -334,7 +343,10 @@ class LakeTable:
             # default — never the hot ingest path (hashing every key of
             # every batch would tax the replay headline); tables can opt
             # every write in via the bloom_on_write property.
-            with_bloom = sort_within or bool(self.properties().get("bloom_on_write"))
+            with_bloom = (
+                sort_within or bool(cluster_cols)
+                or bool(self.properties().get("bloom_on_write"))
+            )
         return self._collect_file_entries(
             rel_dir, schema, key, delta=delta, with_bloom=with_bloom,
             layout_nb=nb,
@@ -1566,6 +1578,7 @@ class LakeTable:
         expire_tombstones_below_lsn: int | None = None,
         max_buckets_per_run: int | None = None,
         target_rows_per_file: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Rewrite fragmented buckets (and optionally expire tombstones older
         than the out-of-orderness horizon). Metadata-atomic like any commit;
@@ -1579,7 +1592,18 @@ class LakeTable:
         write.target-file-size analog): the rewrite splits each bucket at
         that many rows, and the fragmentation test allows
         ceil(bucket_rows/target) files so a bounded bucket is not
-        re-compacted forever."""
+        re-compacted forever.
+        ``cluster_by`` rewrites each bucket in that column sort order
+        (Iceberg sort-order rewrite analog): with ``target_rows_per_file``
+        splitting the bucket, consecutive files get near-disjoint manifest
+        ``col_stats`` ranges, so ``read(col_ranges=...)`` prunes most of a
+        compacted bucket."""
+        if cluster_by:
+            schema0 = self.schema()
+            known = {f.name for f in schema0.fields} | {"_event_ts"}
+            bad = [c for c in cluster_by if c not in known]
+            if bad:
+                raise ValueError(f"unknown cluster_by column(s): {bad}")
         snap = self.snapshot()
         by_bucket: dict[int, int] = {
             m["bucket"]: m["n_files"] for m in snap["manifests"]
@@ -1605,6 +1629,11 @@ class LakeTable:
             }
         else:
             todo = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
+        if cluster_by:
+            # an explicit sort-order rewrite is requested, not inferred:
+            # every non-empty bucket qualifies regardless of fragmentation
+            # (bounded below by max_buckets_per_run like any other run)
+            todo |= {b for b, n in by_bucket.items() if n > 0}
         cursor_props: dict | None = None
         if expire_tombstones_below_lsn is not None:
             # expire only buckets that may actually hold an expirable
@@ -1655,7 +1684,8 @@ class LakeTable:
                 )
             )
         files = self.write_data_files(
-            df, sort_within=True, max_records_per_file=target_rows_per_file
+            df, sort_within=not cluster_by, cluster_cols=cluster_by,
+            max_records_per_file=target_rows_per_file,
         )
         self.commit_with_retry(
             add_files=files, remove_buckets=todo, extra_props=cursor_props,

@@ -168,3 +168,41 @@ def test_version_as_of_and_row_count(spark, scratch):
     # history carries the stamps
     hist = {r["version"]: r["committed_at"] for r in table.history(spark).collect()}
     assert hist[1] == pytest.approx(stamps[1])
+
+
+def test_clustered_compaction_tightens_pruning(spark, scratch):
+    """compact(cluster_by=['n_tok'], target_rows_per_file=...) must leave
+    consecutive files with near-disjoint n_tok ranges, so a range read
+    prunes most of the bucket — and results stay exact."""
+    import pytest
+
+    table = make_table(scratch, n_buckets=1)
+    # one bucket, n_tok uniformly mixed across 4 commits (so pre-compaction
+    # every file spans the whole range and nothing can prune)
+    for c in range(4):
+        df = spark.range(200).select(
+            F.format_string(f"c{c}-%06d", F.col("id")).alias("doc_id"),
+            F.array(F.col("id").cast("int")).alias("tokens"),
+            (F.col("id") % 100).cast("int").alias("n_tok"),
+            F.lit("crawl").alias("source"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_event_ts"),
+            (F.col("id") + c * 1000).alias("_lsn"),
+        )
+        table.commit(add_files=table.write_data_files(df), batch_id=c)
+    pre = table.files()
+    fid = {f.name: str(f.id) for f in table.schema().fields}
+    probe = {fid["n_tok"]: (10, 19)}
+    assert all(_stats_intersect(f, probe) for f in pre)  # nothing prunable
+    res = table.compact(spark, cluster_by=["n_tok"], target_rows_per_file=200)
+    assert res["buckets_compacted"] == 1
+    post = table.files()
+    assert len(post) >= 3
+    kept = [f for f in post if _stats_intersect(f, probe)]
+    assert len(kept) < len(post)  # clustering made the stats bite
+    got = table.read(spark, col_ranges={"n_tok": (10, 19)}).collect()
+    assert len(got) == 80 and all(10 <= r["n_tok"] <= 19 for r in got)
+    # point lookups survive the changed sort order (bloom sidecars)
+    one = table.read_keys(spark, ["c2-000042"]).collect()
+    assert [r["doc_id"] for r in one] == ["c2-000042"]
+    with pytest.raises(ValueError):
+        table.compact(spark, cluster_by=["nope"])
