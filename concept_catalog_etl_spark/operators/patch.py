@@ -164,3 +164,162 @@ def aggregate_state(
     # drop keys whose latest event overall is the delete (no survivor rows
     # means the key never reaches `folded` — the filter above already did it)
     return folded
+
+
+# ---------------------------------------------------------------------------
+# stored partial-update: sequence-groups at rest
+# ---------------------------------------------------------------------------
+
+_EPOCH = "1970-01-01 00:00:00"
+
+
+def patch_table_schema(fields: list[tuple[str, str]], key: str = "doc_id"):
+    """Schema for a partial-update table: each patchable field gets
+    companion sequence columns ``_seq_<f>_ts`` / ``_seq_<f>_lsn`` recording
+    the coordinate of the event that last SET it (Paimon sequence-group
+    analog). The companions are ORDINARY logical columns — reads, MoR
+    resolve, compaction, schema evolution and export handle them with zero
+    special cases; only the merge below interprets them."""
+    from ..lakehouse.schema import TableSchema
+
+    cols = [(key, "string")] + list(fields)
+    for f, _t in fields:
+        cols += [(f"_seq_{f}_ts", "timestamp"), (f"_seq_{f}_lsn", "bigint")]
+    return TableSchema.create(cols, key=key)
+
+
+def apply_patch_batch(
+    spark,
+    table,
+    events: DataFrame,
+    batch_id: int,
+    ts_col: str = "event_ts",
+    seq_col: str = "lsn",
+    op_col: str = "op",
+) -> dict:
+    """Apply one micro-batch of MERGE-PATCH change events to a LakeTable
+    created with ``patch_table_schema`` — incremental partial-update AT
+    REST, exact under arbitrary cross-batch reordering.
+
+    Why the companions exist: the bounded ``partial_update_state`` operator
+    is exact within one event set, but folding winners into a stored row
+    collapses per-field coordinates into one row coordinate — a late event
+    older than the row but newer than one field's true setter could then
+    not be ordered. Here each stored field keeps its own ``(ts, lsn)``, so
+    the batch merge is ONE aggregation over (pruned target ∪ events): per
+    field, ``max(struct(seq_ts, seq_lsn, value))`` — the target competes
+    with the batch at FIELD granularity, statelessly. Row visibility stays
+    the global struct-max (a delete tombstone defends its coordinate, and
+    sets every field's companion to the delete coordinate so pre-delete
+    stragglers lose per-field too).
+
+    Same 100 TB shape as the main CoW merge (operators/merge.py): bucket-
+    pruned target read, one union, one hash aggregation with map-side
+    combine, bucket-partitioned write, ledgered exactly-once commit with
+    optimistic retry. CoW only — a plain LWW delta resolve cannot merge at
+    field granularity, so MoR for patch tables would need its own resolve.
+    """
+    from ..lakehouse.table import LakeTable, bucket_expr  # noqa: F401
+
+    if table.is_committed(batch_id):
+        return {"batch_id": batch_id, "skipped": True}
+    schema = table.schema()
+    key = schema.key_name
+    fields = [
+        f.name for f in schema.fields
+        if f.id != schema.key_field_id and not f.name.startswith("_seq_")
+    ]
+    expect_version = table.current_version()
+    nb = table.n_buckets()
+    is_del = F.col(op_col) == "delete"
+    ev_coord = [F.col(ts_col), F.col(seq_col)]
+
+    # normalize both sides to one layout: key, global coord + delete flag,
+    # and per field (value, _seq ts, _seq lsn)
+    ev_cols = [
+        F.col(key),
+        F.col(ts_col).alias("_g_ts"),
+        F.col(seq_col).alias("_g_lsn"),
+        is_del.alias("_g_del"),
+    ]
+    for f in fields:
+        sets_f = is_del | F.col(f).isNotNull()
+        ev_cols += [
+            F.when(~is_del, F.col(f)).alias(f),
+            F.when(sets_f, F.col(ts_col)).alias(f"_seq_{f}_ts"),
+            F.when(sets_f, F.col(seq_col)).alias(f"_seq_{f}_lsn"),
+        ]
+    batch = events.select(ev_cols)
+
+    affected = sorted(
+        r[0] for r in batch.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+    )
+    parts = [batch]
+    if affected:
+        tgt = table.read(
+            spark, buckets=set(affected), with_system_cols=True,
+            include_deleted=True,
+        )
+        parts.append(tgt.select(
+            F.col(key),
+            F.coalesce(F.col("_event_ts"), F.lit(_EPOCH).cast("timestamp")).alias("_g_ts"),
+            F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")).alias("_g_lsn"),
+            F.coalesce(F.col("_deleted"), F.lit(False)).alias("_g_del"),
+            *[c for f in fields for c in (
+                F.col(f),
+                F.col(f"_seq_{f}_ts"),
+                F.col(f"_seq_{f}_lsn"),
+            )],
+        ))
+    unioned = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    bucketed = unioned.withColumn("_bucket", bucket_expr(key, nb))
+    npart = min(nb, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    bucketed = bucketed.repartition(npart, "_bucket")
+
+    aggs = []
+    for f in fields:
+        # null companion ts (field never set) sorts below any real event
+        contrib = F.when(
+            F.col(f"_seq_{f}_ts").isNotNull(),
+            F.struct(
+                F.col(f"_seq_{f}_ts").alias("t"),
+                F.col(f"_seq_{f}_lsn").alias("s"),
+                F.col(f).alias("v"),
+            ),
+        )
+        aggs.append(F.max(contrib).alias(f"_w_{f}"))
+    aggs.append(
+        F.max(F.struct(
+            F.col("_g_ts"), F.col("_g_lsn"), F.col("_g_del").alias("d")
+        )).alias("_g")
+    )
+    winners = bucketed.groupBy("_bucket", key).agg(*aggs)
+    row_del = F.col("_g").getField("d")
+    out_cols = [F.col(key)]
+    for f in fields:
+        w = F.col(f"_w_{f}")
+        out_cols += [
+            w.getField("v").alias(f),
+            w.getField("t").alias(f"_seq_{f}_ts"),
+            w.getField("s").alias(f"_seq_{f}_lsn"),
+        ]
+    result = winners.select(
+        *out_cols,
+        F.col("_g").getField("_g_ts").alias("_event_ts"),
+        F.col("_g").getField("_g_lsn").alias("_lsn"),
+        row_del.alias("_deleted"),
+        F.col("_bucket"),
+    )
+    files = table.write_data_files(result, schema_override=schema)
+    table.commit_with_retry(
+        add_files=files,
+        remove_buckets=set(affected),
+        batch_id=batch_id,
+        expect_version=expect_version,
+    )
+    return {
+        "batch_id": batch_id,
+        "skipped": False,
+        "buckets_rewritten": len(affected),
+        "rows_written": int(sum(f["rows"] for f in files)),
+    }

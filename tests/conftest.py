@@ -19,6 +19,27 @@ def spark():
 
 
 @pytest.fixture()
+def scratch_factory(request):
+    """Mint a FRESH scratch dir per call — for hypothesis tests, where the
+    function-scoped ``scratch`` fixture would be reused across examples."""
+    safe = "".join(c if c.isalnum() or c in "._-" else "_"
+                   for c in request.node.name)[:60]
+    base = os.path.join(SCRATCH, safe)
+    shutil.rmtree(base, ignore_errors=True)
+    counter = [0]
+
+    def mint():
+        counter[0] += 1
+        d = os.path.join(base, f"ex{counter[0]}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    yield mint
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture()
 def scratch(request):
     # sanitize: Spark/Hadoop treat paths as glob patterns, so a parametrized
     # test's "[32]" in the directory name becomes a character class and
