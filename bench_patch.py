@@ -33,6 +33,7 @@ N_EVENTS = int(os.environ.get("PATCH_EVENTS", "2000000"))
 N_DOCS = int(os.environ.get("PATCH_DOCS", "100000"))
 N_BATCHES = int(os.environ.get("PATCH_BATCHES", "8"))
 N_BUCKETS = int(os.environ.get("PATCH_BUCKETS", "16"))
+MODE = os.environ.get("PATCH_MODE", "cow")  # cow | mor
 
 
 def main() -> None:
@@ -62,18 +63,34 @@ def main() -> None:
             F.when(F.xxhash64(F.col("id") + base, F.lit(3)) % 4 == 0,
                    (F.col("id") % 100).cast("int")).alias("score"),
         )
-        apply_patch_batch(spark, table, ev, batch_id=b)
+        apply_patch_batch(spark, table, ev, batch_id=b, write_mode=MODE)
     wall = time.time() - t0
-    final_rows = table.row_count(spark)
+    extra = {}
+    if MODE == "mor":
+        from concept_catalog_etl_spark.operators.patch import (
+            compact_patch,
+            read_patch,
+        )
+
+        t1 = time.time()
+        final_rows = read_patch(spark, table).count()
+        extra["resolve_read_sec"] = round(time.time() - t1, 3)
+        t2 = time.time()
+        compact_patch(spark, table)
+        extra["compact_sec"] = round(time.time() - t2, 3)
+    else:
+        final_rows = table.row_count(spark)
     print(json.dumps({
         "metric": "patch_apply_wall_sec",
         "value": round(wall, 3),
         "unit": "sec",
+        "mode": MODE,
         "events": N_EVENTS,
         "events_per_sec": round(N_EVENTS / wall, 1),
         "batches": N_BATCHES,
         "docs": N_DOCS,
         "final_rows": final_rows,
+        **extra,
     }))
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)

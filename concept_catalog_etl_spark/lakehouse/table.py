@@ -1067,6 +1067,7 @@ class LakeTable:
         include_deleted: bool = False,
         keys: list[str] | None = None,
         col_ranges: dict[str, tuple] | None = None,
+        resolve_deltas: bool = True,
         _snap: dict | None = None,
     ) -> DataFrame:
         """Snapshot read with bucket + key-range file pruning and
@@ -1222,8 +1223,32 @@ class LakeTable:
                 _restrict(scan(base_files, need_sys=with_system_cols,
                                push_tombstone=need_tombstone_filter))
             )
-        if resolve_files:
+        if resolve_files and not resolve_deltas:
+            # RAW multi-version scan (``resolve_deltas=False``): every row
+            # version of the delta buckets comes back as-is, system columns
+            # forced on (the caller is a resolver — field-granular patch
+            # tables, compaction planners — and needs the coordinates).
+            # Tombstone rows are included regardless of include_deleted:
+            # hiding a version would corrupt the caller's own resolve.
+            rs = _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
+            if not with_system_cols:
+                raise ValueError(
+                    "resolve_deltas=False requires with_system_cols=True "
+                    "(raw row versions are meaningless without coordinates)"
+                )
+            outs.append(rs)
+        elif resolve_files:
             key = schema.key_name
+            if any(f.name.startswith("_seq_") for f in schema.fields):
+                # partial-update (sequence-group) table: a row-granular LWW
+                # resolve over its deltas would silently merge at the wrong
+                # granularity — per-field winners must be computed by
+                # operators.patch.read_patch / compact_patch instead
+                raise ValueError(
+                    "this table has per-field sequence columns and delta "
+                    "files: row-LWW resolve would be wrong — read it with "
+                    "operators.patch.read_patch (or compact_patch first)"
+                )
             rs = _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
             others = [c for c in rs.columns if c != key]
             # null ordering state (pre-MoR base rows) sorts below any real

@@ -188,6 +188,91 @@ def patch_table_schema(fields: list[tuple[str, str]], key: str = "doc_id"):
     return TableSchema.create(cols, key=key)
 
 
+def _patch_fields(schema) -> list[str]:
+    return [
+        f.name for f in schema.fields
+        if f.id != schema.key_field_id and not f.name.startswith("_seq_")
+    ]
+
+
+def _g_layout_from_events(events, key, fields, ts_col, seq_col, op_col):
+    """Events → the shared resolve layout: key, global (ts, lsn, del), and
+    per field (value, companion ts, companion lsn). A delete stamps every
+    companion with its own coordinate and nulls the value."""
+    is_del = F.col(op_col) == "delete"
+    cols = [
+        F.col(key),
+        F.col(ts_col).alias("_g_ts"),
+        F.col(seq_col).alias("_g_lsn"),
+        is_del.alias("_g_del"),
+    ]
+    for f in fields:
+        sets_f = is_del | F.col(f).isNotNull()
+        cols += [
+            F.when(~is_del, F.col(f)).alias(f),
+            F.when(sets_f, F.col(ts_col)).alias(f"_seq_{f}_ts"),
+            F.when(sets_f, F.col(seq_col)).alias(f"_seq_{f}_lsn"),
+        ]
+    return events.select(cols)
+
+
+def _g_layout_from_stored(df, key, fields):
+    """Stored rows (base or raw delta versions, system cols on) → the
+    shared resolve layout; missing coordinates floor to (EPOCH, -1)."""
+    return df.select(
+        F.col(key),
+        F.coalesce(F.col("_event_ts"), F.lit(_EPOCH).cast("timestamp")).alias("_g_ts"),
+        F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")).alias("_g_lsn"),
+        F.coalesce(F.col("_deleted"), F.lit(False)).alias("_g_del"),
+        *[c for f in fields for c in (
+            F.col(f), F.col(f"_seq_{f}_ts"), F.col(f"_seq_{f}_lsn"),
+        )],
+    )
+
+
+def _patch_resolve(spark, union_df, key, fields, nb):
+    """ONE hash aggregation: per field max(struct(companion ts, lsn,
+    value)), row visibility from the global struct-max. Returns rows in the
+    table layout (+ _bucket), ready for write_data_files."""
+    from ..lakehouse.table import bucket_expr
+
+    bucketed = union_df.withColumn("_bucket", bucket_expr(key, nb))
+    npart = min(nb, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    bucketed = bucketed.repartition(npart, "_bucket")
+    aggs = []
+    for f in fields:
+        contrib = F.when(
+            F.col(f"_seq_{f}_ts").isNotNull(),
+            F.struct(
+                F.col(f"_seq_{f}_ts").alias("t"),
+                F.col(f"_seq_{f}_lsn").alias("s"),
+                F.col(f).alias("v"),
+            ),
+        )
+        aggs.append(F.max(contrib).alias(f"_w_{f}"))
+    aggs.append(
+        F.max(F.struct(
+            F.col("_g_ts"), F.col("_g_lsn"), F.col("_g_del").alias("d")
+        )).alias("_g")
+    )
+    winners = bucketed.groupBy("_bucket", key).agg(*aggs)
+    out_cols = [F.col(key)]
+    for f in fields:
+        w = F.col(f"_w_{f}")
+        out_cols += [
+            w.getField("v").alias(f),
+            w.getField("t").alias(f"_seq_{f}_ts"),
+            w.getField("s").alias(f"_seq_{f}_lsn"),
+        ]
+    return winners.select(
+        *out_cols,
+        F.col("_g").getField("_g_ts").alias("_event_ts"),
+        F.col("_g").getField("_g_lsn").alias("_lsn"),
+        F.col("_g").getField("d").alias("_deleted"),
+        F.col("_bucket"),
+    )
+
+
 def apply_patch_batch(
     spark,
     table,
@@ -196,6 +281,7 @@ def apply_patch_batch(
     ts_col: str = "event_ts",
     seq_col: str = "lsn",
     op_col: str = "op",
+    write_mode: str = "cow",
 ) -> dict:
     """Apply one micro-batch of MERGE-PATCH change events to a LakeTable
     created with ``patch_table_schema`` — incremental partial-update AT
@@ -213,43 +299,40 @@ def apply_patch_batch(
     sets every field's companion to the delete coordinate so pre-delete
     stragglers lose per-field too).
 
-    Same 100 TB shape as the main CoW merge (operators/merge.py): bucket-
-    pruned target read, one union, one hash aggregation with map-side
-    combine, bucket-partitioned write, ledgered exactly-once commit with
-    optimistic retry. CoW only — a plain LWW delta resolve cannot merge at
-    field granularity, so MoR for patch tables would need its own resolve.
+    Same 100 TB shape as the main merge (operators/merge.py), mode for
+    mode: ``write_mode='cow'`` reads + rewrites affected buckets (one
+    union, one hash aggregation with map-side combine, bucket-partitioned
+    write); ``write_mode='mor'`` appends the batch's per-field winners as
+    DELTA files — no target read, O(batch) ingest — and readers resolve at
+    field granularity via ``read_patch`` (``LakeTable.read`` REFUSES a
+    row-LWW resolve over a sequence-group table's deltas rather than
+    silently merging at the wrong granularity); ``compact_patch`` folds
+    deltas back into base files. Ledgered exactly-once commit with
+    optimistic retry in both modes.
     """
-    from ..lakehouse.table import LakeTable, bucket_expr  # noqa: F401
+    from ..lakehouse.table import bucket_expr
 
     if table.is_committed(batch_id):
         return {"batch_id": batch_id, "skipped": True}
     schema = table.schema()
     key = schema.key_name
-    fields = [
-        f.name for f in schema.fields
-        if f.id != schema.key_field_id and not f.name.startswith("_seq_")
-    ]
+    fields = _patch_fields(schema)
     expect_version = table.current_version()
     nb = table.n_buckets()
-    is_del = F.col(op_col) == "delete"
-    ev_coord = [F.col(ts_col), F.col(seq_col)]
+    batch = _g_layout_from_events(events, key, fields, ts_col, seq_col, op_col)
 
-    # normalize both sides to one layout: key, global coord + delete flag,
-    # and per field (value, _seq ts, _seq lsn)
-    ev_cols = [
-        F.col(key),
-        F.col(ts_col).alias("_g_ts"),
-        F.col(seq_col).alias("_g_lsn"),
-        is_del.alias("_g_del"),
-    ]
-    for f in fields:
-        sets_f = is_del | F.col(f).isNotNull()
-        ev_cols += [
-            F.when(~is_del, F.col(f)).alias(f),
-            F.when(sets_f, F.col(ts_col)).alias(f"_seq_{f}_ts"),
-            F.when(sets_f, F.col(seq_col)).alias(f"_seq_{f}_lsn"),
-        ]
-    batch = events.select(ev_cols)
+    if write_mode == "mor":
+        # fold the batch to one winner-row per key (same aggregation, no
+        # target side) and append as deltas: pure append, always retryable
+        result = _patch_resolve(spark, batch, key, fields, nb)
+        files = table.write_data_files(result, schema_override=schema, delta=True)
+        table.commit_with_retry(add_files=files, batch_id=batch_id)
+        return {
+            "batch_id": batch_id,
+            "skipped": False,
+            "buckets_rewritten": 0,
+            "rows_written": int(sum(f["rows"] for f in files)),
+        }
 
     affected = sorted(
         r[0] for r in batch.select(bucket_expr(key, nb).alias("b")).distinct().collect()
@@ -260,56 +343,9 @@ def apply_patch_batch(
             spark, buckets=set(affected), with_system_cols=True,
             include_deleted=True,
         )
-        parts.append(tgt.select(
-            F.col(key),
-            F.coalesce(F.col("_event_ts"), F.lit(_EPOCH).cast("timestamp")).alias("_g_ts"),
-            F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")).alias("_g_lsn"),
-            F.coalesce(F.col("_deleted"), F.lit(False)).alias("_g_del"),
-            *[c for f in fields for c in (
-                F.col(f),
-                F.col(f"_seq_{f}_ts"),
-                F.col(f"_seq_{f}_lsn"),
-            )],
-        ))
+        parts.append(_g_layout_from_stored(tgt, key, fields))
     unioned = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    bucketed = unioned.withColumn("_bucket", bucket_expr(key, nb))
-    npart = min(nb, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    bucketed = bucketed.repartition(npart, "_bucket")
-
-    aggs = []
-    for f in fields:
-        # null companion ts (field never set) sorts below any real event
-        contrib = F.when(
-            F.col(f"_seq_{f}_ts").isNotNull(),
-            F.struct(
-                F.col(f"_seq_{f}_ts").alias("t"),
-                F.col(f"_seq_{f}_lsn").alias("s"),
-                F.col(f).alias("v"),
-            ),
-        )
-        aggs.append(F.max(contrib).alias(f"_w_{f}"))
-    aggs.append(
-        F.max(F.struct(
-            F.col("_g_ts"), F.col("_g_lsn"), F.col("_g_del").alias("d")
-        )).alias("_g")
-    )
-    winners = bucketed.groupBy("_bucket", key).agg(*aggs)
-    row_del = F.col("_g").getField("d")
-    out_cols = [F.col(key)]
-    for f in fields:
-        w = F.col(f"_w_{f}")
-        out_cols += [
-            w.getField("v").alias(f),
-            w.getField("t").alias(f"_seq_{f}_ts"),
-            w.getField("s").alias(f"_seq_{f}_lsn"),
-        ]
-    result = winners.select(
-        *out_cols,
-        F.col("_g").getField("_g_ts").alias("_event_ts"),
-        F.col("_g").getField("_g_lsn").alias("_lsn"),
-        row_del.alias("_deleted"),
-        F.col("_bucket"),
-    )
+    result = _patch_resolve(spark, unioned, key, fields, nb)
     files = table.write_data_files(result, schema_override=schema)
     table.commit_with_retry(
         add_files=files,
@@ -323,3 +359,71 @@ def apply_patch_batch(
         "buckets_rewritten": len(affected),
         "rows_written": int(sum(f["rows"] for f in files)),
     }
+
+
+def read_patch(spark, table, version: int | None = None,
+               include_deleted: bool = False,
+               with_seq: bool = False) -> DataFrame:
+    """Field-granular read of a partial-update table: base rows of delta-
+    free buckets pass through untouched (zero shuffle, same as any read);
+    delta-containing buckets run the per-field resolve over their RAW row
+    versions. Exact for any interleaving because buckets partition the key
+    space and every row version carries its own companions."""
+    schema = table.schema()
+    key = schema.key_name
+    fields = _patch_fields(schema)
+    snap = table.snapshot(version)
+    all_bkts = {m["bucket"] for m in snap["manifests"]}
+    delta_bkts = {f["bucket"] for f in table.files(snap=snap) if f.get("delta")}
+    parts: list[DataFrame] = []
+    base_bkts = all_bkts - delta_bkts
+    if base_bkts or not delta_bkts:
+        parts.append(table.read(
+            spark, buckets=base_bkts, version=snap["version"],
+            with_system_cols=True, include_deleted=True,
+        ))
+    if delta_bkts:
+        raw = table.read(
+            spark, buckets=delta_bkts, version=snap["version"],
+            with_system_cols=True, include_deleted=True, resolve_deltas=False,
+        )
+        parts.append(_patch_resolve(
+            spark, _g_layout_from_stored(raw, key, fields), key, fields,
+            table.n_buckets(),
+        ).drop("_bucket"))
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if not include_deleted:
+        out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    drop = ["_event_ts", "_lsn", "_deleted"] if not include_deleted else []
+    if not with_seq:
+        drop += [c for f in fields for c in (f"_seq_{f}_ts", f"_seq_{f}_lsn")]
+    return out.drop(*drop) if drop else out
+
+
+def compact_patch(spark, table) -> dict:
+    """Fold a patch table's delta files back into base files (field-
+    granular compaction): only delta-containing buckets are read (raw
+    versions) and rewritten; after this, plain ``LakeTable.read`` works
+    again (no deltas left to mis-resolve). Metadata-atomic like any commit,
+    conflict-checked against the planning snapshot."""
+    snap = table.snapshot()
+    files = table.files(snap=snap)
+    todo = {f["bucket"] for f in files if f.get("delta")}
+    if not todo:
+        return {"buckets_compacted": 0}
+    schema = table.schema()
+    key = schema.key_name
+    fields = _patch_fields(schema)
+    raw = table.read(
+        spark, buckets=todo, with_system_cols=True, include_deleted=True,
+        resolve_deltas=False, version=snap["version"],
+    )
+    result = _patch_resolve(
+        spark, _g_layout_from_stored(raw, key, fields), key, fields,
+        table.n_buckets(),
+    )
+    out = table.write_data_files(result, schema_override=schema)
+    table.commit_with_retry(
+        add_files=out, remove_buckets=todo, expect_version=snap["version"],
+    )
+    return {"buckets_compacted": len(todo)}

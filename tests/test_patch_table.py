@@ -171,3 +171,93 @@ def test_any_batch_split_matches_sequential_fold(spark, scratch_factory,
     for i, b in enumerate(batches):
         apply_patch_batch(spark, table, _ev(spark, b), batch_id=i)
     assert _state(spark, table) == _sequential_set(rows)
+
+
+def _mor_state(spark, table):
+    from concept_catalog_etl_spark.operators.patch import read_patch
+
+    return {
+        r["doc_id"]: (r["a"], r["b"])
+        for r in read_patch(spark, table).select("doc_id", "a", "b").collect()
+    }
+
+
+def test_mor_patch_field_granular_resolve_and_guard(spark, scratch):
+    import pytest
+
+    from concept_catalog_etl_spark.operators.patch import compact_patch
+
+    table = _mk(spark, scratch)
+    apply_patch_batch(spark, table, _ev(spark, [
+        ("x", 5, 1, "update", 10, None),
+        ("x", 9, 2, "update", None, "b9"),
+    ]), batch_id=1, write_mode="mor")
+    apply_patch_batch(spark, table, _ev(spark, [
+        ("x", 7, 3, "update", 77, None),   # the sequence-group case
+        ("y", 1, 4, "update", 5, "v"),
+        ("y", 2, 5, "delete", None, None),
+    ]), batch_id=2, write_mode="mor")
+    # row-LWW read must REFUSE rather than silently mis-merge
+    with pytest.raises(ValueError, match="sequence columns"):
+        table.read(spark).collect()
+    assert _mor_state(spark, table) == {"x": (77, "b9")}
+    # compaction folds deltas; plain read works again and agrees
+    res = compact_patch(spark, table)
+    assert res["buckets_compacted"] >= 1
+    assert _state(spark, table) == {"x": (77, "b9")}
+    assert _mor_state(spark, table) == {"x": (77, "b9")}
+    # post-compaction MoR batches keep composing (delete defends per field)
+    apply_patch_batch(spark, table, _ev(spark, [
+        ("x", 6, 6, "update", None, "stale-b"),  # older than b's t9 setter
+        ("y", 3, 7, "update", None, "back"),     # resurrects y
+    ]), batch_id=3, write_mode="mor")
+    assert _mor_state(spark, table) == {"x": (77, "b9"), "y": (None, "back")}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=40),
+            st.sampled_from(["update", "update", "delete"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+            st.one_of(st.none(), st.sampled_from(["p", "q"])),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_mor_any_batch_split_matches_sequential_fold(spark, scratch_factory,
+                                                     events, seed):
+    import random
+
+    from concept_catalog_etl_spark.operators.patch import compact_patch
+
+    rows = [
+        (d, s, i, op, None if op == "delete" else a, None if op == "delete" else b)
+        for i, (d, s, op, a, b) in enumerate(events)
+    ]
+    rng = random.Random(seed)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    cuts = sorted(rng.sample(range(len(shuffled)), min(2, len(shuffled) - 1))) \
+        if len(shuffled) > 1 else []
+    batches, prev = [], 0
+    for c in cuts + [len(shuffled)]:
+        if c > prev:
+            batches.append(shuffled[prev:c])
+            prev = c
+    table = _mk(spark, scratch_factory(), n_buckets=2)
+    for i, b in enumerate(batches):
+        # mid-stream compaction must not change semantics
+        if i == 1:
+            compact_patch(spark, table)
+        apply_patch_batch(spark, table, _ev(spark, b), batch_id=i,
+                          write_mode="mor")
+    assert _mor_state(spark, table) == _sequential_set(rows)
