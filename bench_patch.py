@@ -33,7 +33,9 @@ N_EVENTS = int(os.environ.get("PATCH_EVENTS", "2000000"))
 N_DOCS = int(os.environ.get("PATCH_DOCS", "100000"))
 N_BATCHES = int(os.environ.get("PATCH_BATCHES", "8"))
 N_BUCKETS = int(os.environ.get("PATCH_BUCKETS", "16"))
-MODE = os.environ.get("PATCH_MODE", "cow")  # cow | mor
+MODE = os.environ.get("PATCH_MODE", "cow").strip().lower()  # cow | mor
+if MODE not in ("cow", "mor"):
+    raise SystemExit(f"PATCH_MODE must be cow or mor, got {MODE!r}")
 
 
 def main() -> None:
@@ -46,6 +48,7 @@ def main() -> None:
         n_buckets=N_BUCKETS,
     )
     per = N_EVENTS // N_BATCHES
+    n_events = per * N_BATCHES  # actual replayed count (remainder dropped)
     t0 = time.time()
     for b in range(N_BATCHES):
         base = b * per
@@ -85,8 +88,8 @@ def main() -> None:
         "value": round(wall, 3),
         "unit": "sec",
         "mode": MODE,
-        "events": N_EVENTS,
-        "events_per_sec": round(N_EVENTS / wall, 1),
+        "events": n_events,
+        "events_per_sec": round(n_events / wall, 1),
         "batches": N_BATCHES,
         "docs": N_DOCS,
         "final_rows": final_rows,

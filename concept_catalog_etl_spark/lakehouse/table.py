@@ -1230,13 +1230,21 @@ class LakeTable:
             # tables, compaction planners — and needs the coordinates).
             # Tombstone rows are included regardless of include_deleted:
             # hiding a version would corrupt the caller's own resolve.
-            rs = _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
             if not with_system_cols:
                 raise ValueError(
                     "resolve_deltas=False requires with_system_cols=True "
                     "(raw row versions are meaningless without coordinates)"
                 )
-            outs.append(rs)
+            if col_ranges:
+                raise ValueError(
+                    "resolve_deltas=False is incompatible with col_ranges: "
+                    "a range filter over raw row versions can drop a key's "
+                    "newest version and resurrect a stale in-range value at "
+                    "the caller's resolve — filter after resolving instead"
+                )
+            outs.append(
+                _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
+            )
         elif resolve_files:
             key = schema.key_name
             if any(f.name.startswith("_seq_") for f in schema.fields):
@@ -1247,7 +1255,8 @@ class LakeTable:
                 raise ValueError(
                     "this table has per-field sequence columns and delta "
                     "files: row-LWW resolve would be wrong — read it with "
-                    "operators.patch.read_patch (or compact_patch first)"
+                    "operators.patch.read_patch (keys=... for point "
+                    "lookups), or compact_patch first"
                 )
             rs = _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
             others = [c for c in rs.columns if c != key]
@@ -1303,6 +1312,33 @@ class LakeTable:
             cache[path] = bf
         return _bloom.maybe_contains_any(bf, keys)
 
+    def typed_key_buckets(
+        self, spark: SparkSession, keys: list
+    ) -> tuple[list, set[int], object, object]:
+        """Typed key values, the buckets they hash into, and their
+        [min, max] bounds — the shared probe behind every point-lookup
+        path (``read_keys``, ``operators.patch.read_patch(keys=...)``).
+
+        Uses the same pmod(xxhash64) the writer used — computed Spark-side
+        so the driver never re-implements the hash (one tiny local job).
+        The probe MUST hash at the key column's declared type:
+        xxhash64("57") != xxhash64(57L), so hashing a stringified int key
+        would prune to the wrong buckets and silently drop rows on
+        non-string keys. The TYPED values come back too: they feed the
+        min/max bounds, bloom probes and exact filter, so a caller passing
+        "57" against a bigint key behaves like 57."""
+        nb = self.n_buckets()
+        schema = self.schema()
+        ktype = parse_type(schema.field_by_id(schema.key_field_id).type)
+        kdf = spark.createDataFrame(
+            [(str(k) if k is not None else None,) for k in keys], "k string"
+        ).select(F.col("k").cast(ktype).alias("k"))
+        rows = kdf.select("k", bucket_expr("k", nb).alias("b")).distinct().collect()
+        buckets = {r["b"] for r in rows}
+        vals = [r["k"] for r in rows if r["k"] is not None]
+        lo, hi = (min(vals), max(vals)) if vals else (None, None)
+        return vals, buckets, lo, hi
+
     def read_keys(self, spark: SparkSession, keys: list[str],
                   with_system_cols: bool = False) -> DataFrame:
         """Point lookups: open only the buckets the keys hash into (plus
@@ -1314,25 +1350,8 @@ class LakeTable:
         the key filter (resolve happens in ``read``)."""
         if not keys:
             return self.read(spark, buckets=set(), with_system_cols=with_system_cols)
-        nb = self.n_buckets()
-        schema = self.schema()
-        key = schema.key_name
-        ktype = parse_type(schema.field_by_id(schema.key_field_id).type)
-        # same pmod(xxhash64) the writer used — computed Spark-side so the
-        # driver never re-implements the hash (one tiny local job). The
-        # probe MUST hash at the key column's declared type: xxhash64("57")
-        # != xxhash64(57L), so hashing a stringified int key would prune to
-        # the wrong buckets and silently drop rows on non-string keys.
-        kdf = spark.createDataFrame(
-            [(str(k) if k is not None else None,) for k in keys], "k string"
-        ).select(F.col("k").cast(ktype).alias("k"))
-        # the same tiny job also returns the TYPED key values: they feed
-        # the min/max bounds, bloom probes and exact filter, so a caller
-        # passing "57" against a bigint key behaves like 57
-        rows = kdf.select("k", bucket_expr("k", nb).alias("b")).distinct().collect()
-        buckets = {r["b"] for r in rows}
-        vals = [r["k"] for r in rows if r["k"] is not None]
-        lo, hi = (min(vals), max(vals)) if vals else (None, None)
+        key = self.schema().key_name
+        vals, buckets, lo, hi = self.typed_key_buckets(spark, keys)
         df = self.read(
             spark, buckets=buckets, key_min=lo, key_max=hi,
             with_system_cols=with_system_cols, keys=vals or keys,

@@ -312,6 +312,8 @@ def apply_patch_batch(
     """
     from ..lakehouse.table import bucket_expr
 
+    if write_mode not in ("cow", "mor"):
+        raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
     if table.is_committed(batch_id):
         return {"batch_id": batch_id, "skipped": True}
     schema = table.schema()
@@ -363,35 +365,53 @@ def apply_patch_batch(
 
 def read_patch(spark, table, version: int | None = None,
                include_deleted: bool = False,
-               with_seq: bool = False) -> DataFrame:
+               with_seq: bool = False,
+               keys: list | None = None) -> DataFrame:
     """Field-granular read of a partial-update table: base rows of delta-
     free buckets pass through untouched (zero shuffle, same as any read);
     delta-containing buckets run the per-field resolve over their RAW row
     versions. Exact for any interleaving because buckets partition the key
-    space and every row version carries its own companions."""
+    space and every row version carries its own companions.
+
+    ``keys`` makes this the patch-table point-lookup path (plain
+    ``LakeTable.read_keys`` refuses delta-containing sequence-group
+    buckets): only the keys' buckets are opened, bloom sidecars prune
+    files inside them, and the per-field resolve runs over just those
+    buckets' row versions. Pruning is exact — a bloom-dropped file
+    contributes no row version of any looked-up key, so the fold over the
+    remaining versions is unchanged."""
     schema = table.schema()
     key = schema.key_name
     fields = _patch_fields(schema)
     snap = table.snapshot(version)
     all_bkts = {m["bucket"] for m in snap["manifests"]}
     delta_bkts = {f["bucket"] for f in table.files(snap=snap) if f.get("delta")}
+    kvals = None
+    if keys is not None:
+        kvals, kbkts, _, _ = table.typed_key_buckets(spark, keys)
+        kvals = kvals or list(keys)
+        all_bkts &= kbkts
+        delta_bkts &= kbkts
     parts: list[DataFrame] = []
     base_bkts = all_bkts - delta_bkts
     if base_bkts or not delta_bkts:
         parts.append(table.read(
             spark, buckets=base_bkts, version=snap["version"],
-            with_system_cols=True, include_deleted=True,
+            with_system_cols=True, include_deleted=True, keys=kvals,
         ))
     if delta_bkts:
         raw = table.read(
             spark, buckets=delta_bkts, version=snap["version"],
             with_system_cols=True, include_deleted=True, resolve_deltas=False,
+            keys=kvals,
         )
         parts.append(_patch_resolve(
             spark, _g_layout_from_stored(raw, key, fields), key, fields,
             table.n_buckets(),
         ).drop("_bucket"))
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if kvals is not None:
+        out = out.filter(F.col(key).isin(kvals))
     if not include_deleted:
         out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     drop = ["_event_ts", "_lsn", "_deleted"] if not include_deleted else []

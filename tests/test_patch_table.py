@@ -261,3 +261,55 @@ def test_mor_any_batch_split_matches_sequential_fold(spark, scratch_factory,
         apply_patch_batch(spark, table, _ev(spark, b), batch_id=i,
                           write_mode="mor")
     assert _mor_state(spark, table) == _sequential_set(rows)
+
+
+def test_read_patch_point_lookup_and_guards(spark, scratch):
+    """read_patch(keys=...) is the patch-table point-lookup path: it must
+    agree with the full resolve for looked-up keys (base-only, delta-only
+    and mixed buckets), return nothing for absent/deleted keys, and the
+    invalid-parameter guards must refuse before doing work."""
+    import pytest
+
+    from concept_catalog_etl_spark.operators.patch import read_patch
+
+    table = _mk(spark, scratch, n_buckets=4)
+    # batch 1 CoW → base files only
+    apply_patch_batch(spark, table, _ev(spark, [
+        ("base-1", 1, 1, "update", 1, "one"),
+        ("base-2", 1, 2, "update", 2, "two"),
+        ("mix-1", 1, 3, "update", 3, "three"),
+    ]), batch_id=1, write_mode="cow")
+    # batch 2 MoR → deltas; patches mix-1 per-field, adds + deletes keys
+    apply_patch_batch(spark, table, _ev(spark, [
+        ("mix-1", 5, 4, "update", 33, None),   # a updated, b kept from base
+        ("new-1", 5, 5, "update", 9, "nine"),
+        ("gone-1", 5, 6, "update", 7, "seven"),
+        ("gone-1", 6, 7, "delete", None, None),
+    ]), batch_id=2, write_mode="mor")
+
+    full = {
+        r["doc_id"]: (r["a"], r["b"])
+        for r in read_patch(spark, table).select("doc_id", "a", "b").collect()
+    }
+    assert full == {"base-1": (1, "one"), "base-2": (2, "two"),
+                    "mix-1": (33, "three"), "new-1": (9, "nine")}
+    for want in (["mix-1"], ["base-1", "new-1"], ["gone-1"], ["absent"],
+                 ["base-2", "mix-1", "gone-1", "absent"]):
+        got = {
+            r["doc_id"]: (r["a"], r["b"])
+            for r in read_patch(spark, table, keys=want)
+            .select("doc_id", "a", "b").collect()
+        }
+        assert got == {k: full[k] for k in want if k in full}, want
+
+    # read() refuses raw multi-version scans under a range filter (would
+    # resurrect stale values at the caller's resolve) and without coords
+    with pytest.raises(ValueError, match="col_ranges"):
+        table.read(spark, resolve_deltas=False, with_system_cols=True,
+                   col_ranges={"a": (0, 10)})
+    with pytest.raises(ValueError, match="with_system_cols"):
+        table.read(spark, resolve_deltas=False)
+    # unknown write_mode is rejected, not silently treated as CoW
+    with pytest.raises(ValueError, match="write_mode"):
+        apply_patch_batch(spark, table, _ev(spark, []), batch_id=99,
+                          write_mode="MOR")
