@@ -1069,6 +1069,7 @@ class LakeTable:
         col_ranges: dict[str, tuple] | None = None,
         resolve_deltas: bool = True,
         _snap: dict | None = None,
+        _delta_only: bool = False,
     ) -> DataFrame:
         """Snapshot read with bucket + key-range file pruning and
         id-based schema reconciliation (rename/add/widen safe).
@@ -1155,6 +1156,16 @@ class LakeTable:
         # recently-written tail, not the table.
         base_files = [f for f in files if f["bucket"] not in delta_buckets]
         resolve_files = [f for f in files if f["bucket"] in delta_buckets]
+        if _delta_only:
+            # minor-compaction scan: ONLY the delta files' row versions
+            # (folding them per key is sound because the LWW max is
+            # associative; base rows must stay out or the "fold" would
+            # copy the base into the new delta)
+            if resolve_deltas:
+                raise ValueError("_delta_only requires resolve_deltas=False")
+            base_files, resolve_files = [], [f for f in resolve_files if f.get("delta")]
+            if not resolve_files:
+                return spark.createDataFrame([], schema=target_struct)
 
         def scan(file_list: list[dict], need_sys: bool, push_tombstone: bool) -> DataFrame:
             # group files by write-time schema fingerprint → one scan per
@@ -1739,6 +1750,79 @@ class LakeTable:
             "buckets_compacted": len(todo),
             "files_before": n_files_before,
             "files_after": sum(m["n_files"] for m in self.snapshot()["manifests"]),
+        }
+
+    def compact_minor(
+        self,
+        spark: SparkSession,
+        max_delta_files_per_bucket: int = 1,
+        max_buckets_per_run: int | None = None,
+    ) -> dict:
+        """Fold each fragmented bucket's DELTA files into one delta file
+        without touching its base files (LSM minor compaction; Iceberg
+        rewrite-position-deletes / Paimon changelog-compact analog).
+
+        MoR ingest appends one delta file per bucket per batch, so read
+        amplification grows linearly with batches between full compactions;
+        a full ``compact`` pays O(bucket bytes) to reset it. This pays only
+        O(delta bytes): sound because the row-LWW resolve is an associative
+        max — replacing a key's delta row versions with their per-key winner
+        (tombstones KEPT: a folded delete must still beat an older base row)
+        leaves max-over-all-versions unchanged, and buckets partition the
+        key space so base files never need to be read. Commit removes
+        exactly the folded delta paths (``remove_paths``), inheriting the
+        overlap conflict validation against racing same-bucket rewrites.
+
+        Sequence-group (patch) tables refuse: their deltas merge at FIELD
+        granularity — use ``operators.patch.compact_patch(minor=True)``."""
+        schema = self.schema()
+        if any(f.name.startswith("_seq_") for f in schema.fields):
+            raise ValueError(
+                "sequence-group table: row-LWW folding would merge at the "
+                "wrong granularity — use operators.patch.compact_patch("
+                "minor=True)"
+            )
+        snap = self.snapshot()
+        files = self.files(snap=snap)
+        dcount: dict[int, int] = {}
+        for f in files:
+            if f.get("delta"):
+                dcount[f["bucket"]] = dcount.get(f["bucket"], 0) + 1
+        n_delta_before = sum(dcount.values())
+        todo = {b for b, n in dcount.items() if n > max_delta_files_per_bucket}
+        if max_buckets_per_run is not None and len(todo) > max_buckets_per_run:
+            todo = set(sorted(todo, key=lambda b: -dcount[b])[:max_buckets_per_run])
+        if not todo:
+            return {"buckets_compacted": 0, "delta_files_before": n_delta_before}
+        remove = {f["path"] for f in files
+                  if f.get("delta") and f["bucket"] in todo}
+        raw = self.read(
+            spark, buckets=todo, with_system_cols=True, include_deleted=True,
+            resolve_deltas=False, version=snap["version"], _delta_only=True,
+        )
+        key = schema.key_name
+        others = [c for c in raw.columns if c != key]
+        order = F.struct(
+            F.coalesce(F.col("_event_ts"),
+                       F.lit("1970-01-01 00:00:00").cast("timestamp")),
+            F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")),
+        )
+        folded = (
+            raw.groupBy(key)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_w"))
+            .select(key, "_w.*")
+        )
+        new_files = self.write_data_files(folded, delta=True, sort_within=True)
+        self.commit_with_retry(
+            add_files=new_files, remove_paths=remove,
+            expect_version=snap["version"],
+        )
+        return {
+            "buckets_compacted": len(todo),
+            "delta_files_before": n_delta_before,
+            "delta_files_after": sum(
+                1 for f in self.files() if f.get("delta")
+            ),
         }
 
     # ---------------------------------------------------------------- vacuum

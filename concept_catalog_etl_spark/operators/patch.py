@@ -420,20 +420,59 @@ def read_patch(spark, table, version: int | None = None,
     return out.drop(*drop) if drop else out
 
 
-def compact_patch(spark, table) -> dict:
+def compact_patch(spark, table, minor: bool = False,
+                  max_delta_files_per_bucket: int = 1) -> dict:
     """Fold a patch table's delta files back into base files (field-
     granular compaction): only delta-containing buckets are read (raw
     versions) and rewritten; after this, plain ``LakeTable.read`` works
     again (no deltas left to mis-resolve). Metadata-atomic like any commit,
-    conflict-checked against the planning snapshot."""
+    conflict-checked against the planning snapshot.
+
+    ``minor=True`` folds only buckets with more than
+    ``max_delta_files_per_bucket`` delta files, reading ONLY those delta
+    files (base untouched) and writing the per-field winners back as ONE
+    delta per bucket — O(delta bytes), the field-granular twin of
+    ``LakeTable.compact_minor``. Sound because the per-field struct-max is
+    associative: the fold over a subset of a key's row versions produces a
+    row whose field companions compete identically in any later resolve
+    (delete rows already stamp every companion at their own coordinate, so
+    a folded delete keeps defending per-field)."""
     snap = table.snapshot()
     files = table.files(snap=snap)
-    todo = {f["bucket"] for f in files if f.get("delta")}
-    if not todo:
-        return {"buckets_compacted": 0}
     schema = table.schema()
     key = schema.key_name
     fields = _patch_fields(schema)
+    if minor:
+        dcount: dict[int, int] = {}
+        for f in files:
+            if f.get("delta"):
+                dcount[f["bucket"]] = dcount.get(f["bucket"], 0) + 1
+        todo = {b for b, n in dcount.items() if n > max_delta_files_per_bucket}
+        if not todo:
+            return {"buckets_compacted": 0,
+                    "delta_files_before": sum(dcount.values())}
+        raw = table.read(
+            spark, buckets=todo, with_system_cols=True, include_deleted=True,
+            resolve_deltas=False, version=snap["version"], _delta_only=True,
+        )
+        result = _patch_resolve(
+            spark, _g_layout_from_stored(raw, key, fields), key, fields,
+            table.n_buckets(),
+        )
+        out = table.write_data_files(result, schema_override=schema, delta=True)
+        remove = {f["path"] for f in files
+                  if f.get("delta") and f["bucket"] in todo}
+        table.commit_with_retry(
+            add_files=out, remove_paths=remove, expect_version=snap["version"],
+        )
+        return {
+            "buckets_compacted": len(todo),
+            "delta_files_before": sum(dcount.values()),
+            "delta_files_after": sum(1 for f in table.files() if f.get("delta")),
+        }
+    todo = {f["bucket"] for f in files if f.get("delta")}
+    if not todo:
+        return {"buckets_compacted": 0}
     raw = table.read(
         spark, buckets=todo, with_system_cols=True, include_deleted=True,
         resolve_deltas=False, version=snap["version"],

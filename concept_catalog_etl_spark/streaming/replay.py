@@ -43,6 +43,7 @@ def replay_stream(
     maintenance_every: int | None = None,
     maintenance_max_buckets: int | None = 16,
     maintenance_target_rows_per_file: int | None = None,
+    minor_compact_every: int | None = None,
     tombstone_horizon_lsns: int | None = None,
     vacuum_retain_last: int = 8,
     source_format: str = "text",
@@ -60,6 +61,12 @@ def replay_stream(
     incremental compaction + vacuum) after every N applied batches, inside
     the same single-writer loop — at merge-on-read cadence this is what
     holds file counts at O(buckets) indefinitely (see bench_soak.py).
+
+    ``minor_compact_every=N`` runs delta-only folding
+    (``LakeTable.compact_minor``) every N applied batches — O(delta bytes)
+    per tick, so it can run at a much tighter cadence than the full tick to
+    bound MoR read amplification between full compactions (skipped on
+    batches where the full tick already runs: a bucket rewrite subsumes it).
 
     ``tombstone_horizon_lsns`` is the out-of-orderness horizon (the
     watermark analog, in LSN units): each maintenance tick derives an expiry
@@ -143,7 +150,15 @@ def replay_stream(
                 m["published"] = False
         batch_metrics.append(m)
         applied = sum(1 for x in batch_metrics if not x.get("skipped"))
-        if maintenance_every and applied and applied % maintenance_every == 0:
+        full_tick = bool(
+            maintenance_every and applied and applied % maintenance_every == 0
+        )
+        if (minor_compact_every and applied and not full_tick
+                and applied % minor_compact_every == 0):
+            table.compact_minor(
+                spark, max_buckets_per_run=maintenance_max_buckets
+            )
+        if full_tick:
             for sync in sync_derived or []:
                 sync(df.sparkSession)
             expire_below = None

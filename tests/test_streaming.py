@@ -124,3 +124,33 @@ def test_stream_resume_across_schema_evolution(spark, scratch):
     oracle_state, oschema, _st = replay_dir(d)
     assert [f["name"] for f in oschema.fields] == table.schema().names()
     assert_state_equals_oracle(spark, table, oracle_state)
+
+
+def test_stream_minor_compaction_cadence(spark, scratch):
+    """minor_compact_every bounds MoR delta stacking WITHOUT full rewrites:
+    state stays oracle-exact and no bucket accumulates more delta files
+    than the cadence allows, while base files (none here — pure MoR) are
+    never rewritten."""
+    from collections import Counter
+
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=2000, n_docs=150, n_files=8, seed=72)
+    table = make_table(scratch)
+    metrics = replay_stream(
+        spark, d, table, os.path.join(scratch, "ckpt"),
+        cfg=MergeConfig(write_mode="mor"), max_files_per_trigger=1,
+        minor_compact_every=2, maintenance_max_buckets=None,
+    )
+    assert len([m for m in metrics if not m.get("skipped")]) == 8
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    per_bucket = Counter(
+        f["bucket"] for f in table.files() if f.get("delta")
+    )
+    # a tick every 2 batches folds each bucket to 1 delta; at most the
+    # 1 batch since the last tick can stack on top
+    assert max(per_bucket.values()) <= 2, per_bucket
+    # pure-MoR stream + minor compaction only: every file is still a delta
+    assert all(f.get("delta") for f in table.files())
