@@ -146,6 +146,50 @@ class CommitConflictError(RuntimeError):
     against the new snapshot (a blind retry would lose the winner's rows)."""
 
 
+_Z_BITS = 16  # per-column resolution of the z-curve (65536 cells per axis)
+
+
+def _z_numeric(col, type_name: str):
+    """Order-preserving numeric view of a z-order column (timestamps via
+    epoch micros)."""
+    return (F.unix_micros(col) if type_name == "timestamp" else col).cast("double")
+
+
+def _zorder_expr(cols: list[str], bounds: dict, types: dict[str, str]):
+    """Bit-interleaved z-value over ``cols`` (Morton curve): each column is
+    min-max normalized to ``_Z_BITS`` bits using the PASSED bounds (computed
+    once by the caller — no per-row global state), then bits interleave so
+    sorting by the result clusters rows into hyper-rectangles: every output
+    file's per-column min/max stats cover a small box, and
+    ``read(col_ranges=...)`` prunes on EVERY z column, not just the leading
+    one (the lexicographic sort's weakness). Pure JVM expression tree —
+    16 × k shift/or terms, no UDF. NULL / degenerate-range columns map to
+    cell 0 (they sort first; correctness is unaffected — stats pruning is
+    conservative)."""
+    k = len(cols)
+    norms = []
+    for c in cols:
+        mn, mx = bounds[c]
+        v = _z_numeric(F.col(c), types[c])
+        if mn is None or mx is None or mn == mx:
+            norms.append(F.lit(0))
+            continue
+        cell = F.floor((v - F.lit(float(mn))) / F.lit(float(mx - mn))
+                       * F.lit(float((1 << _Z_BITS) - 1)))
+        norms.append(
+            F.coalesce(
+                F.least(F.lit((1 << _Z_BITS) - 1), F.greatest(F.lit(0), cell)),
+                F.lit(0),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        for j, n in enumerate(norms):
+            bit = F.shiftright(n, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + j)
+    return z
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic key→bucket assignment (same expr at write and prune time)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
@@ -289,6 +333,8 @@ class LakeTable:
         delta: bool = False,
         sort_within: bool = False,
         cluster_cols: list[str] | None = None,
+        cluster_mode: str = "linear",
+        cluster_bounds: dict | None = None,
         with_bloom: bool | None = None,
         n_buckets_override: int | None = None,
         max_records_per_file: int | None = None,
@@ -324,7 +370,16 @@ class LakeTable:
             # read(col_ranges=...) prunes most of a bucket after
             # compaction. Key goes last: point lookups trade row-group
             # locality for column locality, but keep bloom-sidecar pruning.
-            out = out.sortWithinPartitions("_bucket", *cluster_cols, key)
+            # ``cluster_mode='zorder'`` sorts by the bit-interleaved Morton
+            # value instead (bounds precomputed by the caller), so stats
+            # prune on every cluster column, not just the leading one.
+            if cluster_mode == "zorder":
+                types = {f.name: f.type for f in schema.fields}
+                types["_event_ts"] = "timestamp"
+                zc = _zorder_expr(cluster_cols, cluster_bounds or {}, types)
+                out = out.sortWithinPartitions("_bucket", zc, key)
+            else:
+                out = out.sortWithinPartitions("_bucket", *cluster_cols, key)
         elif sort_within:
             # read-optimizing layout (compaction path, NOT the hot ingest
             # path — Iceberg's split too): key-sorted rows inside each
@@ -1070,6 +1125,7 @@ class LakeTable:
         resolve_deltas: bool = True,
         _snap: dict | None = None,
         _delta_only: bool = False,
+        _report: dict | None = None,
     ) -> DataFrame:
         """Snapshot read with bucket + key-range file pruning and
         id-based schema reconciliation (rename/add/widen safe).
@@ -1084,13 +1140,21 @@ class LakeTable:
         tombstone predicate is pushed into the parquet scan, no shuffle."""
         snap = _snap or self.snapshot(version)
         schema = schema_override or TableSchema.from_json(snap["schema"])
+        rep = _report if _report is not None else {}
         # bucket pruning happens at the METADATA level too: only the selected
         # buckets' manifest files are opened
         files = self.files(snap=snap, buckets=buckets)
+        rep["buckets_total"] = len(snap["manifests"])
+        rep["buckets_selected"] = (
+            len({m["bucket"] for m in snap["manifests"]} & set(buckets))
+            if buckets is not None else rep["buckets_total"]
+        )
+        rep["files_in_selected_buckets"] = len(files)
         if key_min is not None:
             files = [f for f in files if f["max_key"] is None or f["max_key"] >= key_min]
         if key_max is not None:
             files = [f for f in files if f["min_key"] is None or f["min_key"] <= key_max]
+        rep["files_after_key_range"] = len(files)
         if keys is not None:
             # bloom file pruning (point lookups): a sidecar answering
             # "definitely none of these keys" drops the file before any
@@ -1099,6 +1163,7 @@ class LakeTable:
             # looked-up key, and rows of OTHER keys are filtered by the
             # caller anyway. Files without a sidecar are kept.
             files = [f for f in files if self._bloom_maybe(f, keys)]
+        rep["files_after_bloom"] = len(files)
         # the MoR-resolve bucket split and the stats-pruning guard below
         # MUST agree on this set for the pruning soundness argument to
         # hold; pruning never removes a delta-bucket file, so computing it
@@ -1140,6 +1205,11 @@ class LakeTable:
                 f for f in files
                 if f["bucket"] in delta_buckets or _stats_intersect(f, range_ids)
             ]
+        rep["files_after_col_stats"] = len(files)
+        rep["files_scanned"] = len(files)
+        rep["rows_in_scanned_files"] = sum(int(f["rows"]) for f in files)
+        rep["delta_buckets"] = len(delta_buckets)
+        rep["delta_files"] = sum(1 for f in files if f.get("delta"))
 
         extra = SYS_COLS if with_system_cols else []
         target_struct = schema.spark_struct(extra=extra)
@@ -1164,6 +1234,8 @@ class LakeTable:
             if resolve_deltas:
                 raise ValueError("_delta_only requires resolve_deltas=False")
             base_files, resolve_files = [], [f for f in resolve_files if f.get("delta")]
+            rep["files_scanned"] = len(resolve_files)
+            rep["rows_in_scanned_files"] = sum(int(f["rows"]) for f in resolve_files)
             if not resolve_files:
                 return spark.createDataFrame([], schema=target_struct)
 
@@ -1322,6 +1394,25 @@ class LakeTable:
                 cache.clear()  # bounded driver memory
             cache[path] = bf
         return _bloom.maybe_contains_any(bf, keys)
+
+    def scan_report(self, spark: SparkSession, **read_kw) -> dict:
+        """Metadata-level pruning report for a ``read`` with the same
+        arguments — which files each pruning stage kept — WITHOUT running
+        the scan (plan construction only; ``read`` is lazy).
+
+        Keys: ``buckets_total``/``buckets_selected`` (manifest-level bucket
+        pruning), ``files_in_selected_buckets`` →
+        ``files_after_key_range`` → ``files_after_bloom`` →
+        ``files_after_col_stats`` (each stage monotonically non-increasing),
+        ``files_scanned``/``rows_in_scanned_files`` (what the parquet scan
+        will actually open), ``delta_buckets``/``delta_files`` (how much of
+        the read pays the MoR resolve). The operational answer to "did my
+        point lookup actually prune?" at 100 TB — if ``files_scanned`` is
+        O(table), the layout (blooms, clustering, bucket count) needs work,
+        and this shows which stage failed to bite."""
+        rep: dict = {}
+        self.read(spark, _report=rep, **read_kw)
+        return rep
 
     def typed_key_buckets(
         self, spark: SparkSession, keys: list
@@ -1634,6 +1725,7 @@ class LakeTable:
         max_buckets_per_run: int | None = None,
         target_rows_per_file: int | None = None,
         cluster_by: list[str] | None = None,
+        cluster_mode: str = "linear",
     ) -> dict:
         """Rewrite fragmented buckets (and optionally expire tombstones older
         than the out-of-orderness horizon). Metadata-atomic like any commit;
@@ -1653,12 +1745,25 @@ class LakeTable:
         splitting the bucket, consecutive files get near-disjoint manifest
         ``col_stats`` ranges, so ``read(col_ranges=...)`` prunes most of a
         compacted bucket."""
+        if cluster_mode not in ("linear", "zorder"):
+            raise ValueError(f"cluster_mode must be linear or zorder, got {cluster_mode!r}")
         if cluster_by:
             schema0 = self.schema()
             known = {f.name for f in schema0.fields} | {"_event_ts"}
             bad = [c for c in cluster_by if c not in known]
             if bad:
                 raise ValueError(f"unknown cluster_by column(s): {bad}")
+            if cluster_mode == "zorder":
+                ztypes = {f.name: f.type for f in schema0.fields}
+                ztypes["_event_ts"] = "timestamp"
+                numeric_ok = {"int", "bigint", "long", "double", "float",
+                              "smallint", "tinyint", "timestamp"}
+                bad_t = [c for c in cluster_by if ztypes[c] not in numeric_ok]
+                if bad_t:
+                    raise ValueError(
+                        "zorder needs numeric/timestamp columns (order-"
+                        f"preserving fixed-width encode), got: {bad_t}"
+                    )
         snap = self.snapshot()
         by_bucket: dict[int, int] = {
             m["bucket"]: m["n_files"] for m in snap["manifests"]
@@ -1738,8 +1843,21 @@ class LakeTable:
                     & (F.col("_lsn") < expire_tombstones_below_lsn)
                 )
             )
+        zbounds = None
+        if cluster_by and cluster_mode == "zorder":
+            # global per-column bounds for the Morton normalization, ONE
+            # tiny agg over the data being rewritten anyway (manifest
+            # col_stats could supply them for stats-complete tables; the
+            # agg keeps old stat-less files correct)
+            aggs = []
+            for c in cluster_by:
+                v = _z_numeric(F.col(c), ztypes[c])
+                aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
+            b = df.agg(*aggs).first()
+            zbounds = {c: (b[f"mn_{c}"], b[f"mx_{c}"]) for c in cluster_by}
         files = self.write_data_files(
             df, sort_within=not cluster_by, cluster_cols=cluster_by,
+            cluster_mode=cluster_mode, cluster_bounds=zbounds,
             max_records_per_file=target_rows_per_file,
         )
         self.commit_with_retry(
