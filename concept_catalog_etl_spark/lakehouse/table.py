@@ -2043,7 +2043,8 @@ class LakeTable:
         return min(vs) if vs else 0
 
     def vacuum(self, retain_last: int = 8, orphan_grace_sec: float = 3600,
-               stage_ttl_sec: float | None = None) -> int:
+               stage_ttl_sec: float | None = None,
+               retain_age_sec: float | None = None) -> int:
         """Delete data files / bucket manifests not referenced by the last
         ``retain_last`` snapshots, and expire older snapshot files (Delta/
         Iceberg-style retention window). Time-travel reads and
@@ -2058,9 +2059,30 @@ class LakeTable:
         deleting it would break that commit's file references (the same
         hazard Iceberg's orphan-file cleanup guards with a default 3-day
         age). A single-writer maintenance loop (streaming tick, soak) may
-        pass 0: between its own batches there are no in-flight files."""
+        pass 0: between its own batches there are no in-flight files.
+
+        ``retain_age_sec``: age-based retention (Iceberg
+        ``expireSnapshots(olderThan)`` analog) — additionally keep every
+        snapshot whose ``committed_at`` is within the window, so an SLA
+        like "24 h of time travel" holds regardless of commit rate
+        (count-based retention alone retires a day of history in minutes
+        on a hot table). The floors COMPOSE: the retained range is the
+        union of the count window, the age window, and everything a tag
+        pins — always contiguous. ``committed_at`` is monotone across
+        rollback, so the age walk can stop at the first too-old version."""
         cur = self.current_version()
         floor = max(0, cur - max(retain_last, 1) + 1)
+        if retain_age_sec is not None:
+            import time as _t1_
+
+            cutoff = _t1_.time() - retain_age_sec
+            v = floor - 1
+            while v >= self.oldest_retained_version():
+                at = self.snapshot(v).get("committed_at")
+                if at is None or at < cutoff:
+                    break  # monotone stamps: everything older is older
+                floor = v
+                v -= 1
         tagged = self.tags()
         if tagged:  # tags pin the floor: retained history stays contiguous
             floor = min(floor, min(tagged.values()))

@@ -2219,6 +2219,53 @@ GROUP BY 1, 2
 """
 
 
+def q_chunk_overlap(spark, sf, window: int = 64, stride: int = 48):
+    """Sliding-window chunking with overlap — the canonical pretraining
+    prep step: split each document's token stream into ``window``-token
+    chunks every ``stride`` tokens (overlap = window - stride), so no
+    context is lost at chunk boundaries. Emits one row per chunk with a
+    content fingerprint (the full chunk text would be the real output; the
+    md5 keeps the oracle comparison byte-exact without shipping it).
+
+    100 TB posture: embarrassingly parallel — one generate (posexplode of
+    the start-offset sequence) per doc, no shuffle at all (the plan is
+    scan → project → generate → project); output size is input ×
+    window/stride, the known fan-out of overlap chunking. Start offsets
+    come from ``sequence(0, n-1, stride)`` so a final partial chunk is
+    kept (training pipelines pad it), and the slice clamps at the doc
+    end."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.trim("text"), "\\s+")
+    d = d.select("doc_id", words.alias("w"), F.size(words).alias("n"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)),
+                        F.lit(stride))
+    d = d.select("doc_id", "w", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("w"), F.col("start") + 1, window)
+    return d.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("chunk_ntok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+SQL_CHUNK_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), starts AS (
+  SELECT doc_id, w,
+         unnest(range(0, len(w), 48)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start // 48 AS INT) AS chunk_idx,
+       CAST(len(w[start + 1 : start + 64]) AS INT) AS chunk_ntok,
+       md5(array_to_string(w[start + 1 : start + 64], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: flag training docs that share any 3-word
     shingle with the held-out eval split (doc_id % 37 == 0 — a deterministic
@@ -3005,6 +3052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_stratified": q_sample_stratified,
     "q_sample_fixed_k": q_sample_fixed_k,
     "q_pack_sequences": q_pack_sequences,
+    "q_chunk_overlap": q_chunk_overlap,
     "q_decontaminate": q_decontaminate,
     "q_vocab_topk": q_vocab_topk,
     "q_len_histogram": q_len_histogram,
@@ -3071,6 +3119,7 @@ ORACLES: dict[str, str] = {
     "q_sample_stratified": SQL_SAMPLE_STRATIFIED,
     "q_sample_fixed_k": SQL_SAMPLE_FIXED_K,
     "q_pack_sequences": SQL_PACK_SEQUENCES,
+    "q_chunk_overlap": SQL_CHUNK_OVERLAP,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_vocab_topk": SQL_VOCAB_TOPK,
     "q_len_histogram": SQL_LEN_HISTOGRAM,

@@ -386,3 +386,36 @@ def test_two_os_process_same_batch_exactly_once(spark, scratch):
     assert df.count() == 20
     # single application: every row carries ONE writer's source tag
     assert df.select("source").distinct().count() == 1
+
+
+def test_vacuum_age_based_retention(spark, scratch):
+    """retain_age_sec composes with the count window: every snapshot whose
+    committed_at is inside the age window survives a tight retain_last, so
+    a time-travel SLA holds regardless of commit rate."""
+    import json
+    import os
+    import time
+
+    table = make_table(scratch, n_buckets=2)
+    for v in range(6):
+        files = table.write_data_files(
+            _rows(spark, range(v * 10, v * 10 + 10), lsn0=v * 100)
+        )
+        table.commit(add_files=files, batch_id=v)
+    # backdate v0..v3 outside the window, keep v4..v6 recent (stamps stay
+    # monotone — the invariant the age walk's early-stop relies on)
+    now = time.time()
+    for v in range(0, 4):
+        p = os.path.join(table.meta_dir, f"v{v}.json")
+        snap = json.load(open(p))
+        snap["committed_at"] = now - 10_000 + v
+        json.dump(snap, open(p, "w"))
+    table.vacuum(retain_last=1, orphan_grace_sec=0, retain_age_sec=3600)
+    # count window alone would keep only v6; the age window keeps v4+
+    assert table.oldest_retained_version() == 4
+    assert table.read(spark, version=4).count() == 40
+    with pytest.raises(VersionVacuumedError):
+        table.read(spark, version=3)
+    # without an age window the tight count window applies
+    table.vacuum(retain_last=1, orphan_grace_sec=0)
+    assert table.oldest_retained_version() == 6

@@ -113,3 +113,41 @@ def test_decontaminate_flags_only_train_docs(spark):
     for r in out:
         assert r.doc_id % 37 != 0
         assert r.n_hits >= 1
+
+
+def test_chunk_overlap_invariants_and_no_shuffle(spark):
+    """Sliding-window chunking: shuffle-free plan (scan -> generate ->
+    project), full coverage (every token lands in >=1 chunk), overlap rule
+    (consecutive chunks share window-stride tokens), and a kept partial
+    tail chunk."""
+    from concept_catalog_etl_spark.plans.queries import q_chunk_overlap
+
+    plan = _plan(q_chunk_overlap(spark, SF))
+    assert "Exchange" not in plan, plan
+
+    rows = q_chunk_overlap(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(ntok)
+    W, S = 64, 48
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = ntok[doc]
+        want_chunks = len(range(0, max(n, 1), S))
+        assert len(chunks) == want_chunks, (doc, n, len(chunks))
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for i, c in enumerate(chunks):
+            start = i * S
+            assert c["chunk_ntok"] == min(W, n - start), (doc, n, i)
+        # coverage: last chunk reaches the last token
+        assert (len(chunks) - 1) * S + chunks[-1]["chunk_ntok"] == n
