@@ -44,6 +44,7 @@ def replay_stream(
     maintenance_max_buckets: int | None = 16,
     maintenance_target_rows_per_file: int | None = None,
     minor_compact_every: int | None = None,
+    minor_compact_max_delta: int | None = None,
     tombstone_horizon_lsns: int | None = None,
     vacuum_retain_last: int = 8,
     source_format: str = "text",
@@ -67,6 +68,15 @@ def replay_stream(
     per tick, so it can run at a much tighter cadence than the full tick to
     bound MoR read amplification between full compactions (skipped on
     batches where the full tick already runs: a bucket rewrite subsumes it).
+
+    ``minor_compact_max_delta=K`` is the POLICY form of the same knob: an
+    amplification bound instead of a cadence. After every applied batch the
+    loop checks the snapshot manifest (O(metadata), no data read) and folds
+    only buckets holding more than K delta files — so a reader never faces
+    more than ~K+1 delta files per bucket regardless of batch arrival
+    pattern, and quiet buckets are never touched. This is the knob a
+    production tail wants: cadence couples amplification to batch COUNT,
+    the bound couples it to what reads actually pay.
 
     ``tombstone_horizon_lsns`` is the out-of-orderness horizon (the
     watermark analog, in LSN units): each maintenance tick derives an expiry
@@ -153,10 +163,18 @@ def replay_stream(
         full_tick = bool(
             maintenance_every and applied and applied % maintenance_every == 0
         )
-        if (minor_compact_every and applied and not full_tick
-                and applied % minor_compact_every == 0):
+        minor_tick = bool(
+            minor_compact_every and applied
+            and applied % minor_compact_every == 0
+        ) or (minor_compact_max_delta is not None and not m.get("skipped"))
+        if minor_tick and not full_tick:
             table.compact_minor(
-                spark, max_buckets_per_run=maintenance_max_buckets
+                spark,
+                max_delta_files_per_bucket=(
+                    minor_compact_max_delta
+                    if minor_compact_max_delta is not None else 1
+                ),
+                max_buckets_per_run=maintenance_max_buckets,
             )
         if full_tick:
             for sync in sync_derived or []:

@@ -154,3 +154,31 @@ def test_stream_minor_compaction_cadence(spark, scratch):
     assert max(per_bucket.values()) <= 2, per_bucket
     # pure-MoR stream + minor compaction only: every file is still a delta
     assert all(f.get("delta") for f in table.files())
+
+
+def test_stream_minor_compaction_amplification_bound(spark, scratch):
+    """minor_compact_max_delta=K is the policy form: after EVERY applied
+    batch, any bucket over K delta files is folded — so the invariant is a
+    per-bucket read-amplification bound that holds at every version, not
+    just on cadence ticks. State stays oracle-exact; quiet buckets keep
+    their files untouched (fold only fires over the bound)."""
+    from collections import Counter
+
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=2000, n_docs=150, n_files=8, seed=73)
+    table = make_table(scratch)
+    metrics = replay_stream(
+        spark, d, table, os.path.join(scratch, "ckpt"),
+        cfg=MergeConfig(write_mode="mor"), max_files_per_trigger=1,
+        minor_compact_max_delta=2, maintenance_max_buckets=None,
+    )
+    assert len([m for m in metrics if not m.get("skipped")]) == 8
+    oracle_state, _s, _st = replay_dir(d)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    per_bucket = Counter(f["bucket"] for f in table.files() if f.get("delta"))
+    # the bound: a bucket is folded the moment it exceeds K=2, and at most
+    # the newest batch's single delta can sit on top of a fold
+    assert max(per_bucket.values()) <= 3, per_bucket
+    assert all(f.get("delta") for f in table.files())
