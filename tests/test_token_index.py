@@ -160,6 +160,73 @@ def test_lookup_prunes_files_after_token_clustering(spark, scratch):
     assert got == {("doc-0025", 1)}
 
 
+_hst = __import__("hypothesis").strategies
+op_st = _hst.fixed_dictionaries({
+    "op": _hst.sampled_from(["upsert", "upsert", "delete"]),
+    "doc": _hst.integers(0, 4),
+    "toks": _hst.lists(_hst.integers(0, 9), min_size=0, max_size=5),
+})
+
+
+def _window_rows(spark, ops, ts, lsn0):
+    rows = []
+    for i, op in enumerate(ops):
+        doc = f"doc-{op['doc']}"
+        if op["op"] == "delete":
+            rows.append((doc, None, None, None, lsn0 + i, True))
+        else:
+            rows.append((doc, op["toks"], len(op["toks"]), "crawl",
+                         lsn0 + i, False))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "_lsn long, _deleted boolean",
+    )
+    return df.withColumn("_event_ts", F.lit(ts).cast("timestamp"))
+
+
+def test_random_change_mix_converges_to_batch_recompute(spark, scratch):
+    """Property: for arbitrary upsert/delete mixes (few keys → forced
+    collisions, empty token arrays, same doc hit twice in one window),
+    arbitrary sync points and a mid-stream index compaction, the
+    incrementally-synced index equals a batch recompute of the live
+    upstream. Retraction correctness is exactly what this stresses: every
+    wrong preimage diff leaves a stale posting behind."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    scratch_root = os.path.join(scratch, "prop")
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(windows=st.lists(st.lists(op_st, min_size=1, max_size=6),
+                            min_size=1, max_size=3),
+           sync_each=st.booleans(), compact_at=st.integers(0, 2),
+           seed=st.integers(0, 10**6))
+    def run(windows, sync_each, compact_at, seed):
+        d = os.path.join(scratch_root, f"ex_{seed}_{len(windows)}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        up, idx = make_table(d, n_buckets=4), make_index(d)
+        lsn = 0
+        for w, ops in enumerate(windows):
+            rows = _window_rows(
+                spark, ops, f"2026-01-01 00:00:{w:02d}", lsn)
+            lsn += len(ops)
+            up.commit(add_files=up.write_data_files(rows, delta=True),
+                      batch_id=w)
+            if sync_each:
+                sync_token_index(spark, up, idx)
+            if w == compact_at:
+                idx.compact(spark, max_files_per_bucket=1)
+        sync_token_index(spark, up, idx)
+        assert index_state(spark, idx) == expected_postings(spark, up)
+
+    run()
+
+
 def test_rebuild_recovers_lagged_index(spark, scratch):
     up, idx = make_table(scratch, n_buckets=4), make_index(scratch)
     up.commit(add_files=up.write_data_files(
