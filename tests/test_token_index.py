@@ -227,6 +227,28 @@ def test_random_change_mix_converges_to_batch_recompute(spark, scratch):
     run()
 
 
+def test_index_rides_streaming_maintenance(spark, scratch):
+    """The posting index stays live inside the streaming ingest loop via
+    sync_derived, including through the tick's compaction/vacuum of the
+    upstream (the sync windows must stay inside retention), and the final
+    index equals a batch recompute of the final table state."""
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+    up, idx = make_table(scratch), make_index(scratch)
+    blog = os.path.join(scratch, "binlog")
+    generate_binlog(blog, n_events=2000, n_docs=150, n_files=4, seed=9)
+    replay_stream(
+        spark, blog, up,
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=1,
+        maintenance_every=2,
+        sync_derived=[lambda s: sync_token_index(s, up, idx)],
+    )
+    sync_token_index(spark, up, idx)  # catch-up past the last tick
+    assert index_state(spark, idx) == expected_postings(spark, up)
+
+
 def test_rebuild_recovers_lagged_index(spark, scratch):
     up, idx = make_table(scratch, n_buckets=4), make_index(scratch)
     up.commit(add_files=up.write_data_files(
