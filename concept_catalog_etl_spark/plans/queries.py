@@ -2171,6 +2171,71 @@ LIMIT 100
 """
 
 
+def q_mixture_plan(spark, sf, budget: int = 200_000):
+    """Data-mixing allocation: split a token BUDGET across sources by
+    temperature-weighted sampling (w_s ∝ tokens_s^0.5 — the multilingual-LM
+    alpha-sampling rule: abundant sources are down-weighted, rare ones kept)
+    and emit per-source deterministic sampling rates. This is the planning
+    step in front of ``q_sample_stratified``: its output rates feed the same
+    content-hash gate.
+
+    Scale shape: one map-side-combinable agg over the corpus (per-source
+    token totals — the only full pass), then all arithmetic on the
+    O(#sources) aggregate with the 1-row weight total broadcast. At 100 TB
+    nothing after the first agg touches data.
+
+    Determinism across engines (same discipline as ``q_unigram_logprob``):
+    the only float op is sqrt (correctly rounded in IEEE), snapped to
+    fixed-point micro-units immediately; the budget split and rates are
+    exact integer DIV arithmetic — bit-identical on both sides by
+    construction (positive operands, so DuckDB ``//`` floor == Spark
+    ``DIV`` truncation)."""
+    d = _t(spark, sf, "documents")
+    ntok = F.size(F.split(F.trim("text"), "\\s+")).cast("bigint")
+    per = d.groupBy("source").agg(F.sum(ntok).alias("tokens_avail"))
+    per = per.withColumn(
+        "w_e6",
+        F.round(F.sqrt(F.col("tokens_avail").cast("double")) * 1e6, 0)
+        .cast("bigint"),
+    )
+    tot = per.agg(F.sum("w_e6").alias("tw"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.least(F.col("tokens_avail"),
+                    F.expr(f"CAST({budget} AS BIGINT) * w_e6 DIV tw")),
+        )
+        .withColumn("rate_e6",
+                    F.expr("target_tokens * 1000000 DIV tokens_avail"))
+        .select("source", "tokens_avail", "w_e6", "target_tokens", "rate_e6")
+    )
+
+
+SQL_MIXTURE_PLAN = r"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS tokens_avail
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens_avail,
+         CAST(round(sqrt(CAST(tokens_avail AS DOUBLE)) * 1e6, 0) AS BIGINT)
+           AS w_e6
+  FROM per
+), t AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS tw FROM w),
+     p AS (
+  SELECT source, tokens_avail, w_e6,
+         CAST(least(tokens_avail, (200000 * w_e6) // tw) AS BIGINT)
+           AS target_tokens
+  FROM w, t
+)
+SELECT source, tokens_avail, w_e6, target_tokens,
+       CAST((target_tokens * 1000000) // tokens_avail AS BIGINT) AS rate_e6
+FROM p
+"""
+
+
 def q_pack_sequences(spark, sf, budget: int = 512):
     """Greedy sequence packing for a fixed token budget: stream docs per
     source in doc_id order, assign each doc to the chunk its *starting*
@@ -3050,6 +3115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot": q_pivot,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
+    "q_mixture_plan": q_mixture_plan,
     "q_sample_fixed_k": q_sample_fixed_k,
     "q_pack_sequences": q_pack_sequences,
     "q_chunk_overlap": q_chunk_overlap,
@@ -3117,6 +3183,7 @@ ORACLES: dict[str, str] = {
     "q_pivot": SQL_PIVOT,
     "q_sample_hash": SQL_SAMPLE_HASH,
     "q_sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "q_mixture_plan": SQL_MIXTURE_PLAN,
     "q_sample_fixed_k": SQL_SAMPLE_FIXED_K,
     "q_pack_sequences": SQL_PACK_SEQUENCES,
     "q_chunk_overlap": SQL_CHUNK_OVERLAP,

@@ -61,6 +61,33 @@ def test_sample_stratified_rates(spark):
             assert got[lang] / totals[lang] > 0.55, (lang, got[lang], totals[lang])
 
 
+def test_mixture_plan_invariants_and_plan_shape(spark):
+    """Budget split: targets never exceed availability, rates are exact
+    integer micro-rates in [0, 1e6], temperature weighting orders targets
+    with availability, and the physical plan pays ONE data-side exchange
+    (the per-source agg) with the weight total broadcast, never a second
+    corpus pass."""
+    from concept_catalog_etl_spark.plans.queries import q_mixture_plan
+
+    rows = q_mixture_plan(spark, SF, budget=200_000).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.target_tokens <= r.tokens_avail
+        assert 0 <= r.rate_e6 <= 1_000_000
+        # rate is exactly target/avail in micro-units (floor division)
+        assert r.rate_e6 == r.target_tokens * 1_000_000 // r.tokens_avail
+    # sqrt weighting: a strictly more abundant source never gets a smaller
+    # absolute target (monotone allocation)
+    by_avail = sorted(rows, key=lambda r: r.tokens_avail)
+    targets = [r.target_tokens for r in by_avail]
+    assert targets == sorted(targets)
+    plan = _plan(q_mixture_plan(spark, SF))
+    assert "BroadcastExchange" in plan
+    # one shuffle for the per-source agg; the weight-total branch reuses it
+    data_exchanges = plan.count("Exchange hashpartitioning")
+    assert data_exchanges <= 2, plan
+
+
 def test_sample_fixed_k_uses_partial_topk(spark):
     """ORDER BY hash LIMIT k must plan as TakeOrderedAndProject (per-
     partition top-k + driver merge), not a global Sort + Exchange — the
