@@ -249,6 +249,40 @@ def test_index_rides_streaming_maintenance(spark, scratch):
     assert index_state(spark, idx) == expected_postings(spark, up)
 
 
+def test_sync_across_upstream_rebucket(spark, scratch):
+    """A bucket-layout evolution (rebucket) inside the sync window defeats
+    the change feed's candidate-key pruning — it must fall back to the full
+    snapshot diff, and the index still converges. Also pins that rows
+    UNCHANGED across the rebucket (rewritten into new buckets but with the
+    same LWW coordinate) do not echo into the index as spurious changes."""
+    up, idx = make_table(scratch, n_buckets=4), make_index(scratch)
+    up.commit(
+        add_files=up.write_data_files(
+            doc_rows(spark, [("doc-a", [1, 2]), ("doc-b", [3])])
+        ),
+        batch_id=0,
+    )
+    sync_token_index(spark, up, idx)
+    v_synced = idx.current_version()
+
+    up.rebucket(spark, 8)
+    # rebucket alone: no logical change → sync must write zero rows
+    res = sync_token_index(spark, up, idx)
+    if res["applied"]:
+        assert res["rows_written"] == 0
+    assert index_state(spark, idx) == expected_postings(spark, up)
+
+    upd = doc_rows(spark, [("doc-a", [2, 9])], ts="2026-02-01 00:00:00",
+                   lsn_base=100)
+    up.commit(add_files=up.write_data_files(upd, delta=True), batch_id=1)
+    res = sync_token_index(spark, up, idx)
+    assert res["applied"]
+    assert index_state(spark, idx) == expected_postings(spark, up)
+    state = index_state(spark, idx)
+    assert (1, "doc-a") not in state and (9, "doc-a") in state
+    assert idx.current_version() > v_synced
+
+
 def test_rebuild_recovers_lagged_index(spark, scratch):
     up, idx = make_table(scratch, n_buckets=4), make_index(scratch)
     up.commit(add_files=up.write_data_files(
