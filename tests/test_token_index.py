@@ -283,6 +283,43 @@ def test_sync_across_upstream_rebucket(spark, scratch):
     assert idx.current_version() > v_synced
 
 
+def test_sync_across_tokens_rename(spark, scratch):
+    """Upstream renames the token-array column inside the sync window: the
+    change feed maps preimages to NEW names by field id, so retraction
+    stays exact — the sync just passes the current name."""
+    up, idx = make_table(scratch), make_index(scratch)
+    up.commit(
+        add_files=up.write_data_files(
+            doc_rows(spark, [("doc-a", [1, 2]), ("doc-b", [3])])
+        ),
+        batch_id=0,
+    )
+    sync_token_index(spark, up, idx)
+
+    evolved = up.schema().rename_column("tokens", "toks")
+    upd = (
+        doc_rows(spark, [("doc-a", [2, 9])], ts="2026-02-01 00:00:00",
+                 lsn_base=100)
+        .withColumnRenamed("tokens", "toks")
+    )
+    up.commit(
+        add_files=up.write_data_files(upd, delta=True,
+                                      schema_override=evolved),
+        new_schema=evolved, batch_id=1,
+    )
+    res = sync_token_index(spark, up, idx, tokens_col="toks")
+    assert res["applied"]
+    state = index_state(spark, idx)
+    live = up.read(spark)
+    expect = {
+        (r["token"], r["doc_id"]): r["count"]
+        for r in live.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token").count().collect()
+    }
+    assert state == expect
+    assert (1, "doc-a") not in state and state[(9, "doc-a")] == 1
+
+
 def test_rebuild_recovers_lagged_index(spark, scratch):
     up, idx = make_table(scratch, n_buckets=4), make_index(scratch)
     up.commit(add_files=up.write_data_files(
