@@ -760,7 +760,8 @@ class LakeTable:
         return {b for b in set(prev) | set(cur) if prev.get(b) != cur.get(b)}
 
     def commit_with_retry(
-        self, *, expect_version: int | None = None, max_retries: int = 5, **kwargs
+        self, *, expect_version: int | None = None, max_retries: int = 5,
+        orphan_version_grace_sec: float = 30.0, **kwargs
     ) -> dict:
         """Optimistic-concurrency commit (Iceberg-style): on losing the
         version race, reload the snapshot and retry — data files are already
@@ -774,7 +775,20 @@ class LakeTable:
         the winner rewrote rows we computed against, so a blind retry would
         lose its writes → ``CommitConflictError`` tells the caller to redo
         the merge. If a racing writer already landed OUR ``batch_id``, the
-        commit degrades to the idempotent skip (exactly-once holds)."""
+        commit degrades to the idempotent skip (exactly-once holds).
+
+        Crash recovery: a writer that died between creating ``v{N}.json``
+        and swapping the pointer leaves a DEAD unpublished version file —
+        the pointer swap is the commit point, so nothing references it, but
+        it permanently collides with every future commit's 'x'-create.
+        When the collision target exists while the pointer has NOT advanced
+        past it, and the file is older than ``orphan_version_grace_sec``,
+        it is removed and the commit retried (Iceberg's age-gated
+        orphan-metadata cleanup, scoped to the one file that can wedge the
+        table). A young collider is a LIVE racer mid-publish: back off
+        briefly and retry instead — the grace window only needs to exceed
+        the sub-second gap between a healthy writer's 'x'-create and its
+        pointer swap."""
         is_append = (
             kwargs.get("remove_buckets") is None and kwargs.get("remove_paths") is None
         )
@@ -812,6 +826,26 @@ class LakeTable:
                 if batch_id is not None and self.is_committed(batch_id, writer_id):
                     return self.snapshot()  # another writer landed our batch
                 cur = self.current_version()
+                if isinstance(e, FileExistsError):
+                    # the collision target while the pointer sits below it:
+                    # either a crashed writer's dead unpublished version
+                    # file (the wedge described in the docstring) or a live
+                    # racer an instant from its pointer swap — age decides.
+                    import time as _t_
+
+                    nxt = os.path.join(self.meta_dir, f"v{cur + 1}.json")
+                    if os.path.exists(nxt):
+                        try:
+                            age = _t_.time() - os.path.getmtime(nxt)
+                        except OSError:
+                            age = None
+                        if (age is not None
+                                and age >= orphan_version_grace_sec
+                                and self.current_version() == cur):
+                            os.remove(nxt)
+                        else:
+                            _t_.sleep(0.1)  # let the mid-publish racer swap
+                        cur = self.current_version()
                 if self.snapshot(cur)["n_buckets"] != nb_at_entry:
                     # a rebucket landed mid-race: our data files are laid
                     # out for the OLD bucket count — a blind retry would

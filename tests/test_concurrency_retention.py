@@ -419,3 +419,42 @@ def test_vacuum_age_based_retention(spark, scratch):
     # without an age window the tight count window applies
     table.vacuum(retain_last=1, orphan_grace_sec=0)
     assert table.oldest_retained_version() == 6
+
+
+def test_orphan_version_file_recovery(spark, scratch):
+    """A writer that crashed between v{N}.json creation and the pointer
+    swap leaves a dead unpublished version file. Old collider (past the
+    grace window, pointer still below it): commit_with_retry removes it
+    and lands the commit. Fresh collider: preserved (it may be a live
+    racer an instant from its swap) and the commit raises for a later
+    retry — never deleted."""
+    import json
+    import time
+
+    table = make_table(scratch, n_buckets=2)
+    orphan = os.path.join(table.meta_dir, "v1.json")
+    with open(orphan, "x") as f:
+        json.dump({"version": 1, "parent": 0, "dead": True}, f)
+    os.utime(orphan, (1, 1))  # long-dead writer
+    files = table.write_data_files(_rows(spark, [1, 2]))
+    table.commit_with_retry(add_files=files, batch_id=0)
+    assert table.current_version() == 1
+    assert table.read(spark).count() == 2
+
+    fresh = os.path.join(table.meta_dir, "v2.json")
+    with open(fresh, "x") as f:
+        json.dump({"version": 2, "parent": 1, "dead": True}, f)
+    os.utime(fresh, None)  # now: looks like a mid-publish racer
+    with pytest.raises(FileExistsError):
+        table.commit_with_retry(
+            add_files=table.write_data_files(_rows(spark, [3])),
+            batch_id=1, max_retries=1,
+        )
+    assert os.path.exists(fresh)  # live racer's file untouched
+    # once past the grace window the same commit recovers
+    os.utime(fresh, (1, 1))
+    table.commit_with_retry(
+        add_files=table.write_data_files(_rows(spark, [3], lsn0=5)), batch_id=1
+    )
+    assert table.current_version() == 2
+    assert table.read(spark).count() == 3
