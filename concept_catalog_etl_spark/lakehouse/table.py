@@ -236,6 +236,16 @@ class LakeTable:
             with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
                 return json.load(f)
         except FileNotFoundError:
+            # a branch handle's history below its fork point lives in the
+            # parent's meta dir (the fork snapshot itself was copied in, so
+            # this only triggers for strictly-pre-fork time travel)
+            pmeta = getattr(self, "_parent_meta", None)
+            if pmeta is not None and v <= self._fork_version:
+                try:
+                    with open(os.path.join(pmeta, f"v{v}.json")) as f:
+                        return json.load(f)
+                except FileNotFoundError:
+                    pass  # parent vacuumed it — fall through to the error
             raise VersionVacuumedError(
                 f"snapshot v{v} was expired by vacuum(retain_last=...); "
                 f"oldest retained version decides how far back read(version=)/"
@@ -2067,6 +2077,124 @@ class LakeTable:
             raise KeyError(f"no such tag: {name}")
         return self.read(spark, version=tagged[name], **read_kw)
 
+    # --------------------------------------------------------------- branches
+    # Iceberg-style named branches: an independent commit chain forked from a
+    # main version, sharing the table's data dir and bucket-manifest
+    # namespace (both are immutable, uuid-named — no collisions). A branch
+    # handle IS a LakeTable whose meta dir (version files, pointer, ledger
+    # properties, stages, tags) is redirected to meta/branch-<name>/, so
+    # every engine surface — replay, MERGE, MoR, compaction, WAP, rebucket,
+    # change feed — works on a branch unchanged. Fast-forward publishes the
+    # branch head onto main in one atomic pointer swap IF main has not moved
+    # since the fork (Iceberg's fastForward precondition); a diverged main
+    # raises CommitConflictError instead of silently losing its commits.
+    # Vacuum runs on the MAIN handle only and treats every live branch
+    # snapshot (and branch WAP stage) as a reference, so branch state can
+    # never be reclaimed underneath a reader; a long-lived branch therefore
+    # pins its files — drop it after fast-forward (or abandonment).
+    #
+    # Reference parity note: the reference ETL has no versioning at all
+    # (files/load.py overwrites state in place); branches are part of the
+    # lake surface a CDC engine needs for audited backfills and experiments.
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Fork a branch at ``version`` (default: current). The branch dir is
+        created with exist_ok=False as the atomicity gate — a concurrent
+        create of the same name loses with FileExistsError. Write order makes
+        a crashed create invisible: v<F>.json and branch.json land before
+        ``_current``, and ``branches()`` ignores dirs without a pointer."""
+        if not name or any(c not in self._TAG_OK for c in name):
+            raise ValueError(f"branch name must be [A-Za-z0-9._-]+, got {name!r}")
+        if getattr(self, "_parent_meta", None) is not None:
+            raise RuntimeError("create_branch from a branch handle is not supported")
+        v = self.current_version() if version is None else int(version)
+        snap = self.snapshot(v)  # raises VersionVacuumedError if expired
+        bdir = os.path.join(self.meta_dir, f"branch-{name}")
+        os.makedirs(bdir, exist_ok=False)
+        with open(os.path.join(bdir, f"v{v}.json"), "x") as f:
+            json.dump(snap, f)
+        with open(os.path.join(bdir, "branch.json"), "x") as f:
+            json.dump({"name": name, "fork_version": v}, f)
+        tmp = os.path.join(bdir, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(bdir, "_current"))
+        return self.branch(name)
+
+    def branch(self, name: str) -> "LakeTable":
+        """Open an existing branch as a full LakeTable handle."""
+        bdir = os.path.join(self.meta_dir, f"branch-{name}")
+        if not os.path.exists(os.path.join(bdir, "_current")):
+            raise KeyError(f"no such branch: {name}")
+        with open(os.path.join(bdir, "branch.json")) as f:
+            rec = json.load(f)
+        t = LakeTable(self.root)
+        t.meta_dir = bdir
+        t._parent_meta = self.meta_dir
+        t._fork_version = int(rec["fork_version"])
+        t._branch_name = name
+        return t
+
+    def branches(self) -> dict[str, dict]:
+        """name -> {fork_version, head_version} for every live branch."""
+        out: dict[str, dict] = {}
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not fn.startswith("branch-"):
+                continue
+            bdir = os.path.join(self.meta_dir, fn)
+            try:
+                with open(os.path.join(bdir, "branch.json")) as f:
+                    rec = json.load(f)
+                with open(os.path.join(bdir, "_current")) as f:
+                    head = int(f.read().strip())
+            except (OSError, ValueError, KeyError):
+                continue  # mid-create or mid-drop — not a live branch
+            out[rec["name"]] = {
+                "fork_version": int(rec["fork_version"]), "head_version": head,
+            }
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        bdir = os.path.join(self.meta_dir, f"branch-{name}")
+        if not os.path.isdir(bdir):
+            raise KeyError(f"no such branch: {name}")
+        shutil.rmtree(bdir, ignore_errors=True)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish branch ``name``'s head onto main. Precondition (checked
+        atomically by the v-file 'x'-create): main's pointer still sits at
+        the branch's fork version — branches merge by fast-forward only, a
+        diverged main raises CommitConflictError (redo the work on a fresh
+        branch, or replay the branch's source batches onto main: their batch
+        ids make that exactly-once). The branch's intermediate versions are
+        squashed — main gets ONE new snapshot carrying the branch head's
+        files, schema, bucket layout and properties; ledgers and lineage
+        carried wholesale, which is sound precisely because main cannot have
+        moved since the fork (its properties are exactly the fork's, and the
+        branch head's are their evolution)."""
+        bt = self.branch(name)
+        head = bt.snapshot()
+        fork = bt._fork_version
+        if head["version"] == fork:
+            return self.snapshot()  # branch never diverged — no-op
+        cur = self.current_version()
+        if cur != fork:
+            raise CommitConflictError(
+                f"main advanced to v{cur} since branch {name!r} forked at "
+                f"v{fork} — fast-forward refused (main's commits would be lost)"
+            )
+        new = dict(head)
+        new["version"] = cur + 1
+        new["parent"] = cur
+        new["_ff_from"] = {"branch": name, "head_version": head["version"]}
+        try:
+            self._write_manifest(new)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"main advanced during fast-forward of branch {name!r}"
+            ) from None
+        return new
+
     def oldest_retained_version(self) -> int:
         """Lowest version whose v<N>.json still exists (0 if never expired)."""
         vs = [
@@ -2104,6 +2232,12 @@ class LakeTable:
         union of the count window, the age window, and everything a tag
         pins — always contiguous. ``committed_at`` is monotone across
         rollback, so the age walk can stop at the first too-old version."""
+        if getattr(self, "_parent_meta", None) is not None:
+            raise RuntimeError(
+                "vacuum must run on the main table handle — branch snapshots "
+                "share main's data/manifest namespace and are GC'd (or pinned) "
+                "by main's vacuum"
+            )
         cur = self.current_version()
         floor = max(0, cur - max(retain_last, 1) + 1)
         if retain_age_sec is not None:
@@ -2146,6 +2280,29 @@ class LakeTable:
             except (OSError, KeyError):
                 continue  # a racing publisher settled the stage mid-walk
             live_m |= {m["path"] for m in rec["audit_snapshot"]["manifests"]}
+        # every live branch pins its whole snapshot chain (branches are never
+        # vacuumed — they share main's manifest/data namespace, and a branch
+        # is expected to be short-lived: fast-forwarded then dropped); branch
+        # WAP stages pin exactly like main's
+        for bname in list(self.branches()):
+            bdir = os.path.join(self.meta_dir, f"branch-{bname}")
+            try:
+                bfns = os.listdir(bdir)
+            except OSError:
+                continue  # dropped mid-walk
+            for fn in bfns:
+                if not fn.endswith(".json"):
+                    continue
+                is_v = fn.startswith("v") and fn[1:-5].isdigit()
+                if not is_v and not fn.startswith("stage-"):
+                    continue
+                try:
+                    with open(os.path.join(bdir, fn)) as f:
+                        rec = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                snap_rec = rec.get("audit_snapshot", rec)
+                live_m |= {m["path"] for m in snap_rec.get("manifests", [])}
         # each retained manifest is opened once even if many snapshots share it
         for rel in live_m:
             live |= {f["path"] for f in self._load_bucket_manifest(rel)}
