@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_scd2_history",
     "q_span_dedup",
     "q_merge_patch",
+    "q_semdedup",
 ]
 
 

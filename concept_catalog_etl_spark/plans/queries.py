@@ -1612,6 +1612,102 @@ def q_ann_ivf(spark, sf):
     )
 
 
+def q_semdedup(spark, sf, tau: float = 0.3):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning — cluster embeddings with a coarse k-means, then
+    drop any vector whose cosine similarity to a LOWER-id vector in the
+    SAME cluster reaches ``tau``; survivors are the semantically-deduped
+    corpus. The clustering is what makes this scale: the quadratic pair
+    search runs within clusters only (O(Σ|cell|²) ≪ O(n²)), and the paper's
+    observation is that cross-cluster near-dups are rare enough to ignore.
+
+    Physical plan: one JVM-expression pass assigns cells (broadcast centroid
+    literals, no Python — same quantizer as q_ann_ivf, so the oracle can
+    inline bitwise-identical centroids), the pair search is a cell-keyed
+    self-join (shuffle on cell; at 100 TB cells are capped/sharded upstream
+    so one boilerplate mega-cluster cannot go quadratic — same cap
+    discipline as the near-dup index's hot-bucket cap), and survivors come
+    from one left-anti join. Keep rule "lowest vec_id wins" makes the
+    output deterministic and exactly SQL-checkable (``sql_semdedup``)."""
+    import numpy as np
+
+    k = 16
+    e = _t(spark, sf, "embeddings")
+    centroids = ivf_centroids(spark, sf, k)
+
+    def sq_dist(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return -2.0 * _dot(F.col("embedding"), arr) + float(np.dot(c, c))
+
+    dists = F.array(*[
+        F.struct(sq_dist(c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ])
+    assigned = e.select(
+        "vec_id", "embedding", F.array_min(dists)["i"].alias("cell")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= tau
+        )
+        .select("vec_b")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left_anti")
+        .select("vec_id", "cell")
+    )
+
+
+def sql_semdedup(embeddings_parquet: str, k: int = 16, tau: float = 0.3) -> str:
+    """Exact DuckDB oracle for ``q_semdedup``: same deterministic Lloyd fit
+    over the same modulo-sample (``ivf_centroids_from_parquet``), centroid
+    literals inlined, same assignment / within-cell pair rule."""
+    import numpy as np
+
+    cents = ivf_centroids_from_parquet(embeddings_parquet, k)
+    vals = ",\n".join(
+        "({}, [{}], {})".format(
+            i,
+            ", ".join(repr(float(x)) for x in c),
+            repr(float(np.dot(c, c))),
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cid, cv, c2) AS (VALUES
+{vals}),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY -2.0 * {_sql_dot64('e.embedding', 'c.cv')} + c.c2, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_b
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine64('a.embedding', 'b.embedding')} >= {tau}
+)
+SELECT s.vec_id, s.cell
+FROM assign s ANTI JOIN dropped d ON s.vec_id = d.vec_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary columns + mapInPandas decode)
 # ---------------------------------------------------------------------------
@@ -2087,6 +2183,10 @@ def dynamic_oracles(sf_dir: str | None = None) -> dict[str, str]:
     )
     try:
         out["q_ann_ivf"] = sql_ann_ivf(f"{sf}/embeddings.parquet")
+    except Exception:  # noqa: BLE001 — unreadable parquet → rows-only check
+        pass
+    try:
+        out["q_semdedup"] = sql_semdedup(f"{sf}/embeddings.parquet")
     except Exception:  # noqa: BLE001 — unreadable parquet → rows-only check
         pass
     return out
@@ -3103,6 +3203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk_gemm": q_ann_topk_gemm,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
+    "q_semdedup": q_semdedup,
     "q_embed_cosine_dup": q_embed_cosine_dup,
     "q_embed_cosine_dup_gemm": q_embed_cosine_dup_gemm,
     "q_multimodal_meta": q_multimodal_meta,

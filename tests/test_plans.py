@@ -143,7 +143,7 @@ def test_approximate_dedup_plans_have_no_cartesian_product(spark):
     from concept_catalog_etl_spark.plans import queries as Q
 
     sf = "/root/testdata/sf0.001"
-    for name in ("q_minhash_pairs", "q_ann_lsh", "q_ann_ivf"):
+    for name in ("q_minhash_pairs", "q_ann_lsh", "q_ann_ivf", "q_semdedup"):
         plan = _plan(Q.QUERIES[name](spark, sf))
         assert "CartesianProduct" not in plan, f"{name} planned an all-pairs join"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a BNLJ"
