@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_span_dedup",
     "q_merge_patch",
     "q_semdedup",
+    "q_quality_classifier",
 ]
 
 

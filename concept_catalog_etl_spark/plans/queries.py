@@ -2764,6 +2764,74 @@ GROUP BY doc_id
 """
 
 
+# hashed-linear-classifier constants, shared Spark<->SQL: D feature buckets
+# via the polynomial word hash, per-bucket integer weight from an LCG step —
+# a deterministic STUB for a trained coefficient table (the plumbing is the
+# deliverable; swap `_clf_weight` for an element_at into a broadcast weight
+# array to serve real fasttext/logreg coefficients)
+_CLF_D = 1024
+_CLF_A, _CLF_C, _CLF_M = 1103515245, 12345, 2001  # weight = LCG(b) - 1000
+
+
+def q_quality_classifier(spark, sf):
+    """Model-based quality filtering (the CCNet/fasttext-classifier stage of
+    a training-data pipeline) as pure columnar inference: hashing-trick
+    featurization (word -> poly-hash -> one of D buckets), a sparse dot
+    product with a per-bucket weight, and a keep/drop label — zero Python on
+    the data path, no shuffle at all (one narrow projection; the groupBy is
+    per-document over exploded words, map-side combinable).
+
+    The weight table here is a deterministic integer stub (LCG over the
+    bucket id) so the DuckDB oracle checks the FULL inference path exactly —
+    integer weights summed exactly, label from the sign. A production model
+    broadcasts its real (D-sized, language-bounded) coefficient array and
+    replaces one expression; the plan shape is already the 100 TB one.
+    Scale note: the per-char hash fold is the SQL-checkable twin of
+    xxhash64(word) % D — same swap discipline as the minhash/simhash
+    twins."""
+    d = _spread(spark, _t(spark, sf, "documents"))
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    bucket = lambda w: _poly_hash_expr(w, _P31) % F.lit(_CLF_D)  # noqa: E731
+    weight = lambda w: (
+        (bucket(w) * F.lit(_CLF_A) + F.lit(_CLF_C)) % F.lit(_CLF_M) - F.lit(1000)
+    )  # noqa: E731
+    score = F.aggregate(
+        F.transform(words, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        score.alias("score"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_transform(words, wd ->
+           ((list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(regexp_extract_all(wd, '.'),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % {_P31}
+             ) % {_CLF_D}) * {_CLF_A} + {_CLF_C}) % {_CLF_M} - 1000
+         ) AS ws
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS score,
+       CAST(CASE WHEN COALESCE(list_sum(ws), 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS keep
+FROM s
+"""
+
+
 # PII patterns shared by the Spark plan and the DuckDB oracle — restricted
 # to syntax Java regex and RE2 interpret identically (no lookaround, no
 # backrefs; \b and character classes behave the same in both)
@@ -3227,6 +3295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition_stats": q_repetition_stats,
     "q_quality_gate": q_quality_gate,
     "q_unigram_logprob": q_unigram_logprob,
+    "q_quality_classifier": q_quality_classifier,
     "q_token_drift": q_token_drift,
     "q_redact_pii": q_redact_pii,
     "q_ngram_dup_rate": q_ngram_dup_rate,
@@ -3295,6 +3364,7 @@ ORACLES: dict[str, str] = {
     "q_repetition_stats": SQL_REPETITION_STATS,
     "q_quality_gate": SQL_QUALITY_GATE,
     "q_unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_token_drift": SQL_TOKEN_DRIFT,
     "q_redact_pii": SQL_REDACT_PII,
     "q_ngram_dup_rate": SQL_NGRAM_DUP_RATE,
