@@ -1,4 +1,5 @@
 from .catalog import Catalog, CatalogConflictError
+from .fsck import check_table
 from .schema import Field, TableSchema, can_widen, parse_type
 from .table import SYS_COLS, SYS_NAMES, LakeTable, bucket_expr
 
@@ -13,4 +14,5 @@ __all__ = [
     "SYS_NAMES",
     "Catalog",
     "CatalogConflictError",
+    "check_table",
 ]
