@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     "q_scd2_history",
     "q_span_dedup",
     "q_merge_patch",
-    "q_semdedup",
+    "q_semdedup_gemm",
     "q_quality_classifier",
 ]
 

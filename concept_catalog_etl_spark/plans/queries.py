@@ -1670,6 +1670,72 @@ def q_semdedup(spark, sf, tau: float = 0.3):
     )
 
 
+def q_semdedup_gemm(spark, sf, tau: float = 0.3):
+    """q_semdedup's block-GEMM physical plan (same oracle, hash-identical
+    output): the within-cell pair search runs as one numpy GEMM per cell
+    inside ``applyInPandas`` instead of a JVM fold per pair — the
+    established lossless-pruner shape (q_embed_cosine_dup_gemm). The GEMM
+    only NOMINATES pairs (margin 2e-6 below tau covers float64
+    reassociation error plus a round-to-6-decimals half-step, so no pair
+    that could truly reach tau is dropped); every nominated pair is then
+    recomputed with the same sequential JVM _dot/_norm fold the expression
+    plan uses, so reassociation can never show through. Cells are the
+    parallel unit — one shuffle on cell, candidate set O(near-dups), and
+    the survivors anti-join is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    k = 16
+    e = _t(spark, sf, "embeddings")
+    centroids = ivf_centroids(spark, sf, k)
+
+    def sq_dist(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return -2.0 * _dot(F.col("embedding"), arr) + float(np.dot(c, c))
+
+    dists = F.array(*[
+        F.struct(sq_dist(c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ])
+    assigned = e.select(
+        "vec_id", "embedding", F.array_min(dists)["i"].alias("cell")
+    )
+
+    def gemm(pdf):  # single-arg form: no key needed, cell rides in pdf
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        ids = pdf["vec_id"].to_numpy()
+        M = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        ii, jj = np.where(S >= tau - 2e-6)  # lossless candidate margin
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame({"vec_a": ids[ii][keep], "vec_b": ids[jj][keep]})
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        gemm, schema="vec_a long, vec_b long"
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+                 _norm(F.col("embedding")).alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+                 _norm(F.col("embedding")).alias("nb"))
+    dropped = (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .filter(
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= tau
+        )
+        .select("vec_b")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left_anti")
+        .select("vec_id", "cell")
+    )
+
+
 def sql_semdedup(embeddings_parquet: str, k: int = 16, tau: float = 0.3) -> str:
     """Exact DuckDB oracle for ``q_semdedup``: same deterministic Lloyd fit
     over the same modulo-sample (``ivf_centroids_from_parquet``), centroid
@@ -2187,6 +2253,7 @@ def dynamic_oracles(sf_dir: str | None = None) -> dict[str, str]:
         pass
     try:
         out["q_semdedup"] = sql_semdedup(f"{sf}/embeddings.parquet")
+        out["q_semdedup_gemm"] = out["q_semdedup"]  # same contract + oracle
     except Exception:  # noqa: BLE001 — unreadable parquet → rows-only check
         pass
     return out
@@ -3272,6 +3339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_semdedup": q_semdedup,
+    "q_semdedup_gemm": q_semdedup_gemm,
     "q_embed_cosine_dup": q_embed_cosine_dup,
     "q_embed_cosine_dup_gemm": q_embed_cosine_dup_gemm,
     "q_multimodal_meta": q_multimodal_meta,
