@@ -7,9 +7,12 @@ every data file records ``name_by_id`` (its write-time id→name mapping), and
 the reader reconciles old files to the current schema by id
 (see ``LakeTable.read``).
 
-Supported evolution ops (the north_rule set): ``add`` (new nullable column),
-``rename`` (metadata only), ``widen`` (int→bigint, int/bigint/float→double,
-float→double, and elementwise for arrays).
+Supported evolution ops: ``add`` (new nullable column), ``rename``
+(metadata only), ``widen`` (int→bigint, int/bigint/float→double,
+float→double, and elementwise for arrays) — the north_rule set — plus
+``drop`` (Iceberg semantics: the field ID is retired, so files at rest are
+simply no longer projected, and re-adding the same NAME mints a fresh id —
+dropped values can never resurrect; the key column refuses).
 
 The reference has no schema system at all (MongoDB, schemaless —
 ``/root/reference/files/extract.py:32-35`` defends with ``.get`` chains);
@@ -148,6 +151,16 @@ class TableSchema:
         fields = [Field(f.id, f.name, new_type if f.id == tgt.id else f.type, f.nullable) for f in self.fields]
         return self._bump(fields)
 
+    def drop_column(self, name: str) -> "TableSchema":
+        """Drop a column (Iceberg semantics): the field ID is retired, so
+        files at rest that still carry the column are simply not projected,
+        and a later re-add of the same NAME mints a fresh id — old values
+        can never resurrect through it. The key column cannot be dropped."""
+        tgt = self.field_by_name(name)
+        if tgt.id == self.key_field_id:
+            raise ValueError(f"cannot drop the key column: {name}")
+        return self._bump([f for f in self.fields if f.id != tgt.id])
+
     def apply_change(self, kind: str, column: str, new_name: str | None, new_type: str | None) -> "TableSchema":
         """Apply one F2 ``schema_change`` event payload."""
         if kind == "add":
@@ -156,6 +169,8 @@ class TableSchema:
             return self.rename_column(column, new_name or column)
         if kind == "widen":
             return self.widen_column(column, new_type or "bigint")
+        if kind == "drop":
+            return self.drop_column(column)
         raise ValueError(f"unknown schema_change kind: {kind}")
 
     # -- (de)serialization ---------------------------------------------------

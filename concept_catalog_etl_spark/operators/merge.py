@@ -101,8 +101,17 @@ class MergeConfig:
     writer_id: str | None = None
 
 
-def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSchema, dict]:
+def _apply_schema_changes(schema: TableSchema, sc_rows: list,
+                          protected_ids: frozenset = frozenset(),
+                          ) -> tuple[TableSchema, dict]:
     """Fold ordered schema_change events into the schema.
+
+    ``protected_ids``: field ids whose DROP is refused (ValueError, the
+    same loud failure as an illegal widen). The merge path protects the
+    contract trio (tokens / n_tok / source): the engine's per-row invariant
+    (token-array equality, n_tok == len(tokens)) and its DLQ semantics are
+    DEFINED over those columns — a feed that drops one is a broken feed,
+    not an evolution.
 
     Returns ``(new_schema, {"map": segments, "types": parse_types})`` where
     ``segments[current_name] = [(older_name, valid_below_lsn), ...]`` in
@@ -126,7 +135,22 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list) -> tuple[TableSche
             cur_type = next(
                 (f.type for f in schema.fields if f.name == column), "string"
             )
+        if kind == "drop":
+            fld = next((f for f in schema.fields if f.name == column), None)
+            if fld is not None and fld.id in protected_ids:
+                raise ValueError(
+                    f"cannot drop contract column {column!r} (field id "
+                    f"{fld.id}): the token-array/n_tok/source invariants are "
+                    f"defined over it"
+                )
         schema = schema.apply_change(kind, column, r["new_name"], r["new_type"])
+        if kind == "drop":
+            # the column's in-batch history dies with it: a later re-add of
+            # the same name is a NEW field (fresh id) whose add-gate below
+            # keeps pre-re-add events from feeding it, so dropped values can
+            # never leak forward even within one batch
+            rename_hist.pop(column, None)
+            added_at.pop(column, None)
         if kind == "rename":
             hist = rename_hist.pop(column, [])
             hist.append((column, int(r["lsn"])))
@@ -391,7 +415,13 @@ def apply_batch(
     evolution: dict = {}
     new_schema = None
     if sc_rows:
-        new_schema, ren = _apply_schema_changes(schema, sc_rows)
+        new_schema, ren = _apply_schema_changes(
+            schema, sc_rows,
+            protected_ids=frozenset(
+                i for i in (cfg.tokens_fid, cfg.ntok_fid, cfg.source_fid)
+                if i is not None
+            ),
+        )
         evolution = ren
         parsed = parse(raw, new_schema, extra_names=ren["types"])
         schema = new_schema

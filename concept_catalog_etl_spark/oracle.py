@@ -73,6 +73,14 @@ class OracleSchema:
             for f in self.fields:
                 if f["name"] == sc["column"]:
                     f["type"] = sc["new_type"]
+        elif kind == "drop":
+            # field id retired: stored values for it vanish from the final
+            # projection; a later re-add mints a fresh id (no resurrection).
+            # The key and the contract trio (tokens/n_tok/source, ids 1-4)
+            # refuse, mirroring the engine (operators/merge.py)
+            if any(f["name"] == sc["column"] and f["id"] <= 4 for f in self.fields):
+                raise ValueError(f"cannot drop contract column: {sc['column']}")
+            self.fields = [f for f in self.fields if f["name"] != sc["column"]]
 
     def payload_names(self) -> list[tuple[int, str]]:
         return [(f["id"], f["name"]) for f in self.fields if f["id"] != 1]

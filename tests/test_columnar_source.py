@@ -94,6 +94,27 @@ def test_columnar_replay_across_schema_evolution(spark, scratch):
     assert [f["name"] for f in oschema.fields] == t_col.schema().names()
 
 
+def test_columnar_replay_across_drop_evolution(spark, scratch):
+    """add then DROP mid-stream through the columnar path: groups converted
+    after the drop no longer type the column; replay retires the field id at
+    the same stream position and lands the oracle state."""
+    d = os.path.join(scratch, "binlog")
+    paths = generate_binlog(
+        d, n_events=2400, n_docs=200, n_files=6, seed=17,
+        schema_changes=[
+            {"at_event": 400, "kind": "add", "column": "lang", "new_type": "string"},
+            {"at_event": 1600, "kind": "drop", "column": "lang"},
+        ],
+    )
+    groups = _convert(spark, scratch, paths, files_per_group=1)
+    t_col = make_table(os.path.join(scratch, "t_col"))
+    replay_batch(spark, groups, t_col, files_per_batch=1, source_format="parquet")
+    oracle_state, oschema, _ = replay_dir(d)
+    assert "lang" not in t_col.schema().names()
+    assert [f["name"] for f in oschema.fields] == t_col.schema().names()
+    assert_state_equals_oracle(spark, t_col, oracle_state)
+
+
 def test_columnar_replay_mor_mode(spark, scratch):
     d = os.path.join(scratch, "binlog")
     paths = generate_binlog(d, n_events=2000, n_docs=200, n_files=4, seed=5)

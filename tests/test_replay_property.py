@@ -108,6 +108,7 @@ evo_event_st = st.fixed_dictionaries({
     "kind": st.sampled_from([
         "data", "data", "data", "data",       # weight toward data events
         "sc_add", "sc_rename", "sc_widen", "sc_rename_added",
+        "sc_drop_added",
     ]),
     "doc": st.integers(0, 4),
     "ts_s": st.integers(0, 3),
@@ -122,10 +123,12 @@ evo_event_st = st.fixed_dictionaries({
 @given(events=st.lists(evo_event_st, min_size=3, max_size=20),
        split=st.integers(1, 19), seed=st.integers(0, 10**6))
 def test_random_evolution_replay_matches_oracle(spark, events, split, seed):
-    """Random add/rename/widen schema changes at random stream positions,
-    with data events that deliberately use STALE payload keys (pre-rename
-    name after the rename, added column before the add) — engine state must
-    equal the oracle's, including the lsn-gated name resolution."""
+    """Random add/rename/widen/drop schema changes at random stream
+    positions, with data events that deliberately use STALE payload keys
+    (pre-rename name after the rename, added column before the add, dropped
+    column after the drop) and adds that REUSE a dropped name (fresh field
+    id — old values must not resurrect) — engine state must equal the
+    oracle's, including the lsn-gated name resolution."""
     d = os.path.join(SCRATCH, f"evo_{seed}_{len(events)}_{split}")
     shutil.rmtree(d, ignore_errors=True)
     binlog = os.path.join(d, "binlog")
@@ -133,14 +136,18 @@ def test_random_evolution_replay_matches_oracle(spark, events, split, seed):
 
     src_names = ["source"]          # rename history of the source column
     added: list[str] = []           # added columns, in order
+    dropped: list[str] = []         # dropped names, reusable by a later add
     n_added = 0
     widened = False
     lines = []
     for lsn, ev in enumerate(events):
         ts = f"1970-01-01T00:00:{ev['ts_s']:02d}.000000"
         if ev["kind"] == "sc_add":
-            n_added += 1
-            col = f"q{n_added}"
+            if dropped:
+                col = dropped.pop()  # re-add a dropped NAME: fresh field id
+            else:
+                n_added += 1
+                col = f"q{n_added}"
             added.append(col)
             lines.append(json.dumps({
                 "op": "schema_change", "event_ts": ts, "lsn": lsn,
@@ -165,6 +172,14 @@ def test_random_evolution_replay_matches_oracle(spark, events, split, seed):
                                   "new_name": new, "new_type": None},
             }))
             added[-1] = new
+        elif ev["kind"] == "sc_drop_added" and added:
+            col = added.pop()
+            dropped.append(col)
+            lines.append(json.dumps({
+                "op": "schema_change", "event_ts": ts, "lsn": lsn,
+                "schema_change": {"kind": "drop", "column": col,
+                                  "new_name": None, "new_type": None},
+            }))
         elif ev["kind"] == "sc_widen" and not widened:
             widened = True
             lines.append(json.dumps({
@@ -178,9 +193,11 @@ def test_random_evolution_replay_matches_oracle(spark, events, split, seed):
             payload = {"tokens": ev["toks"], "n_tok": len(ev["toks"]),
                        src_key: "curated"}
             if ev["extra"]:
-                # latest added col if any, else a never-added key — both
-                # exercise unknown/known-field handling
-                payload[added[-1] if added else "q_never"] = 0.5
+                # latest added col if any, else the latest DROPPED key (a
+                # producer still sending a dead column), else a never-added
+                # key — all three exercise unknown/known-field handling
+                payload[added[-1] if added
+                        else (dropped[-1] if dropped else "q_never")] = 0.5
             lines.append(json.dumps({
                 "op": "update", "doc_id": f"doc-{ev['doc']:06d}",
                 "event_ts": ts, "lsn": lsn, "payload": payload,

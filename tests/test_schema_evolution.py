@@ -249,3 +249,142 @@ def test_add_then_rename_same_batch_keeps_add_gate(spark, scratch):
     assert state["doc-2"]["q2"] == 0.5
     assert state["doc-3"]["q2"] == 0.1
     assert_state_equals_oracle(spark, table, replay_dir(d)[0])
+
+
+def test_drop_column(spark, scratch):
+    """Drop retires the field id: the column leaves the schema, values at
+    rest are no longer projected (CoW and the oracle agree), and other
+    fields are untouched."""
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "b0.jsonl"), os.path.join(d, "b1.jsonl")
+    _write(f1, [
+        _ev("schema_change", None, "2026-01-01T00:00:00.000000", 0,
+            schema_change={"kind": "add", "column": "quality",
+                           "new_name": None, "new_type": "double"}),
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1,
+            _p([1, 2], quality=0.9)),
+        _ev("insert", "doc-2", "2026-01-01T00:00:02.000000", 2,
+            _p([3], quality=0.5)),
+    ])
+    _write(f2, [
+        _ev("schema_change", None, "2026-01-01T00:00:03.000000", 3,
+            schema_change={"kind": "drop", "column": "quality",
+                           "new_name": None, "new_type": None}),
+        # post-drop event still sending the dead key: ignored, not an error
+        _ev("update", "doc-2", "2026-01-01T00:00:04.000000", 4,
+            _p([3, 4], quality=0.7)),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1, f2], table, files_per_batch=1)
+    assert "quality" not in table.schema().names()
+    state = table_state(spark, table)
+    assert set(state["doc-1"]) == {"doc_id", "tokens", "n_tok", "source"}
+    assert state["doc-1"]["tokens"] == [1, 2]
+    assert state["doc-2"]["tokens"] == [3, 4]
+    assert_state_equals_oracle(spark, table, replay_dir(d)[0])
+
+
+def test_drop_then_readd_no_resurrection(spark, scratch):
+    """Re-adding a dropped NAME mints a fresh field id: values written under
+    the old id never resurrect — only rows updated after the re-add carry
+    the new column (Iceberg drop/re-add semantics)."""
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "b0.jsonl"), os.path.join(d, "b1.jsonl")
+    _write(f1, [
+        _ev("schema_change", None, "2026-01-01T00:00:00.000000", 0,
+            schema_change={"kind": "add", "column": "quality",
+                           "new_name": None, "new_type": "double"}),
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1,
+            _p([1], quality=0.9)),
+        _ev("insert", "doc-2", "2026-01-01T00:00:02.000000", 2,
+            _p([2], quality=0.8)),
+    ])
+    _write(f2, [
+        _ev("schema_change", None, "2026-01-01T00:00:03.000000", 3,
+            schema_change={"kind": "drop", "column": "quality",
+                           "new_name": None, "new_type": None}),
+        _ev("schema_change", None, "2026-01-01T00:00:04.000000", 4,
+            schema_change={"kind": "add", "column": "quality",
+                           "new_name": None, "new_type": "double"}),
+        _ev("update", "doc-2", "2026-01-01T00:00:05.000000", 5,
+            _p([2, 3], quality=0.1)),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1, f2], table, files_per_batch=1)
+    state = table_state(spark, table)
+    assert state["doc-1"]["quality"] is None  # old id's value did NOT return
+    assert state["doc-2"]["quality"] == 0.1
+    assert_state_equals_oracle(spark, table, replay_dir(d)[0])
+
+
+def test_drop_then_readd_same_batch_gates_by_lsn(spark, scratch):
+    """Drop + re-add inside ONE batch: events before the re-add line cannot
+    feed the new field (fresh id, add-gate), events after it do."""
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1 = os.path.join(d, "b0.jsonl")
+    _write(f1, [
+        _ev("schema_change", None, "2026-01-01T00:00:00.000000", 0,
+            schema_change={"kind": "add", "column": "q",
+                           "new_name": None, "new_type": "double"}),
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1], q=0.9)),
+        _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
+            schema_change={"kind": "drop", "column": "q",
+                           "new_name": None, "new_type": None}),
+        # between drop and re-add: 'q' does not exist at this position
+        _ev("insert", "doc-2", "2026-01-01T00:00:03.000000", 3, _p([2], q=0.5)),
+        _ev("schema_change", None, "2026-01-01T00:00:04.000000", 4,
+            schema_change={"kind": "add", "column": "q",
+                           "new_name": None, "new_type": "double"}),
+        _ev("insert", "doc-3", "2026-01-01T00:00:05.000000", 5, _p([3], q=0.2)),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1], table, files_per_batch=1)
+    state = table_state(spark, table)
+    assert state["doc-1"]["q"] is None  # captured under the RETIRED id
+    assert state["doc-2"]["q"] is None  # key sent while the column was dead
+    assert state["doc-3"]["q"] == 0.2
+    assert_state_equals_oracle(spark, table, replay_dir(d)[0])
+
+
+def test_drop_key_and_contract_columns_refused(spark, scratch):
+    import pytest
+
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    for col in ("doc_id", "tokens", "n_tok", "source"):
+        f1 = os.path.join(d, f"bad_{col}.jsonl")
+        _write(f1, [
+            _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1])),
+            _ev("schema_change", None, "2026-01-01T00:00:02.000000", 2,
+                schema_change={"kind": "drop", "column": col,
+                               "new_name": None, "new_type": None}),
+        ])
+        table = make_table(os.path.join(scratch, col))
+        with pytest.raises(ValueError):
+            replay_batch(spark, [f1], table, files_per_batch=1)
+
+
+def test_generator_driven_drop_matches_oracle(spark, scratch):
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+
+    d = os.path.join(scratch, "log")
+    generate_binlog(
+        d, n_events=1200, n_docs=100, n_files=4, seed=33,
+        schema_changes=[
+            {"at_event": 200, "kind": "add", "column": "quality",
+             "new_type": "double"},
+            {"at_event": 400, "kind": "rename", "column": "quality",
+             "new_name": "q2"},
+            {"at_event": 800, "kind": "drop", "column": "q2"},
+        ],
+    )
+    table = make_table(scratch)
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    replay_batch(spark, files, table, files_per_batch=2)
+    oracle_state, oschema, _ = replay_dir(d)
+    assert [f["name"] for f in oschema.fields] == table.schema().names()
+    assert "q2" not in table.schema().names()
+    assert_state_equals_oracle(spark, table, oracle_state)
