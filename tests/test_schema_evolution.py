@@ -388,3 +388,54 @@ def test_generator_driven_drop_matches_oracle(spark, scratch):
     assert [f["name"] for f in oschema.fields] == table.schema().names()
     assert "q2" not in table.schema().names()
     assert_state_equals_oracle(spark, table, oracle_state)
+
+
+def test_change_feed_and_export_across_drop(spark, scratch):
+    """A drop between two synced versions: the change feed's post- and
+    pre-image columns both reflect the POST-drop schema (the dropped field
+    id is simply not projected on either side), and the export chain's
+    field-id reconciliation drops the column from pre-drop snapshot shards
+    at read time."""
+    from concept_catalog_etl_spark.sinks.export import (
+        export_delta, export_snapshot, read_export,
+    )
+
+    d = os.path.join(scratch, "log")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "b0.jsonl"), os.path.join(d, "b1.jsonl")
+    _write(f1, [
+        _ev("schema_change", None, "2026-01-01T00:00:00.000000", 0,
+            schema_change={"kind": "add", "column": "q",
+                           "new_name": None, "new_type": "double"}),
+        _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1, _p([1], q=0.9)),
+        _ev("insert", "doc-2", "2026-01-01T00:00:02.000000", 2, _p([2], q=0.8)),
+    ])
+    _write(f2, [
+        _ev("schema_change", None, "2026-01-01T00:00:03.000000", 3,
+            schema_change={"kind": "drop", "column": "q",
+                           "new_name": None, "new_type": None}),
+        _ev("update", "doc-2", "2026-01-01T00:00:04.000000", 4, _p([2, 3])),
+    ])
+    table = make_table(scratch)
+    replay_batch(spark, [f1], table, files_per_batch=1)
+    v1 = table.current_version()
+    replay_batch(spark, [f2], table, files_per_batch=1, start_batch_id=1)
+    v2 = table.current_version()
+
+    ch = table.read_changes(spark, from_version=v1, to_version=v2,
+                            include_preimage=True)
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in ch.collect()}
+    assert set(rows) == {"doc-2"}
+    assert "q" not in rows["doc-2"] and "_pre_q" not in rows["doc-2"]
+    assert rows["doc-2"]["_pre_tokens"] == [2]
+    assert rows["doc-2"]["tokens"] == [2, 3]
+
+    dest = os.path.join(scratch, "export")
+    export_snapshot(spark, table, dest, version=v1)  # shards still carry q
+    export_delta(spark, table, dest, to_version=v2)
+    out = {r["doc_id"]: r.asDict(recursive=True)
+           for r in read_export(spark, dest).collect()}
+    assert set(out) == {"doc-1", "doc-2"}
+    assert all("q" not in r for r in out.values())
+    assert out["doc-2"]["tokens"] == [2, 3]
+    assert out == table_state(spark, table)
