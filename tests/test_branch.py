@@ -145,3 +145,27 @@ def test_create_branch_collision_and_guards(spark, scratch, binlog):
         table.branch("nope")
     with pytest.raises(KeyError):
         table.drop_branch("nope")
+
+
+def test_fast_forward_after_branch_rebucket(spark, scratch, binlog):
+    """A branch that evolved its bucket LAYOUT fast-forwards cleanly: main
+    adopts the new n_buckets together with the branch's file set in one
+    pointer swap, reads are exact, and the ledger still skips the branch's
+    batch ids afterwards. (A writer staging files for the old layout is
+    refused post-merge by commit()'s existing layout_nb gate.)"""
+    binlog_dir, paths = binlog
+    table = make_table(scratch)
+    replay_batch(spark, paths[:4], table, files_per_batch=2)
+    old_nb = table.n_buckets()
+    br = table.create_branch("wide")
+    br.rebucket(spark, old_nb * 2)
+    replay_batch(spark, paths[4:], br, files_per_batch=2, start_batch_id=2)
+    snap = table.fast_forward("wide")
+    assert snap["n_buckets"] == old_nb * 2
+    assert table.n_buckets() == old_nb * 2
+    oracle_state, _schema, _stats = replay_dir(binlog_dir)
+    assert_state_equals_oracle(spark, table, oracle_state)
+    # ledger carried across the layout change too
+    v = table.current_version()
+    replay_batch(spark, paths[4:], table, files_per_batch=2, start_batch_id=2)
+    assert table.current_version() == v
