@@ -50,6 +50,7 @@ def replay_stream(
     source_format: str = "text",
     sync_derived=None,
     audit=None,
+    fsck_every: int | None = None,
 ):
     """Structured Streaming replay.
 
@@ -111,6 +112,15 @@ def replay_stream(
     ``lambda s: neardup_index.sync_index(s, table, index)`` or an
     aggregate-IVM ``sync_increment`` — each is itself exactly-once, so a
     crash between tick and checkpoint only causes a skipped re-run.
+
+    ``fsck_every=N`` runs the O(metadata) consistency audit
+    (``lakehouse.fsck.check_table``) every N applied batches, AFTER the
+    maintenance work of that batch, and raises ``RuntimeError`` on any
+    error-level finding — the single-writer loop halts on the first sign
+    of structural corruption instead of compounding it (a halted stream is
+    resumable from checkpoint once the root cause is repaired; see fsck's
+    module docs for the repair primitives). Findings land in the batch
+    metrics either way.
     """
     if source_format == "parquet":
         # Columnar streaming source: the reader schema is fixed at query
@@ -194,6 +204,18 @@ def replay_stream(
             )
             # single-writer loop: no in-flight files between our own batches
             table.vacuum(retain_last=vacuum_retain_last, orphan_grace_sec=0)
+        if fsck_every and applied and applied % fsck_every == 0:
+            from ..lakehouse.fsck import check_table
+
+            rep = check_table(table)
+            m["fsck"] = {"ok": rep["ok"],
+                         "findings": rep["findings"][:16]}
+            if not rep["ok"]:
+                errs = [f for f in rep["findings"] if f["level"] == "error"]
+                raise RuntimeError(
+                    f"fsck found {len(errs)} structural error(s) after batch "
+                    f"{batch_id}; first: {errs[0]['code']}: {errs[0]['detail']}"
+                )
 
     writer = raw.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

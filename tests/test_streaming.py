@@ -182,3 +182,30 @@ def test_stream_minor_compaction_amplification_bound(spark, scratch):
     # the newest batch's single delta can sit on top of a fold
     assert max(per_bucket.values()) <= 3, per_bucket
     assert all(f.get("delta") for f in table.files())
+
+
+def test_stream_fsck_tick_clean_and_halting(spark, scratch):
+    """fsck riding the ingest loop: a healthy stream audits clean every N
+    batches (findings recorded in metrics), and structural corruption HALTS
+    the stream with the fsck error instead of compounding it."""
+    import pytest
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=1500, n_docs=150, n_files=6, seed=19)
+    table = make_table(scratch)
+    ckpt = os.path.join(scratch, "ckpt")
+    metrics = replay_stream(spark, d, table, ckpt, max_files_per_trigger=2,
+                            fsck_every=1)
+    audited = [m for m in metrics if "fsck" in m]
+    assert audited and all(m["fsck"]["ok"] for m in audited)
+
+    # corrupt something only the audit can see (reads never open old
+    # version files): punch a hole in the retained snapshot chain
+    mid = table.current_version() // 2
+    os.remove(os.path.join(table.meta_dir, f"v{mid}.json"))
+    generate_binlog(d, n_events=300, n_docs=150, n_files=1, seed=20,
+                    start_lsn=10_000, prefix="extra")
+    with pytest.raises(Exception) as ei:
+        replay_stream(spark, d, table, ckpt, max_files_per_trigger=2,
+                      fsck_every=1)
+    assert "snapshot_missing" in str(ei.value)
