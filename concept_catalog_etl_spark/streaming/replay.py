@@ -159,6 +159,14 @@ def replay_stream(
         sink_cfg = dataclasses.replace(cfg or _MC(), stage_only=True)
 
     def _sink(df, batch_id: int):
+        if source_format == "debezium":
+            # Debezium lines are parsed HERE, per batch, under the registry
+            # schema current at apply time (same evolution-transparency
+            # rationale as the internal text path — the readStream itself
+            # stays schema-free text)
+            from ..sources.debezium import parse_debezium
+
+            df = parse_debezium(df, table.schema())
         m = apply_batch(df.sparkSession, table, df, batch_id, sink_cfg)
         if audit is not None and not m.get("skipped"):
             sid = m["stage_id"]
@@ -243,7 +251,10 @@ def replay_batch(
     """Batch-mode replay: lexicographic file order, explicit batch ids,
     same exactly-once ledger semantics. ``source_format='parquet'`` replays
     a columnar change feed (sources/columnar.py) — no ``from_json``; payload
-    shapes from different stream positions union via mergeSchema."""
+    shapes from different stream positions union via mergeSchema.
+    ``source_format='debezium'`` replays standard Debezium JSON envelopes
+    (sources/debezium.py) — parsed per batch under the CURRENT registry
+    schema, like the internal text path."""
     files = sorted(binlog_files)
     out = []
     bid = start_batch_id
@@ -251,6 +262,10 @@ def replay_batch(
         group = files[i : i + files_per_batch]
         if source_format == "parquet":
             raw = spark.read.option("mergeSchema", "true").parquet(*group)
+        elif source_format == "debezium":
+            from ..sources.debezium import parse_debezium
+
+            raw = parse_debezium(spark.read.text(group), table.schema())
         else:
             raw = spark.read.text(group)
         out.append(apply_batch(spark, table, raw, bid, cfg))
