@@ -146,6 +146,15 @@ class CommitConflictError(RuntimeError):
     against the new snapshot (a blind retry would lose the winner's rows)."""
 
 
+class WriterFencedError(RuntimeError):
+    """A commit arrived under a RETIRED writer epoch: a newer incarnation of
+    this writer has since called ``acquire_writer_epoch``, so the committer
+    is a zombie (e.g. an old streaming driver whose job was restarted
+    elsewhere). The commit must be abandoned, never retried — the message
+    deliberately avoids the 'concurrent commit' marker so
+    ``commit_with_retry`` propagates it immediately."""
+
+
 _Z_BITS = 16  # per-column resolution of the z-curve (65536 cells per axis)
 
 
@@ -313,6 +322,50 @@ class LakeTable:
         with open(tmp, "w") as f:
             f.write(str(snap["version"]))
         os.replace(tmp, os.path.join(self.meta_dir, "_current"))  # atomic swap
+
+    # ----------------------------------------------------------------- fence
+    def writer_epoch(self, writer_id: str | None = None) -> int:
+        """Current epoch for a writer identity (0 = never acquired)."""
+        wid = writer_id or "_default"
+        return int(self.properties().get("writer_epochs", {}).get(wid, 0))
+
+    def acquire_writer_epoch(self, writer_id: str | None = None,
+                             max_retries: int = 20) -> int:
+        """Bump and return this writer identity's epoch — the zombie fence.
+
+        A (re)starting writer acquires an epoch ONCE and stamps it on every
+        commit (``MergeConfig.writer_epoch`` / ``commit(writer_epoch=...)``).
+        Acquiring retires all prior epochs for the identity: a superseded
+        driver that wakes up later and tries to commit gets
+        ``WriterFencedError`` instead of interleaving its stale batches with
+        the new incarnation's (the Kafka transactional-producer /
+        Flink-job-fencing idea, carried in snapshot properties so the fence
+        travels in the same atomic pointer swap as everything else).
+
+        The bump itself is a property-only commit re-derived from a FRESH
+        snapshot on every race retry (a static extra_props under
+        commit_with_retry could double-apply a stale increment)."""
+        wid = writer_id or "_default"
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            eps = {k: int(v)
+                   for k, v in snap["properties"].get("writer_epochs", {}).items()}
+            new = eps.get(wid, 0) + 1
+            eps[wid] = new
+            try:
+                self.commit(expect_version=snap["version"],
+                            extra_props={"writer_epochs": eps})
+                return new
+            except FileExistsError:
+                continue
+            except RuntimeError as e:
+                if "concurrent commit" not in str(e):
+                    raise
+                continue
+        raise CommitConflictError(
+            f"could not acquire writer epoch for '{wid}' after "
+            f"{max_retries + 1} attempts"
+        )
 
     # ---------------------------------------------------------------- ledger
     def is_committed(self, batch_id: int, writer_id: str | None = None) -> bool:
@@ -594,6 +647,7 @@ class LakeTable:
         extra_props: dict | None = None,
         writer_id: str | None = None,
         new_n_buckets: int | None = None,
+        writer_epoch: int | None = None,
     ) -> dict:
         """Build + atomically publish the next snapshot.
 
@@ -607,6 +661,22 @@ class LakeTable:
         change moves no logical data).
         """
         snap = self.snapshot()
+        if writer_epoch is not None:
+            # zombie-writer fence: validated against the SAME snapshot the
+            # commit builds on, and re-validated on every commit_with_retry
+            # attempt (each re-invocation reloads the snapshot) — so a fence
+            # acquired mid-retry still aborts the zombie atomically with the
+            # pointer swap it would have won.
+            wid = writer_id or "_default"
+            cur_ep = int(
+                snap["properties"].get("writer_epochs", {}).get(wid, 0)
+            )
+            if cur_ep != writer_epoch:
+                raise WriterFencedError(
+                    f"writer '{wid}' holds epoch {writer_epoch} but the table "
+                    f"is at epoch {cur_ep} — a newer writer incarnation has "
+                    "fenced this one; abandon the commit"
+                )
         if expect_version is not None and snap["version"] != expect_version:
             raise RuntimeError(
                 f"concurrent commit: expected v{expect_version}, found v{snap['version']}"
@@ -902,6 +972,7 @@ class LakeTable:
         new_schema: TableSchema | None = None,
         metrics: dict | None = None,
         expect_version: int | None = None,
+        writer_epoch: int | None = None,
     ) -> str:
         """Stage a commit for audit; returns a ``stage_id``. The staged
         state is readable via ``read_stage`` but invisible to every other
@@ -916,6 +987,19 @@ class LakeTable:
         conflict NOW, not a silent clobber at publish — same contract as
         ``commit``."""
         snap = self.snapshot()
+        if writer_epoch is not None:
+            # fail the zombie at STAGE time (publish re-validates through
+            # commit() regardless — this just avoids staging dead work)
+            wid = writer_id or "_default"
+            cur_ep = int(
+                snap["properties"].get("writer_epochs", {}).get(wid, 0)
+            )
+            if cur_ep != writer_epoch:
+                raise WriterFencedError(
+                    f"writer '{wid}' holds epoch {writer_epoch} but the table "
+                    f"is at epoch {cur_ep} — a newer writer incarnation has "
+                    "fenced this one; abandon the stage"
+                )
         if expect_version is not None and snap["version"] != expect_version:
             raise CommitConflictError(
                 f"concurrent commit before stage: expected v{expect_version},"
@@ -957,6 +1041,7 @@ class LakeTable:
                 "extra_props": extra_props,
                 "new_schema": new_schema.to_json() if new_schema else None,
                 "metrics": metrics,
+                "writer_epoch": writer_epoch,
             },
         }
         # atomic marker publish (tmp + rename — uuid ids can't collide, so
@@ -1043,6 +1128,7 @@ class LakeTable:
             new_schema=TableSchema.from_json(kw["new_schema"])
             if kw.get("new_schema") else None,
             metrics=kw.get("metrics"),
+            writer_epoch=kw.get("writer_epoch"),
             # a REWRITE stage validates against the version it was computed
             # from — the overlap walk then covers every commit that landed
             # during the audit (publishing against "current" would silently

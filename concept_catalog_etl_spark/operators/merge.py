@@ -99,6 +99,11 @@ class MergeConfig:
     # loop re-driving dead-letter batches under their ORIGINAL batch ids —
     # must set its own namespace or the tail's ledger would skip it.
     writer_id: str | None = None
+    # zombie fence: the epoch this writer incarnation acquired via
+    # table.acquire_writer_epoch(writer_id). Every commit validates it
+    # against the snapshot it builds on; a superseded driver's commit
+    # raises WriterFencedError instead of landing. None = unfenced.
+    writer_epoch: int | None = None
 
 
 def _apply_schema_changes(schema: TableSchema, sc_rows: list,
@@ -682,6 +687,7 @@ def apply_batch(
             # stage across a commit that landed mid-merge — same race the
             # non-stage branch's expect_version catches); mor appends commute
             expect_version=None if cfg.write_mode == "mor" else expect_version,
+            writer_epoch=cfg.writer_epoch,
         )
     else:
         table.commit_with_retry(
@@ -694,6 +700,7 @@ def apply_batch(
             new_schema=new_schema,
             metrics=metrics,
             expect_version=expect_version,
+            writer_epoch=cfg.writer_epoch,
         )
     _mark("commit")
     metrics["phase_sec"] = phases

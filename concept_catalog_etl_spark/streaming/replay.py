@@ -51,6 +51,7 @@ def replay_stream(
     sync_derived=None,
     audit=None,
     fsck_every: int | None = None,
+    fence: bool = False,
 ):
     """Structured Streaming replay.
 
@@ -157,6 +158,21 @@ def replay_stream(
         from ..operators.merge import MergeConfig as _MC
 
         sink_cfg = dataclasses.replace(cfg or _MC(), stage_only=True)
+    if fence:
+        # zombie-writer fence: this incarnation acquires a fresh epoch NOW,
+        # retiring every prior holder of the same writer identity — a
+        # superseded driver that wakes up later dies with WriterFencedError
+        # on its first DATA commit (already-committed batch ids still skip
+        # silently via the ledger; maintenance rewrites are state-preserving
+        # and collide through the normal optimistic-commit guards).
+        import dataclasses
+
+        from ..operators.merge import MergeConfig as _MC
+
+        base = sink_cfg or _MC()
+        sink_cfg = dataclasses.replace(
+            base, writer_epoch=table.acquire_writer_epoch(base.writer_id)
+        )
 
     def _sink(df, batch_id: int):
         if source_format == "debezium":
