@@ -324,6 +324,20 @@ class LakeTable:
         os.replace(tmp, os.path.join(self.meta_dir, "_current"))  # atomic swap
 
     # ----------------------------------------------------------------- fence
+    def _validate_fence(self, writer_id: str | None, writer_epoch: int | None,
+                        snap: dict | None = None, what: str = "commit") -> None:
+        if writer_epoch is None:
+            return
+        snap = snap or self.snapshot()
+        wid = writer_id or "_default"
+        cur_ep = int(snap["properties"].get("writer_epochs", {}).get(wid, 0))
+        if cur_ep != writer_epoch:
+            raise WriterFencedError(
+                f"writer '{wid}' holds epoch {writer_epoch} but the table is "
+                f"at epoch {cur_ep} — a newer writer incarnation has fenced "
+                f"this one; abandon the {what}"
+            )
+
     def writer_epoch(self, writer_id: str | None = None) -> int:
         """Current epoch for a writer identity (0 = never acquired)."""
         wid = writer_id or "_default"
@@ -661,22 +675,12 @@ class LakeTable:
         change moves no logical data).
         """
         snap = self.snapshot()
-        if writer_epoch is not None:
-            # zombie-writer fence: validated against the SAME snapshot the
-            # commit builds on, and re-validated on every commit_with_retry
-            # attempt (each re-invocation reloads the snapshot) — so a fence
-            # acquired mid-retry still aborts the zombie atomically with the
-            # pointer swap it would have won.
-            wid = writer_id or "_default"
-            cur_ep = int(
-                snap["properties"].get("writer_epochs", {}).get(wid, 0)
-            )
-            if cur_ep != writer_epoch:
-                raise WriterFencedError(
-                    f"writer '{wid}' holds epoch {writer_epoch} but the table "
-                    f"is at epoch {cur_ep} — a newer writer incarnation has "
-                    "fenced this one; abandon the commit"
-                )
+        # zombie-writer fence: validated against the SAME snapshot the
+        # commit builds on, and re-validated on every commit_with_retry
+        # attempt (each re-invocation reloads the snapshot) — so a fence
+        # acquired mid-retry still aborts the zombie atomically with the
+        # pointer swap it would have won.
+        self._validate_fence(writer_id, writer_epoch, snap)
         if expect_version is not None and snap["version"] != expect_version:
             raise RuntimeError(
                 f"concurrent commit: expected v{expect_version}, found v{snap['version']}"
@@ -987,19 +991,9 @@ class LakeTable:
         conflict NOW, not a silent clobber at publish — same contract as
         ``commit``."""
         snap = self.snapshot()
-        if writer_epoch is not None:
-            # fail the zombie at STAGE time (publish re-validates through
-            # commit() regardless — this just avoids staging dead work)
-            wid = writer_id or "_default"
-            cur_ep = int(
-                snap["properties"].get("writer_epochs", {}).get(wid, 0)
-            )
-            if cur_ep != writer_epoch:
-                raise WriterFencedError(
-                    f"writer '{wid}' holds epoch {writer_epoch} but the table "
-                    f"is at epoch {cur_ep} — a newer writer incarnation has "
-                    "fenced this one; abandon the stage"
-                )
+        # fail the zombie at STAGE time (publish re-validates through
+        # commit() regardless — this just avoids staging dead work)
+        self._validate_fence(writer_id, writer_epoch, snap, what="stage")
         if expect_version is not None and snap["version"] != expect_version:
             raise CommitConflictError(
                 f"concurrent commit before stage: expected v{expect_version},"
@@ -1856,6 +1850,8 @@ class LakeTable:
         target_rows_per_file: int | None = None,
         cluster_by: list[str] | None = None,
         cluster_mode: str = "linear",
+        writer_id: str | None = None,
+        writer_epoch: int | None = None,
     ) -> dict:
         """Rewrite fragmented buckets (and optionally expire tombstones older
         than the out-of-orderness horizon). Metadata-atomic like any commit;
@@ -1993,6 +1989,7 @@ class LakeTable:
         self.commit_with_retry(
             add_files=files, remove_buckets=todo, extra_props=cursor_props,
             expect_version=snap["version"],
+            writer_id=writer_id, writer_epoch=writer_epoch,
         )
         return {
             "buckets_compacted": len(todo),
@@ -2005,6 +2002,8 @@ class LakeTable:
         spark: SparkSession,
         max_delta_files_per_bucket: int = 1,
         max_buckets_per_run: int | None = None,
+        writer_id: str | None = None,
+        writer_epoch: int | None = None,
     ) -> dict:
         """Fold each fragmented bucket's DELTA files into one delta file
         without touching its base files (LSM minor compaction; Iceberg
@@ -2064,6 +2063,7 @@ class LakeTable:
         self.commit_with_retry(
             add_files=new_files, remove_paths=remove,
             expect_version=snap["version"],
+            writer_id=writer_id, writer_epoch=writer_epoch,
         )
         return {
             "buckets_compacted": len(todo),
@@ -2292,7 +2292,9 @@ class LakeTable:
 
     def vacuum(self, retain_last: int = 8, orphan_grace_sec: float = 3600,
                stage_ttl_sec: float | None = None,
-               retain_age_sec: float | None = None) -> int:
+               retain_age_sec: float | None = None,
+               writer_id: str | None = None,
+               writer_epoch: int | None = None) -> int:
         """Delete data files / bucket manifests not referenced by the last
         ``retain_last`` snapshots, and expire older snapshot files (Delta/
         Iceberg-style retention window). Time-travel reads and
@@ -2324,6 +2326,10 @@ class LakeTable:
                 "share main's data/manifest namespace and are GC'd (or pinned) "
                 "by main's vacuum"
             )
+        # vacuum publishes no snapshot, so the fence check is entry-time only
+        # (a zombie tick must not delete files the live writer references;
+        # the retention floors bound the worst case regardless)
+        self._validate_fence(writer_id, writer_epoch, what="vacuum")
         cur = self.current_version()
         floor = max(0, cur - max(retain_last, 1) + 1)
         if retain_age_sec is not None:

@@ -173,6 +173,9 @@ def replay_stream(
         sink_cfg = dataclasses.replace(
             base, writer_epoch=table.acquire_writer_epoch(base.writer_id)
         )
+    # the maintenance tick commits too — it must die with the same fence
+    _fence_wid = sink_cfg.writer_id if sink_cfg else None
+    _fence_ep = sink_cfg.writer_epoch if sink_cfg else None
 
     def _sink(df, batch_id: int):
         if source_format == "debezium":
@@ -209,6 +212,7 @@ def replay_stream(
                     if minor_compact_max_delta is not None else 1
                 ),
                 max_buckets_per_run=maintenance_max_buckets,
+                writer_id=_fence_wid, writer_epoch=_fence_ep,
             )
         if full_tick:
             for sync in sync_derived or []:
@@ -225,9 +229,11 @@ def replay_stream(
                 max_buckets_per_run=maintenance_max_buckets,
                 expire_tombstones_below_lsn=expire_below,
                 target_rows_per_file=maintenance_target_rows_per_file,
+                writer_id=_fence_wid, writer_epoch=_fence_ep,
             )
             # single-writer loop: no in-flight files between our own batches
-            table.vacuum(retain_last=vacuum_retain_last, orphan_grace_sec=0)
+            table.vacuum(retain_last=vacuum_retain_last, orphan_grace_sec=0,
+                         writer_id=_fence_wid, writer_epoch=_fence_ep)
         if fsck_every and applied and applied % fsck_every == 0:
             from ..lakehouse.fsck import check_table
 

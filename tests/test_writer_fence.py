@@ -105,6 +105,23 @@ def test_epoch_survives_unrelated_commits(spark, scratch):
     assert table.writer_epoch() == ep
 
 
+def test_maintenance_fenced_too(spark, scratch):
+    """A zombie's compaction/vacuum tick must die with the same fence —
+    its rewrites are state-preserving but would race the live writer's."""
+    table = make_table(scratch)
+    paths = _lines(spark, scratch)
+    replay_batch(spark, paths, table, files_per_batch=1,
+                 cfg=MergeConfig(write_mode="mor"))
+    ep = table.acquire_writer_epoch()
+    table.acquire_writer_epoch()  # retired
+    with pytest.raises(WriterFencedError):
+        table.compact(spark, writer_epoch=ep)
+    with pytest.raises(WriterFencedError):
+        table.compact_minor(spark, writer_epoch=ep)
+    with pytest.raises(WriterFencedError):
+        table.vacuum(writer_epoch=ep)
+
+
 def test_stream_fence_end_to_end(spark, scratch):
     """replay_stream(fence=True) acquires an epoch; a zombie batch-mode
     writer holding the pre-stream epoch is rejected afterwards."""
