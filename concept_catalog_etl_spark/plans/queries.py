@@ -2765,6 +2765,140 @@ FROM m
 """
 
 
+def q_refinery(spark, sf, budget: int = 512):
+    """End-to-end pretraining-data refinery, composed as ONE Catalyst plan:
+
+        quality gate → exact dedup → benchmark decontamination → packing
+
+    (1) C4/Gopher-style gate (q_quality_gate's rules) drops junk row-locally
+    before anything expensive; (2) exact dedup keeps min(doc_id) per
+    md5(lower(text)); (3) decontamination drops any survivor sharing a
+    3-word shingle with the held-out eval split (doc_id % 37 == 0, built
+    from the RAW corpus — benchmarks don't pass quality gates); (4) the
+    survivors pack greedily into ``budget``-token chunks per source
+    (q_pack_sequences' rule). Output is the training-batch manifest
+    (source, chunk_id, n_docs, chunk_tokens).
+
+    The point is composition: every stage is a query the engine already
+    proves individually; chained, Catalyst still sees one tree — the gate
+    filter sits against the scan, dedup is one hash shuffle, decontamination
+    is a broadcast probe (eval sets are KBs against a 100 TB corpus), and
+    packing reuses the per-source clustering. Stage order is the 100 TB
+    order: cheapest-per-row first, so each shuffle sees only survivors."""
+    d = _spread(spark, _t(spark, sf, "documents"))
+    words = F.split(F.trim(F.lower("text")), "\\s+")
+    d = d.select("doc_id", "source", "text", words.alias("w"),
+                 F.size(words).alias("n"))
+
+    # stage 1 — quality gate (row-local)
+    sum_len = F.expr("aggregate(w, 0L, (a, x) -> a + length(x))")
+    alpha_cnt = F.expr("size(filter(w, x -> x rlike '[a-z]'))")
+    has_stop = F.expr(
+        "exists(w, x -> x in ('the', 'a', 'and', 'of', 'to', 'in'))"
+    )
+    keep = (
+        F.col("n").between(10, 1000)
+        & F.round(sum_len / F.col("n"), 4).between(2.0, 12.0)
+        & (F.round(alpha_cnt / F.col("n"), 4) >= 0.8)
+        & has_stop
+    )
+    gated = d.filter(keep)
+
+    # stage 2 — exact dedup (one hash shuffle; min-id winner)
+    wh = W.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(wh))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text")
+    )
+
+    # stage 3 — decontamination (broadcast eval-shingle probe)
+    shingles = F.when(
+        F.col("n") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 3)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    ev = (
+        d.filter(F.col("doc_id") % 37 == 0)
+        .select(F.explode(F.array_distinct(shingles)).alias("sh"))
+        .distinct()
+    )
+    tr = deduped.filter(F.col("doc_id") % 37 != 0)
+    flagged = (
+        tr.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+        .join(F.broadcast(ev), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = tr.join(flagged, "doc_id", "left_anti")
+
+    # stage 4 — pack per source (window reuses the source clustering)
+    wp = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n").over(wp), F.lit(0).cast("bigint"))
+    return (
+        clean.withColumn("chunk_id", F.floor(cum / budget))
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+SQL_REFINERY = r"""
+WITH d AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents
+), gated AS (
+  SELECT * FROM d
+  WHERE n BETWEEN 10 AND 1000
+    AND round(list_sum(list_transform(w, x -> length(x))) * 1.0 / n, 4)
+        BETWEEN 2.0 AND 12.0
+    AND round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / n, 4)
+        >= 0.8
+    AND len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) > 0
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), ev AS (
+  SELECT DISTINCT array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE doc_id % 37 = 0 AND n >= 3
+), tr AS (
+  SELECT doc_id, source, w, n FROM deduped WHERE doc_id % 37 <> 0
+), trsh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM tr, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE n >= 3
+), flagged AS (
+  SELECT DISTINCT doc_id FROM trsh JOIN ev USING (sh)
+), clean AS (
+  SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+), pos AS (
+  SELECT source, n,
+         COALESCE(SUM(n) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM clean
+)
+SELECT source, cum // 512 AS chunk_id, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS chunk_tokens
+FROM pos
+GROUP BY 1, 2
+"""
+
+
 def q_unigram_logprob(spark, sf):
     """Corpus-unigram-LM fluency score per document (the perplexity-filter
     primitive: CCNet/Gopher score documents against a reference LM; here the
@@ -3362,6 +3496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_repetition_stats": q_repetition_stats,
     "q_quality_gate": q_quality_gate,
+    "q_refinery": q_refinery,
     "q_unigram_logprob": q_unigram_logprob,
     "q_quality_classifier": q_quality_classifier,
     "q_token_drift": q_token_drift,
@@ -3431,6 +3566,7 @@ ORACLES: dict[str, str] = {
     "q_dedup_normalized": SQL_DEDUP_NORMALIZED,
     "q_repetition_stats": SQL_REPETITION_STATS,
     "q_quality_gate": SQL_QUALITY_GATE,
+    "q_refinery": SQL_REFINERY,
     "q_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_token_drift": SQL_TOKEN_DRIFT,

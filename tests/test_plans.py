@@ -149,6 +149,19 @@ def test_approximate_dedup_plans_have_no_cartesian_product(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a BNLJ"
 
 
+def test_refinery_plan_shape(spark):
+    """The composed refinery must keep each stage's scale shape: the
+    decontamination probe is a broadcast hash join (eval side is small by
+    construction), the dedup/flag joins are keyed (no cartesian), and the
+    whole pipeline is one Catalyst tree."""
+    from concept_catalog_etl_spark.plans import queries as Q
+
+    plan = _plan(Q.QUERIES["q_refinery"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the eval-shingle probe
+
+
 def test_connected_components_long_chain_converges(spark):
     """Pointer jumping must converge in O(log diameter) rounds: a 60-hop
     path graph needs 59 rounds under plain one-hop propagation (and used to
