@@ -143,3 +143,64 @@ def parse_debezium(raw: DataFrame, schema: TableSchema,
         ).alias("_raw"),
     )
     return out
+
+
+def changes_to_debezium(changes: DataFrame, schema: TableSchema,
+                        db: str = "lake", table: str = "table") -> DataFrame:
+    """The PRODUCER half of the adapter: change-feed rows
+    (``LakeTable.read_changes``) → Debezium data-event JSON lines
+    (``value: string``), so downstream consumers that already speak the
+    standard CDC wire format can tail this engine's tables the same way
+    this engine tails an upstream binlog. Inserts/updates carry ``after``
+    (key + current payload), deletes carry a key-only ``before``; when the
+    feed includes preimages (``include_preimage=True``), updates/deletes
+    carry the full old row in ``before``. LWW coordinates round-trip
+    exactly: ``source.ts_us = unix_micros(_event_ts)``,
+    ``source.lsn = _lsn`` — so ``parse_debezium(changes_to_debezium(...))``
+    replays to the identical final state (the relay test pins this).
+
+    Pure column expressions + one ``to_json`` per row; at scale this is a
+    map-only job over the (already key-pruned) change feed."""
+    key = schema.key_name
+    pay = [f.name for f in schema.fields if f.id != schema.key_field_id
+           if f.name in changes.columns]
+    is_del = F.col("_change_type") == "delete"
+    after = F.when(
+        ~is_del,
+        F.struct(F.col(key).alias(key), *[F.col(c).alias(c) for c in pay]),
+    )
+    have_pre = all(f"_pre_{c}" in changes.columns for c in pay)
+    if have_pre:
+        # preimage NULL-ness marks inserts (no old row) — key rides along
+        before = F.when(
+            F.col("_change_type") != "insert",
+            F.struct(F.col(key).alias(key),
+                     *[F.col(f"_pre_{c}").alias(c) for c in pay]),
+        )
+    else:
+        before = F.when(is_del, F.struct(F.col(key).alias(key)))
+    ts_us = F.unix_micros(F.col("_event_ts"))
+    op = (
+        F.when(F.col("_change_type") == "insert", "c")
+        .when(F.col("_change_type") == "update", "u")
+        .otherwise("d")
+    )
+    return changes.select(
+        F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.struct(
+                    F.lit("concept-catalog-etl-spark").alias("connector"),
+                    F.lit(db).alias("db"),
+                    F.lit(table).alias("table"),
+                    F.col("_lsn").alias("lsn"),
+                    (ts_us / 1000).cast("long").alias("ts_ms"),
+                    ts_us.alias("ts_us"),
+                    F.lit("false").alias("snapshot"),
+                ).alias("source"),
+                op.alias("op"),
+                (ts_us / 1000).cast("long").alias("ts_ms"),
+            )
+        ).alias("value")
+    )

@@ -175,6 +175,34 @@ def test_debezium_ts_precision_and_millis_fallback(spark, scratch):
     assert table_state(spark, t2)["doc-9"]["tokens"] == [2]
 
 
+def test_change_feed_debezium_relay(spark, scratch, feeds):
+    """Both halves of the adapter: table A's change feed, exported as
+    Debezium lines and re-ingested through parse_debezium into table B,
+    reproduces A exactly — the engine as CDC producer AND consumer."""
+    from concept_catalog_etl_spark.operators.merge import apply_batch
+    from concept_catalog_etl_spark.sources.debezium import changes_to_debezium
+
+    text_paths, _ = feeds
+    t_a = make_table(os.path.join(scratch, "a"))
+    t_b = make_table(os.path.join(scratch, "b"))
+    v0 = t_a.current_version()
+    # two relay windows so inserts, updates AND deletes cross the wire
+    replay_batch(spark, text_paths[:3], t_a, files_per_batch=3)
+    v1 = t_a.current_version()
+    replay_batch(spark, text_paths[3:], t_a, files_per_batch=3,
+                 start_batch_id=1)
+    v2 = t_a.current_version()
+    for bid, (lo, hi) in enumerate([(v0, v1), (v1, v2)]):
+        lines = changes_to_debezium(
+            t_a.read_changes(spark, lo, hi), t_a.schema()
+        )
+        env = parse_debezium(lines, t_b.schema())
+        apply_batch(spark, t_b, env, batch_id=bid)
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+    dlq = t_b.read_dlq(spark)
+    assert dlq is None or dlq.count() == 0
+
+
 def test_debezium_stream_replay(spark, scratch, feeds):
     """Structured Streaming mode parses per batch under the registry schema."""
     text_paths, deb_paths = feeds
