@@ -344,7 +344,8 @@ class LakeTable:
         return int(self.properties().get("writer_epochs", {}).get(wid, 0))
 
     def acquire_writer_epoch(self, writer_id: str | None = None,
-                             max_retries: int = 20) -> int:
+                             max_retries: int = 20,
+                             orphan_version_grace_sec: float = 30.0) -> int:
         """Bump and return this writer identity's epoch — the zombie fence.
 
         A (re)starting writer acquires an epoch ONCE and stamps it on every
@@ -358,7 +359,14 @@ class LakeTable:
 
         The bump itself is a property-only commit re-derived from a FRESH
         snapshot on every race retry (a static extra_props under
-        commit_with_retry could double-apply a stale increment)."""
+        commit_with_retry could double-apply a stale increment). The
+        FileExistsError branch runs the same age-gated orphan-version
+        cleanup as ``commit_with_retry``: the replacement driver acquiring
+        its fence is EXACTLY the caller most likely to face a crashed
+        predecessor's dead unpublished v{N}.json — without the cleanup,
+        failover would wedge on the very file fencing exists to survive."""
+        import time as _t_
+
         wid = writer_id or "_default"
         for _ in range(max_retries + 1):
             snap = self.snapshot()
@@ -371,6 +379,19 @@ class LakeTable:
                             extra_props={"writer_epochs": eps})
                 return new
             except FileExistsError:
+                cur = self.current_version()
+                nxt = os.path.join(self.meta_dir, f"v{cur + 1}.json")
+                if os.path.exists(nxt):
+                    try:
+                        age = _t_.time() - os.path.getmtime(nxt)
+                    except OSError:
+                        age = None
+                    if (age is not None
+                            and age >= orphan_version_grace_sec
+                            and self.current_version() == cur):
+                        os.remove(nxt)  # dead writer's unpublished version
+                    else:
+                        _t_.sleep(0.1)  # live racer mid-publish
                 continue
             except RuntimeError as e:
                 if "concurrent commit" not in str(e):
@@ -1891,6 +1912,10 @@ class LakeTable:
                         f"preserving fixed-width encode), got: {bad_t}"
                     )
         snap = self.snapshot()
+        # entry-time fence: a zombie tick must die BEFORE the bucket
+        # rewrite, not after minutes of wasted work at the final commit
+        # (the commit re-validates regardless — that one is atomic)
+        self._validate_fence(writer_id, writer_epoch, snap, what="compact")
         by_bucket: dict[int, int] = {
             m["bucket"]: m["n_files"] for m in snap["manifests"]
         }
@@ -2030,6 +2055,9 @@ class LakeTable:
                 "minor=True)"
             )
         snap = self.snapshot()
+        # entry-time fence (see compact): fail the zombie before the fold
+        self._validate_fence(writer_id, writer_epoch, snap,
+                             what="minor compaction")
         files = self.files(snap=snap)
         dcount: dict[int, int] = {}
         for f in files:

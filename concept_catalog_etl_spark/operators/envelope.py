@@ -122,6 +122,10 @@ def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] |
             F.lit("null_ordering"),
         )
         .when(F.col("op").isin("insert", "update") & F.col("payload").isNull(), F.lit("null_payload"))
+        .when(
+            (F.col("op") == "schema_change") & F.col("schema_change").isNull(),
+            F.lit("null_schema_change"),  # an op=schema_change line with no
+        )  # change struct would poison the evolution fold downstream
     )
     return df.withColumn("_dlq_reason", reason)
 
@@ -196,6 +200,10 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
             F.lit("null_ordering"),
         )
         .when(F.col("op").isin("insert", "update") & F.col("payload").isNull(), F.lit("null_payload"))
+        .when(
+            (F.col("op") == "schema_change") & F.col("schema_change").isNull(),
+            F.lit("null_schema_change"),  # an op=schema_change line with no
+        )  # change struct would poison the evolution fold downstream
     )
     out = out.withColumn("_dlq_reason", reason)
     # DLQ-only reconstruction from the typed columns (the original df's

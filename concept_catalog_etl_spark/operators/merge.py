@@ -368,7 +368,19 @@ def apply_batch(
             if is_text
             else (
                 "op" in raw.columns
-                and raw.filter(F.col("op") == "schema_change").isEmpty()
+                and (
+                    # adapter-guaranteed: a source that can never carry
+                    # schema_change events (e.g. parse_debezium) marks the
+                    # column with metadata, so we skip the probe — for a
+                    # lazily-parsed frame the probe would re-evaluate the
+                    # whole parse just to prove an impossibility
+                    (
+                        "schema_change" in raw.columns
+                        and bool(raw.schema["schema_change"]
+                                 .metadata.get("always_null"))
+                    )
+                    or raw.filter(F.col("op") == "schema_change").isEmpty()
+                )
             )
         )
     )

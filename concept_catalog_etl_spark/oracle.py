@@ -108,7 +108,11 @@ def replay(files: list[str]) -> tuple[dict[str, dict], OracleSchema, dict]:
                     stats["dlq"] += 1
                     continue
                 if op == "schema_change":
-                    schema.apply(ev["schema_change"])
+                    sc = ev.get("schema_change")
+                    if sc is None:  # mirror engine 'null_schema_change' DLQ
+                        stats["dlq"] += 1
+                        continue
+                    schema.apply(sc)
                     stats["schema_changes"] += 1
                     continue
                 doc, ts, lsn = ev.get("doc_id"), ev.get("event_ts"), ev.get("lsn")

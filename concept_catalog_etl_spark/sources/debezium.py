@@ -113,7 +113,12 @@ def parse_debezium(raw: DataFrame, schema: TableSchema,
         F.when(e["op"].isin("c", "r"), F.lit("insert"))
         .when(e["op"] == "u", F.lit("update"))
         .when(e["op"] == "d", F.lit("delete"))
-        .otherwise(e["op"])  # null → unparseable; others → unknown_op DLQ
+        # null → unparseable. Any OTHER op is prefixed so it can never
+        # collide with an internal op name — a hostile/garbage feed line
+        # with "op": "schema_change" must die in the DLQ as unknown_op,
+        # not reach the evolution path as a poison pill (parse_debezium
+        # always emits schema_change = NULL).
+        .otherwise(F.concat(F.lit("dbz:"), e["op"]))
     )
     pay_t = payload_struct(schema, extra_names)
 
@@ -133,7 +138,13 @@ def parse_debezium(raw: DataFrame, schema: TableSchema,
         e["source"]["lsn"].alias("lsn"),
         F.lit(schema_version).cast("int").alias("schema_version"),
         _payload(e["after"]).alias("payload"),
-        F.lit(None).cast(SCHEMA_CHANGE_T).alias("schema_change"),
+        # the metadata marker lets apply_batch skip its schema_change probe
+        # entirely — probing would re-evaluate the from_json for the whole
+        # batch (the parse is lazy), and by construction no schema_change
+        # event can exist here (Debezium DDL rides a separate topic)
+        F.lit(None).cast(SCHEMA_CHANGE_T).alias(
+            "schema_change", metadata={"always_null": True}
+        ),
         # original line only where typing failed or the op is foreign —
         # parse_envelope's gated to_json reconstruction covers later DLQ
         # reasons, so clean rows never drag the text through the pipeline
@@ -160,7 +171,16 @@ def changes_to_debezium(changes: DataFrame, schema: TableSchema,
     replays to the identical final state (the relay test pins this).
 
     Pure column expressions + one ``to_json`` per row; at scale this is a
-    map-only job over the (already key-pruned) change feed."""
+    map-only job over the (already key-pruned) change feed.
+
+    Window contract: relay windows must stay inside the upstream table's
+    tombstone retention. A delete whose tombstone was already expired
+    within the window has NO LWW coordinate in the feed — serializing it
+    with null lsn/ts would make the consumer DLQ it (``null_ordering``)
+    and silently diverge, so such rows ``raise_error`` loudly instead:
+    re-snapshot the mirror or widen ``tombstone_horizon_lsns``. (Debezium
+    itself has the same constraint: it cannot emit a delete the source DB
+    already purged from its log.)"""
     key = schema.key_name
     pay = [f.name for f in schema.fields if f.id != schema.key_field_id
            if f.name in changes.columns]
@@ -179,7 +199,15 @@ def changes_to_debezium(changes: DataFrame, schema: TableSchema,
         )
     else:
         before = F.when(is_del, F.struct(F.col(key).alias(key)))
-    ts_us = F.unix_micros(F.col("_event_ts"))
+    ts_us = F.when(
+        is_del & (F.col("_event_ts").isNull() | F.col("_lsn").isNull()),
+        F.raise_error(F.concat(
+            F.lit("changes_to_debezium: delete of key '"), F.col(key),
+            F.lit("' carries no LWW coordinate — its tombstone expired "
+                  "inside the relay window; re-snapshot the mirror or widen "
+                  "tombstone retention"),
+        )).cast("long"),
+    ).otherwise(F.unix_micros(F.col("_event_ts")))
     op = (
         F.when(F.col("_change_type") == "insert", "c")
         .when(F.col("_change_type") == "update", "u")

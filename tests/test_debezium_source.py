@@ -134,6 +134,55 @@ def test_debezium_dlq_and_unknown_ops(spark, scratch):
     assert raws["unknown_op"] is not None and '"op": "t"' in raws["unknown_op"]
 
 
+def test_debezium_internal_op_collision_is_dlq_not_poison(spark, scratch):
+    """A hostile/garbage Debezium line whose op literally says
+    "schema_change" (or any internal op name) must die in the DLQ as
+    unknown_op — NOT reach the evolution path, where a null change struct
+    would crash the batch (poison pill: checkpoint restart replays and
+    crashes again)."""
+    table = make_table(scratch)
+    lines = [
+        json.dumps({"op": "schema_change", "after": None, "before": None,
+                    "source": {"lsn": 1, "ts_us": 1}}),
+        json.dumps({"op": "insert", "after": {"doc_id": "doc-7"},
+                    "source": {"lsn": 2, "ts_us": 2}}),
+        json.dumps({
+            "before": None,
+            "after": {"doc_id": "doc-1", "tokens": [5], "n_tok": 1,
+                      "source": "crawl"},
+            "source": {"lsn": 3, "ts_us": 3},
+            "op": "c",
+        }),
+    ]
+    raw = spark.createDataFrame([(s,) for s in lines], "value string")
+    from concept_catalog_etl_spark.operators.merge import apply_batch
+
+    apply_batch(spark, table, parse_debezium(raw, table.schema()), batch_id=0)
+    st = table_state(spark, table)
+    assert list(st) == ["doc-1"]
+    reasons = sorted(r["_dlq_reason"] for r in table.read_dlq(spark).collect())
+    assert reasons == ["unknown_op", "unknown_op"]
+    # schema untouched by the forged lines
+    assert table.schema().schema_version == 1
+
+
+def test_relay_refuses_coordinate_less_delete(spark, scratch):
+    """A delete whose tombstone expired inside the relay window has no LWW
+    coordinate — the export must fail loudly, not emit a line the consumer
+    would DLQ (silent divergence)."""
+    from concept_catalog_etl_spark.sources.debezium import changes_to_debezium
+
+    table = make_table(scratch)
+    changes = spark.createDataFrame(
+        [("delete", None, None, "doc-3", None, None, None)],
+        "_change_type string, _event_ts timestamp, _lsn long, "
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    lines = changes_to_debezium(changes, table.schema())
+    with pytest.raises(Exception, match="tombstone"):
+        lines.collect()
+
+
 def test_debezium_ts_precision_and_millis_fallback(spark, scratch):
     """ts_us is preferred for LWW ordering; a millis-only feed still works."""
     table = make_table(scratch)

@@ -150,3 +150,41 @@ def test_fast_summary_equals_exact_summary(spark, scratch, binlog):
         for k in ("events_total", "events_data", "dlq_count", "deletes_seen",
                   "bad_tokens", "rows_written"):
             assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_null_schema_change_struct_is_dlq_not_poison(spark, scratch):
+    """An op=schema_change line WITHOUT a change struct must dead-letter
+    (null_schema_change), not crash the summary collect — one hostile line
+    would otherwise be an unrecoverable poison pill (restart replays the
+    same batch and crashes again). Oracle mirrors the rule."""
+    import json
+
+    from concept_catalog_etl_spark.oracle import replay_dir
+
+    d = os.path.join(scratch, "blog")
+    os.makedirs(d)
+    p = os.path.join(d, "binlog-000000.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({
+            "op": "schema_change", "doc_id": None,
+            "event_ts": "2026-01-01T00:00:00.000001", "lsn": 1,
+            "schema_version": 2, "payload": None, "schema_change": None,
+        }) + "\n")
+        f.write(json.dumps({
+            "op": "insert", "doc_id": "doc-1",
+            "event_ts": "2026-01-01T00:00:00.000002", "lsn": 2,
+            "schema_version": 1,
+            "payload": {"tokens": [1, 2], "n_tok": 2, "source": "crawl",
+                        "tokens_raw": None},
+            "schema_change": None,
+        }) + "\n")
+    table = make_table(scratch)
+    replay_batch(spark, [p], table, files_per_batch=1)
+    st = table_state(spark, table)
+    assert list(st) == ["doc-1"] and st["doc-1"]["tokens"] == [1, 2]
+    assert table.schema().schema_version == 1  # no evolution applied
+    dlq = table.read_dlq(spark)
+    assert [r["_dlq_reason"] for r in dlq.collect()] == ["null_schema_change"]
+    # oracle agrees on the DLQ count
+    _state, _schema, ostats = replay_dir(d)
+    assert ostats["dlq"] == 1

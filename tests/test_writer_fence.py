@@ -105,6 +105,27 @@ def test_epoch_survives_unrelated_commits(spark, scratch):
     assert table.writer_epoch() == ep
 
 
+def test_acquire_epoch_survives_dead_version_file(spark, scratch):
+    """Failover reality check: the replacement driver acquiring its fence
+    is exactly the caller most likely to face a crashed predecessor's dead
+    unpublished v{N+1}.json — acquisition must run the age-gated orphan
+    cleanup, not wedge on FileExistsError for all retries."""
+    import json as _json
+    import os as _os
+
+    table = make_table(scratch)
+    paths = _lines(spark, scratch)
+    replay_batch(spark, paths[:2], table, files_per_batch=2)
+    cur = table.current_version()
+    dead = _os.path.join(table.meta_dir, f"v{cur + 1}.json")
+    with open(dead, "w") as f:
+        _json.dump({"version": cur + 1, "dead": True}, f)
+    _os.utime(dead, (1, 1))  # ancient — well past any grace window
+    ep = table.acquire_writer_epoch(orphan_version_grace_sec=5)
+    assert ep == 1 and table.writer_epoch() == 1
+    assert not _os.path.exists(dead) or table.current_version() > cur
+
+
 def test_maintenance_fenced_too(spark, scratch):
     """A zombie's compaction/vacuum tick must die with the same fence —
     its rewrites are state-preserving but would race the live writer's."""
