@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_tfidf_topk",
     "q_scd2_history",
     "q_span_dedup",
+    "q_refinery",
     "q_merge_patch",
     "q_semdedup_gemm",
     "q_quality_classifier",
