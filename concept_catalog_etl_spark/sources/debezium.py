@@ -209,7 +209,8 @@ def changes_to_debezium(changes: DataFrame, schema: TableSchema,
         )).cast("long"),
     ).otherwise(F.unix_micros(F.col("_event_ts")))
     op = (
-        F.when(F.col("_change_type") == "insert", "c")
+        F.when(F.col("_change_type") == "snapshot", "r")
+        .when(F.col("_change_type") == "insert", "c")
         .when(F.col("_change_type") == "update", "u")
         .otherwise("d")
     )
@@ -225,10 +226,107 @@ def changes_to_debezium(changes: DataFrame, schema: TableSchema,
                     F.col("_lsn").alias("lsn"),
                     (ts_us / 1000).cast("long").alias("ts_ms"),
                     ts_us.alias("ts_us"),
-                    F.lit("false").alias("snapshot"),
+                    F.when(F.col("_change_type") == "snapshot", "true")
+                    .otherwise("false").alias("snapshot"),
                 ).alias("source"),
                 op.alias("op"),
                 (ts_us / 1000).cast("long").alias("ts_ms"),
             )
         ).alias("value")
     )
+
+
+_RELAY_STATE = "_RELAY_STATE.json"
+
+
+def _relay_state(dest: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(dest, _RELAY_STATE)) as f:
+            return _json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def relay_debezium(spark, table, dest: str,
+                   db: str = "lake", table_name: str = "table") -> dict:
+    """Incremental CDC-out service: publish the table's changes since the
+    last relay as a Debezium JSON-lines window directory under ``dest`` —
+    the scheduler-loopable sink counterpart of ``sinks.export.sync_export``,
+    for consumers that speak the standard wire format (a downstream mirror
+    replays the window dirs in name order through ``parse_debezium``).
+
+    * first call → a SNAPSHOT window: every live row as a Debezium
+      snapshot read (``op: "r"``, ``source.snapshot: "true"``) with its
+      true LWW coordinates (``read(with_system_cols=True)``) — Debezium's
+      own initial-snapshot semantics;
+    * normally → a DELTA window over ``read_changes`` (O(window));
+    * relay lagged past vacuum retention (the from-version is gone) →
+      recover with a fresh snapshot window, same contract as
+      ``sync_export``. A consumer that sees a snapshot window after deltas
+      should rebuild its mirror from it (upstream deletes inside the gap
+      are not individually replayable — the standard log-retention gap).
+
+    Exactly-once: window dirs are deterministic in (from, to) and published
+    write-temp-then-rename BEFORE the state pointer swaps — a crash between
+    the two re-derives the same window, finds the dir already published,
+    and just advances the pointer. Windows with zero changes publish no dir
+    (pointer still advances)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from ..lakehouse.table import VersionVacuumedError
+
+    _os.makedirs(dest, exist_ok=True)
+    st = _relay_state(dest)
+    to = table.current_version()
+    if st is not None and st["version"] >= to:
+        return {"skipped": True, "version": to}
+
+    key = table.schema().key_name
+    if st is None:
+        frm, kind = None, "snap"
+        lines = None
+    else:
+        frm, kind = st["version"], "delta"
+        try:
+            lines = changes_to_debezium(
+                table.read_changes(spark, frm, to), table.schema(),
+                db=db, table=table_name,
+            )
+        except VersionVacuumedError:
+            frm, kind, lines = None, "snap", None
+    if lines is None:  # snapshot window (initial or lag recovery)
+        live = table.read(spark, with_system_cols=True, version=to)
+        pay = [f.name for f in table.schema().fields
+               if f.name != key and f.name in live.columns]
+        lines = changes_to_debezium(
+            live.select(
+                F.lit("snapshot").alias("_change_type"),
+                F.col("_event_ts"), F.col("_lsn"),
+                F.col(key), *[F.col(c) for c in pay],
+            ),
+            table.schema(), db=db, table=table_name,
+        )
+
+    name = (f"relay-snap-{to:06d}" if kind == "snap"
+            else f"relay-{frm:06d}-{to:06d}")
+    out = _os.path.join(dest, name)
+    rows = None
+    if not _os.path.exists(out):  # else: crashed after publish — just advance
+        rows = lines.count()  # also surfaces coordinate-less-delete errors
+        if rows == 0 and kind == "delta":
+            out = None  # maintenance-only window: advance pointer, no dir
+        else:
+            tmp = _os.path.join(dest, f".tmp-{_uuid.uuid4().hex}")
+            lines.write.mode("overwrite").text(tmp)
+            _os.replace(tmp, out)
+    stmp = _os.path.join(dest, f".state-{_uuid.uuid4().hex}")
+    with open(stmp, "w") as f:
+        _json.dump({"version": to, "kind": kind}, f)
+    _os.replace(stmp, _os.path.join(dest, _RELAY_STATE))
+    return {"skipped": False, "kind": kind, "from": frm, "to": to,
+            "rows": rows, "dir": out}

@@ -1,0 +1,126 @@
+"""relay_debezium: the scheduler-loopable CDC-out service.
+
+A downstream mirror consumes the relay directory by replaying window dirs
+in name order through parse_debezium — snapshot windows (op 'r') bootstrap
+or recover it, delta windows keep it in sync. Exactly-once across crashes
+rides deterministic window names + publish-before-pointer."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from concept_catalog_etl_spark.operators.merge import apply_batch
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from concept_catalog_etl_spark.sources.debezium import (
+    parse_debezium,
+    relay_debezium,
+)
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+from helpers import make_table, table_state
+
+
+def _mirror(spark, dest, table_b, start_bid=0):
+    """Replay every window dir (name order) into the mirror table."""
+    dirs = sorted(
+        d for d in glob.glob(os.path.join(dest, "relay-*")) if os.path.isdir(d)
+    )
+    bid = start_bid
+    for d in dirs:
+        raw = spark.read.text(d)
+        apply_batch(spark, table_b, parse_debezium(raw, table_b.schema()), bid)
+        bid += 1
+    return bid
+
+
+def test_relay_bootstrap_and_deltas(spark, scratch):
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=1200,
+                            n_docs=120, n_files=4, seed=5, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+
+    replay_batch(spark, paths[:2], t_a, files_per_batch=2)
+    m1 = relay_debezium(spark, t_a, dest)
+    assert m1["kind"] == "snap" and not m1["skipped"]
+    # snapshot lines are Debezium snapshot reads
+    line = json.loads(
+        spark.read.text(m1["dir"]).limit(1).collect()[0]["value"])
+    assert line["op"] == "r" and line["source"]["snapshot"] == "true"
+
+    replay_batch(spark, paths[2:], t_a, files_per_batch=2, start_batch_id=1)
+    m2 = relay_debezium(spark, t_a, dest)
+    assert m2["kind"] == "delta" and m2["from"] == m1["to"]
+
+    t_b = make_table(os.path.join(scratch, "b"))
+    _mirror(spark, dest, t_b)
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+
+    # nothing new → skipped, no new dirs
+    n_dirs = len(glob.glob(os.path.join(dest, "relay-*")))
+    assert relay_debezium(spark, t_a, dest)["skipped"]
+    assert len(glob.glob(os.path.join(dest, "relay-*"))) == n_dirs
+
+
+def test_relay_crash_between_publish_and_pointer(spark, scratch):
+    """Rewinding the state pointer (≡ crash after dir publish) must re-use
+    the already-published window, not duplicate or rewrite it."""
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=600,
+                            n_docs=80, n_files=2, seed=9, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    replay_batch(spark, paths[:1], t_a, files_per_batch=1)
+    relay_debezium(spark, t_a, dest)
+    replay_batch(spark, paths[1:], t_a, files_per_batch=1, start_batch_id=1)
+    m = relay_debezium(spark, t_a, dest)
+    state_path = os.path.join(dest, "_RELAY_STATE.json")
+    rewound = {"version": m["from"], "kind": "snap"}
+    with open(state_path, "w") as f:
+        json.dump(rewound, f)
+    mtime = os.path.getmtime(m["dir"])
+    m2 = relay_debezium(spark, t_a, dest)
+    assert m2["to"] == m["to"] and m2["rows"] is None  # dir reused
+    assert os.path.getmtime(m["dir"]) == mtime
+    t_b = make_table(os.path.join(scratch, "b"))
+    _mirror(spark, dest, t_b)
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+
+
+def test_relay_lag_recovery_via_snapshot(spark, scratch):
+    """A relay that lagged past vacuum retention recovers with a fresh
+    snapshot window; a mirror REBUILT from that window matches upstream."""
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=900,
+                            n_docs=90, n_files=3, seed=11, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    replay_batch(spark, paths[:1], t_a, files_per_batch=1)
+    relay_debezium(spark, t_a, dest)
+    # advance far and vacuum the relay's from-version away
+    replay_batch(spark, paths[1:], t_a, files_per_batch=1, start_batch_id=1)
+    t_a.vacuum(retain_last=1, orphan_grace_sec=0)
+    m = relay_debezium(spark, t_a, dest)
+    assert m["kind"] == "snap"
+    # mirror rebuilt from the recovery snapshot alone
+    t_b = make_table(os.path.join(scratch, "b"))
+    raw = spark.read.text(m["dir"])
+    apply_batch(spark, t_b, parse_debezium(raw, t_b.schema()), 0)
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+
+
+def test_relay_empty_delta_advances_pointer_without_dir(spark, scratch):
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=300,
+                            n_docs=40, n_files=1, seed=13, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    replay_batch(spark, paths, t_a, files_per_batch=1)
+    relay_debezium(spark, t_a, dest)
+    # maintenance-only commit: versions advance, no logical change
+    t_a.acquire_writer_epoch()
+    n_dirs = len(glob.glob(os.path.join(dest, "relay-*")))
+    m = relay_debezium(spark, t_a, dest)
+    assert not m["skipped"] and m["dir"] is None
+    assert len(glob.glob(os.path.join(dest, "relay-*"))) == n_dirs
+    from concept_catalog_etl_spark.sources.debezium import _relay_state
+
+    assert _relay_state(dest)["version"] == t_a.current_version()
