@@ -398,7 +398,10 @@ def test_publish_from_separate_process_and_double_publish_race(spark, scratch):
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for _ in range(2)
     ]
-    outs = [p.communicate(timeout=60) for p in procs]
+    # generous: pure-metadata publish is sub-second, but the host shows
+    # ±2x co-tenant stalls (see BENCH/AB_cow.md) and CPython startup under
+    # a saturated suite run has been observed to blow a 60s budget
+    outs = [p.communicate(timeout=180) for p in procs]
     assert all(p.returncode == 0 for p in procs), outs
     assert t.read(spark).count() == 16
     assert t.is_committed(1)
