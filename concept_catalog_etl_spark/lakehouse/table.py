@@ -365,8 +365,6 @@ class LakeTable:
         its fence is EXACTLY the caller most likely to face a crashed
         predecessor's dead unpublished v{N}.json — without the cleanup,
         failover would wedge on the very file fencing exists to survive."""
-        import time as _t_
-
         wid = writer_id or "_default"
         for _ in range(max_retries + 1):
             snap = self.snapshot()
@@ -379,19 +377,8 @@ class LakeTable:
                             extra_props={"writer_epochs": eps})
                 return new
             except FileExistsError:
-                cur = self.current_version()
-                nxt = os.path.join(self.meta_dir, f"v{cur + 1}.json")
-                if os.path.exists(nxt):
-                    try:
-                        age = _t_.time() - os.path.getmtime(nxt)
-                    except OSError:
-                        age = None
-                    if (age is not None
-                            and age >= orphan_version_grace_sec
-                            and self.current_version() == cur):
-                        os.remove(nxt)  # dead writer's unpublished version
-                    else:
-                        _t_.sleep(0.1)  # live racer mid-publish
+                self._reap_orphan_version(
+                    self.current_version(), orphan_version_grace_sec)
                 continue
             except RuntimeError as e:
                 if "concurrent commit" not in str(e):
@@ -864,6 +851,44 @@ class LakeTable:
         prev = {m["bucket"]: m["path"] for m in self.snapshot(parent)["manifests"]}
         return {b for b in set(prev) | set(cur) if prev.get(b) != cur.get(b)}
 
+    def _reap_orphan_version(self, cur: int, grace_sec: float) -> None:
+        """Age-gated cleanup of a dead writer's unpublished ``v{cur+1}.json``
+        — the one file that can permanently wedge every future commit's
+        'x'-create (shared by ``commit_with_retry`` and
+        ``acquire_writer_epoch``, which hit the identical collision).
+
+        A naive ``pointer==cur`` check followed by ``os.remove`` is a TOCTOU:
+        a stalled-but-live writer (paused longer than the grace window
+        between its 'x'-create and pointer swap) can publish in the gap, and
+        the remove would then delete the now-current snapshot. Instead the
+        suspect file is CLAIMED by an atomic rename-aside, the pointer is
+        re-verified after the claim, and on the losing side of the race the
+        file is renamed back — the pointer references it, so restoring the
+        bytes restores the published snapshot. Only when the pointer still
+        sits below the claimed file is it truly orphaned and deleted."""
+        import time as _t_
+
+        nxt = os.path.join(self.meta_dir, f"v{cur + 1}.json")
+        try:
+            age = _t_.time() - os.path.getmtime(nxt)
+        except OSError:
+            return  # already gone (another cleaner, or publish+vacuum)
+        if age < grace_sec or self.current_version() != cur:
+            _t_.sleep(0.1)  # live racer mid-publish — let it swap
+            return
+        aside = f"{nxt}.reap-{uuid.uuid4().hex}"
+        try:
+            os.rename(nxt, aside)  # atomic claim: only one cleaner wins
+        except OSError:
+            return  # another cleaner claimed it first
+        if self.current_version() > cur:
+            # the 'dead' writer was merely stalled and published between the
+            # re-verify and the claim — the claimed file IS the current
+            # snapshot; put it back.
+            os.rename(aside, nxt)
+            return
+        os.remove(aside)
+
     def commit_with_retry(
         self, *, expect_version: int | None = None, max_retries: int = 5,
         orphan_version_grace_sec: float = 30.0, **kwargs
@@ -935,22 +960,11 @@ class LakeTable:
                     # the collision target while the pointer sits below it:
                     # either a crashed writer's dead unpublished version
                     # file (the wedge described in the docstring) or a live
-                    # racer an instant from its pointer swap — age decides.
-                    import time as _t_
-
-                    nxt = os.path.join(self.meta_dir, f"v{cur + 1}.json")
-                    if os.path.exists(nxt):
-                        try:
-                            age = _t_.time() - os.path.getmtime(nxt)
-                        except OSError:
-                            age = None
-                        if (age is not None
-                                and age >= orphan_version_grace_sec
-                                and self.current_version() == cur):
-                            os.remove(nxt)
-                        else:
-                            _t_.sleep(0.1)  # let the mid-publish racer swap
-                        cur = self.current_version()
+                    # racer an instant from its pointer swap — age decides,
+                    # with the claim-then-verify dance in _reap_orphan_version
+                    # guarding against deleting a just-published snapshot.
+                    self._reap_orphan_version(cur, orphan_version_grace_sec)
+                    cur = self.current_version()
                 if self.snapshot(cur)["n_buckets"] != nb_at_entry:
                     # a rebucket landed mid-race: our data files are laid
                     # out for the OLD bucket count — a blind retry would
@@ -2487,9 +2501,14 @@ class LakeTable:
                 and int(fn[1:-5]) < floor
             ):
                 os.remove(os.path.join(self.meta_dir, fn))  # expire snapshot
-            elif ".tmp." in fn:
+            elif ".tmp." in fn or ".reap-" in fn:
                 # a crashed writer's atomic-publish temp (pointer swap,
-                # stage marker, tag) — dead once past the grace window
+                # stage marker, tag) or a cleaner's claimed-aside orphan
+                # version (_reap_orphan_version) — dead once past the grace
+                # window (a claimed-aside file whose claimer is alive is
+                # deleted microseconds after the claim; one this old is a
+                # cleaner that crashed mid-reap, and the pointer never
+                # references an aside name, so removal is safe)
                 try:
                     if _now - os.path.getmtime(full) >= orphan_grace_sec:
                         os.remove(full)

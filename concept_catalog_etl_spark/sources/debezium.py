@@ -255,8 +255,18 @@ def relay_debezium(spark, table, dest: str,
     """Incremental CDC-out service: publish the table's changes since the
     last relay as a Debezium JSON-lines window directory under ``dest`` —
     the scheduler-loopable sink counterpart of ``sinks.export.sync_export``,
-    for consumers that speak the standard wire format (a downstream mirror
-    replays the window dirs in name order through ``parse_debezium``).
+    for consumers that speak the standard wire format.
+
+    **Consumer contract**: replay the window dirs in name order through
+    ``parse_debezium``; whenever a window named ``relay-NNNNNN-snap``
+    appears, REBUILD the mirror from it (truncate, then load) before
+    continuing with later windows. Window names lead with the zero-padded
+    monotone to-version (``relay-{to:06d}-snap`` /
+    ``relay-{to:06d}-delta-{frm:06d}``), so lexicographic name order equals
+    publish order even when a lag-recovery snapshot lands between deltas —
+    a trailing-kind name like ``relay-snap-N`` would sort after every
+    delta ('s' > digit) and make a name-order replay apply the recovery
+    snapshot last, losing all post-recovery deltas.
 
     * first call → a SNAPSHOT window: every live row as a Debezium
       snapshot read (``op: "r"``, ``source.snapshot: "true"``) with its
@@ -265,9 +275,11 @@ def relay_debezium(spark, table, dest: str,
     * normally → a DELTA window over ``read_changes`` (O(window));
     * relay lagged past vacuum retention (the from-version is gone) →
       recover with a fresh snapshot window, same contract as
-      ``sync_export``. A consumer that sees a snapshot window after deltas
-      should rebuild its mirror from it (upstream deletes inside the gap
-      are not individually replayable — the standard log-retention gap).
+      ``sync_export``. The rebuild-at-snapshot rule above is what makes
+      this correct: upstream deletes inside the lag gap are not
+      individually replayable (the standard log-retention gap), so a
+      mirror that merely upserts the recovery snapshot would keep
+      gap-deleted keys forever.
 
     Exactly-once: window dirs are deterministic in (from, to) and published
     write-temp-then-rename BEFORE the state pointer swaps — a crash between
@@ -312,17 +324,26 @@ def relay_debezium(spark, table, dest: str,
             table.schema(), db=db, table=table_name,
         )
 
-    name = (f"relay-snap-{to:06d}" if kind == "snap"
-            else f"relay-{frm:06d}-{to:06d}")
+    name = (f"relay-{to:06d}-snap" if kind == "snap"
+            else f"relay-{to:06d}-delta-{frm:06d}")
     out = _os.path.join(dest, name)
     rows = None
     if not _os.path.exists(out):  # else: crashed after publish — just advance
-        rows = lines.count()  # also surfaces coordinate-less-delete errors
+        # Write FIRST, then derive the row count from the written files: a
+        # count() on the plan would evaluate the change-feed twice per
+        # window, and Catalyst prunes the to_json projection under count()
+        # anyway, so a coordinate-less-delete raise_error only ever fires at
+        # write time. The single write is still before the dir publish and
+        # the pointer swap, so a write-time error leaves only a tmp dir.
+        import shutil as _shutil
+
+        tmp = _os.path.join(dest, f".tmp-{_uuid.uuid4().hex}")
+        lines.write.mode("overwrite").text(tmp)
+        rows = spark.read.text(tmp).count()
         if rows == 0 and kind == "delta":
-            out = None  # maintenance-only window: advance pointer, no dir
+            _shutil.rmtree(tmp)  # maintenance-only window: no dir
+            out = None  # advance pointer only
         else:
-            tmp = _os.path.join(dest, f".tmp-{_uuid.uuid4().hex}")
-            lines.write.mode("overwrite").text(tmp)
             _os.replace(tmp, out)
     stmp = _os.path.join(dest, f".state-{_uuid.uuid4().hex}")
     with open(stmp, "w") as f:

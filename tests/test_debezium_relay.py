@@ -22,17 +22,27 @@ from concept_catalog_etl_spark.streaming.replay import replay_batch
 from helpers import make_table, table_state
 
 
-def _mirror(spark, dest, table_b, start_bid=0):
-    """Replay every window dir (name order) into the mirror table."""
+def _mirror(spark, dest, root, start_bid=0):
+    """The documented consumer: replay window dirs in name order (window
+    names lead with the monotone to-version, so name order == publish
+    order), REBUILDING the mirror at every snapshot window — a snapshot
+    that follows deltas is a lag recovery and deletes inside the gap are
+    not individually replayable."""
+    import shutil
+
     dirs = sorted(
         d for d in glob.glob(os.path.join(dest, "relay-*")) if os.path.isdir(d)
     )
+    t = make_table(root)
     bid = start_bid
     for d in dirs:
+        if os.path.basename(d).endswith("-snap") and bid > start_bid:
+            shutil.rmtree(root)
+            t = make_table(root)
         raw = spark.read.text(d)
-        apply_batch(spark, table_b, parse_debezium(raw, table_b.schema()), bid)
+        apply_batch(spark, t, parse_debezium(raw, t.schema()), bid)
         bid += 1
-    return bid
+    return t
 
 
 def test_relay_bootstrap_and_deltas(spark, scratch):
@@ -53,8 +63,7 @@ def test_relay_bootstrap_and_deltas(spark, scratch):
     m2 = relay_debezium(spark, t_a, dest)
     assert m2["kind"] == "delta" and m2["from"] == m1["to"]
 
-    t_b = make_table(os.path.join(scratch, "b"))
-    _mirror(spark, dest, t_b)
+    t_b = _mirror(spark, dest, os.path.join(scratch, "b"))
     assert table_state(spark, t_b) == table_state(spark, t_a)
 
     # nothing new → skipped, no new dirs
@@ -82,8 +91,7 @@ def test_relay_crash_between_publish_and_pointer(spark, scratch):
     m2 = relay_debezium(spark, t_a, dest)
     assert m2["to"] == m["to"] and m2["rows"] is None  # dir reused
     assert os.path.getmtime(m["dir"]) == mtime
-    t_b = make_table(os.path.join(scratch, "b"))
-    _mirror(spark, dest, t_b)
+    t_b = _mirror(spark, dest, os.path.join(scratch, "b"))
     assert table_state(spark, t_b) == table_state(spark, t_a)
 
 
@@ -128,11 +136,10 @@ def test_relay_rides_streaming_maintenance_tick(spark, scratch):
     )
     # final catch-up for batches after the last tick
     relay_debezium(spark, t_a, dest)
-    t_b = make_table(os.path.join(scratch, "b"))
-    _mirror(spark, dest, t_b)
+    t_b = _mirror(spark, dest, os.path.join(scratch, "b"))
     assert table_state(spark, t_b) == table_state(spark, t_a)
     # at least one snapshot bootstrap + one delta window were published
-    kinds = {d_.split("-")[1] for d_ in (
+    kinds = {d_.split("-")[2] for d_ in (
         os.path.basename(p)
         for p in glob.glob(os.path.join(dest, "relay-*")))}
     assert "snap" in kinds and len(kinds) >= 1
@@ -154,3 +161,46 @@ def test_relay_empty_delta_advances_pointer_without_dir(spark, scratch):
     from concept_catalog_etl_spark.sources.debezium import _relay_state
 
     assert _relay_state(dest)["version"] == t_a.current_version()
+
+
+def test_relay_recovery_snapshot_sorts_before_later_deltas(spark, scratch):
+    """The round-3 advisory bug: with kind-first names (relay-snap-N) a
+    lag-recovery snapshot sorted lexicographically AFTER every delta dir,
+    so a name-order replay applied it last and lost all post-recovery
+    deltas. Names now lead with the monotone to-version; a mirror that
+    rebuilds at the snapshot window must drop keys deleted inside the lag
+    gap AND keep every post-recovery delta."""
+    from pyspark.sql import functions as F
+
+    from concept_catalog_etl_spark.operators.dml import delete_where
+
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=1200,
+                            n_docs=100, n_files=4, seed=23, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+
+    replay_batch(spark, paths[:1], t_a, files_per_batch=1)
+    relay_debezium(spark, t_a, dest)  # bootstrap snapshot
+    replay_batch(spark, paths[1:2], t_a, files_per_batch=1, start_batch_id=1)
+    relay_debezium(spark, t_a, dest)  # normal delta
+    # --- lag gap: a delete + more changes the relay never sees as deltas
+    victim = min(table_state(spark, t_a))
+    delete_where(spark, t_a, F.col("doc_id") == victim, batch_id=900)
+    replay_batch(spark, paths[2:3], t_a, files_per_batch=1, start_batch_id=2)
+    t_a.vacuum(retain_last=1, orphan_grace_sec=0)
+    m_snap = relay_debezium(spark, t_a, dest)
+    assert m_snap["kind"] == "snap"
+    # --- post-recovery deltas
+    replay_batch(spark, paths[3:], t_a, files_per_batch=1, start_batch_id=3)
+    m_delta = relay_debezium(spark, t_a, dest)
+    assert m_delta["kind"] == "delta"
+
+    names = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(dest, "relay-*")))
+    assert names.index(os.path.basename(m_snap["dir"])) \
+        < names.index(os.path.basename(m_delta["dir"]))
+
+    t_b = _mirror(spark, dest, os.path.join(scratch, "b"))
+    state_b = table_state(spark, t_b)
+    assert victim not in state_b  # gap-delete honored via rebuild
+    assert state_b == table_state(spark, t_a)
