@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from .schema import TableSchema
 from .table import LakeTable
@@ -89,7 +90,8 @@ def check_table(table: LakeTable, deep: bool = False,
                f"v{v}.json parent={snap.get('parent')}, expected {v - 1}")
         try:
             sch = TableSchema.from_json(snap["schema"])
-            sch.field_by_id(sch.key_field_id)
+            for kid in sch.key_field_ids:
+                sch.field_by_id(kid)
         except Exception as e:  # noqa: BLE001 — any schema defect is the finding
             _f(findings, "error", "schema_invalid", f"v{v}: {e}")
         if int(snap.get("n_buckets", 0)) <= 0:
@@ -135,6 +137,18 @@ def check_table(table: LakeTable, deep: bool = False,
                 if not 0 <= int(entry.get("bucket", -1)) < nb:
                     _f(findings, "error", "entry_bucket_out_of_range",
                        f"v{v}: {p} bucket={entry.get('bucket')} nb={nb}")
+                if snap.get("partition_spec"):
+                    # partition pruning trusts entry["part"] — it must exist
+                    # and agree with the file's _part= path segment
+                    want = next(
+                        (unquote(seg.split("=", 1)[1])
+                         for seg in p.split(os.sep) if seg.startswith("_part=")),
+                        None,
+                    )
+                    if entry.get("part") != want:
+                        _f(findings, "error", "entry_part_path_mismatch",
+                           f"v{v}: {p} part={entry.get('part')!r}, "
+                           f"path says {want!r}")
                 if not os.path.exists(os.path.join(table.root, p)):
                     _f(findings, "error", "data_file_missing", f"v{v}: {p}")
                 if entry.get("bloom") and not os.path.exists(

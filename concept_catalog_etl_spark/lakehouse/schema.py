@@ -82,21 +82,52 @@ class Field:
 @dataclass
 class TableSchema:
     fields: list[Field] = dc_field(default_factory=list)
-    key_field_id: int = 1
+    # primary key as a LIST of stable field ids (composite keys are the
+    # day-one shape of real CDC feeds: (tenant, doc), (order, line), ...).
+    # An int is accepted for back-compat and normalized in __post_init__.
+    key_field_ids: list[int] = dc_field(default_factory=lambda: [1])
     schema_version: int = 1
     next_field_id: int = 1
 
+    def __post_init__(self):
+        if isinstance(self.key_field_ids, int):
+            self.key_field_ids = [self.key_field_ids]
+        self.key_field_ids = [int(i) for i in self.key_field_ids]
+        if not self.key_field_ids:
+            raise ValueError("a table needs at least one key column")
+
     # -- construction -------------------------------------------------------
     @staticmethod
-    def create(cols: list[tuple[str, str]], key: str) -> "TableSchema":
-        fields = [Field(i + 1, n, t, nullable=(n != key)) for i, (n, t) in enumerate(cols)]
-        key_id = next(f.id for f in fields if f.name == key)
-        return TableSchema(fields, key_id, 1, len(fields) + 1)
+    def create(cols: list[tuple[str, str]], key: str | list[str]) -> "TableSchema":
+        key_names = [key] if isinstance(key, str) else list(key)
+        fields = [
+            Field(i + 1, n, t, nullable=(n not in key_names))
+            for i, (n, t) in enumerate(cols)
+        ]
+        by_name = {f.name: f.id for f in fields}
+        key_ids = [by_name[k] for k in key_names]  # KeyError = bad key name
+        return TableSchema(fields, key_ids, 1, len(fields) + 1)
 
     # -- lookups ------------------------------------------------------------
     @property
+    def key_field_id(self) -> int:
+        """Single-key compatibility accessor — raises on composite keys so a
+        single-key-only operator fails loudly instead of silently using one
+        component of a composite key."""
+        if len(self.key_field_ids) != 1:
+            raise ValueError(
+                f"table has a composite key ({self.key_names}); this code "
+                "path supports single-column keys only"
+            )
+        return self.key_field_ids[0]
+
+    @property
     def key_name(self) -> str:
         return self.field_by_id(self.key_field_id).name
+
+    @property
+    def key_names(self) -> list[str]:
+        return [self.field_by_id(i).name for i in self.key_field_ids]
 
     def field_by_id(self, fid: int) -> Field:
         for f in self.fields:
@@ -127,7 +158,8 @@ class TableSchema:
     # -- evolution (each returns a NEW schema with bumped version) ----------
     def _bump(self, fields: list[Field], next_id: int | None = None) -> "TableSchema":
         return TableSchema(
-            fields, self.key_field_id, self.schema_version + 1, next_id or self.next_field_id
+            fields, list(self.key_field_ids), self.schema_version + 1,
+            next_id or self.next_field_id,
         )
 
     def add_column(self, name: str, type_str: str) -> "TableSchema":
@@ -157,8 +189,8 @@ class TableSchema:
         and a later re-add of the same NAME mints a fresh id — old values
         can never resurrect through it. The key column cannot be dropped."""
         tgt = self.field_by_name(name)
-        if tgt.id == self.key_field_id:
-            raise ValueError(f"cannot drop the key column: {name}")
+        if tgt.id in self.key_field_ids:
+            raise ValueError(f"cannot drop a key column: {name}")
         return self._bump([f for f in self.fields if f.id != tgt.id])
 
     def apply_change(self, kind: str, column: str, new_name: str | None, new_type: str | None) -> "TableSchema":
@@ -175,18 +207,24 @@ class TableSchema:
 
     # -- (de)serialization ---------------------------------------------------
     def to_json(self) -> dict:
-        return {
+        d = {
             "schema_version": self.schema_version,
-            "key_field_id": self.key_field_id,
+            "key_field_ids": list(self.key_field_ids),
             "next_field_id": self.next_field_id,
             "fields": [f.to_json() for f in self.fields],
         }
+        if len(self.key_field_ids) == 1:
+            d["key_field_id"] = self.key_field_ids[0]  # legacy readers
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "TableSchema":
+        key_ids = d.get("key_field_ids")
+        if key_ids is None:
+            key_ids = [int(d["key_field_id"])]  # pre-composite snapshots
         return TableSchema(
             [Field.from_json(f) for f in d["fields"]],
-            int(d["key_field_id"]),
+            [int(i) for i in key_ids],
             int(d["schema_version"]),
             int(d["next_field_id"]),
         )

@@ -7,6 +7,8 @@ sink needs:
 * **Layout** ::
 
       <root>/data/commit-<uuid>/_bucket=<b>/part-*.parquet   data files
+      ... or, with a partition_spec (lakehouse/partition.py):
+      <root>/data/commit-<uuid>/_part=<v>/_bucket=<b>/part-*.parquet
       <root>/meta/v<N>.json                 snapshot: O(n_buckets) manifest list
       <root>/meta/m-<bucket>-<uuid>.json    immutable per-bucket file manifests
       <root>/meta/_current                                   pointer (atomic swap)
@@ -55,6 +57,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from . import partition as _partition
 from .schema import TableSchema, parse_type
 
 # System columns stored in every data file (never renamed, not part of the
@@ -199,9 +202,13 @@ def _zorder_expr(cols: list[str], bounds: dict, types: dict[str, str]):
     return z
 
 
-def bucket_expr(key_col: str, n_buckets: int):
-    """Deterministic key→bucket assignment (same expr at write and prune time)."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+def bucket_expr(key_cols: str | list[str], n_buckets: int):
+    """Deterministic key→bucket assignment (same expr at write and prune
+    time). Composite keys hash all components in ONE xxhash64 call — for a
+    single column this is byte-identical to the historical single-key
+    expression, so existing tables' layouts are unchanged."""
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
 
 class LakeTable:
@@ -211,14 +218,24 @@ class LakeTable:
 
     # ------------------------------------------------------------------ init
     @staticmethod
-    def create(root: str, schema: TableSchema, n_buckets: int = 32) -> "LakeTable":
+    def create(root: str, schema: TableSchema, n_buckets: int = 32,
+               partition_spec: dict | None = None) -> "LakeTable":
+        """``partition_spec={"column": name, "transform": "day"}`` adds a
+        coarse partition dimension above the hash buckets (layout
+        ``_part=<v>/_bucket=<b>``) — see ``lakehouse.partition`` for the
+        transforms and the key-component soundness contract. The spec is
+        fixed at create time (partition evolution would need Iceberg-style
+        per-file spec ids; out of scope — rebuild via ``clone``/CTAS)."""
         t = LakeTable(root)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if partition_spec is not None:
+            partition_spec = _partition.validate_spec(schema, partition_spec)
         snap = {
             "version": 0,
             "parent": None,
             "n_buckets": n_buckets,
+            **({"partition_spec": partition_spec} if partition_spec else {}),
             "schema": schema.to_json(),
             "manifests": [],
             "properties": {
@@ -437,7 +454,12 @@ class LakeTable:
         """
         snap = self.snapshot()
         schema = schema_override or TableSchema.from_json(snap["schema"])
-        key = key_col or schema.key_name
+        keys = [key_col] if key_col else schema.key_names
+        # file-level key min/max stats + bloom sidecars cover the LEADING
+        # key component; for composite keys that is still a sound (just
+        # conservative) pruning bound — equality lookups always know the
+        # leading component, and bucket pruning already used ALL components
+        key = keys[0]
         nb = n_buckets_override or int(snap["n_buckets"])
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join("data", f"commit-{commit_id}")
@@ -445,9 +467,23 @@ class LakeTable:
 
         out = df
         if "_bucket" not in df.columns:
-            out = df.withColumn("_bucket", bucket_expr(key, nb))
+            out = df.withColumn("_bucket", bucket_expr(keys, nb))
             npart = min(nb, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
             out = out.repartition(npart, "_bucket")
+        part_dirs = ["_bucket"]
+        pspec = snap.get("partition_spec")
+        if pspec:
+            # partition value derives from a key COLUMN (projection, no
+            # shuffle) — see lakehouse.partition for the transforms and why
+            # the source must be a key component. Ingest batches have time
+            # locality, so a batch fans out over few partitions; the
+            # per-(part, bucket) file fan-out stays bounded.
+            if "_part" not in out.columns:
+                pname = schema.field_by_id(int(pspec["field_id"])).name
+                out = out.withColumn(
+                    "_part", _partition.part_expr(F.col(pname), pspec["transform"])
+                )
+            part_dirs = ["_part", "_bucket"]
         if cluster_cols:
             # sort-order rewrite (Iceberg rewrite-with-sort-order analog):
             # clustering by payload columns gives consecutive output files
@@ -462,16 +498,16 @@ class LakeTable:
                 types = {f.name: f.type for f in schema.fields}
                 types["_event_ts"] = "timestamp"
                 zc = _zorder_expr(cluster_cols, cluster_bounds or {}, types)
-                out = out.sortWithinPartitions("_bucket", zc, key)
+                out = out.sortWithinPartitions("_bucket", zc, *keys)
             else:
-                out = out.sortWithinPartitions("_bucket", *cluster_cols, key)
+                out = out.sortWithinPartitions("_bucket", *cluster_cols, *keys)
         elif sort_within:
             # read-optimizing layout (compaction path, NOT the hot ingest
             # path — Iceberg's split too): key-sorted rows inside each
             # bucket give tight, near-disjoint parquet row-group min/max, so
             # point/range lookups skip row groups inside big files
-            out = out.sortWithinPartitions("_bucket", key)
-        writer = out.write.partitionBy("_bucket").mode("overwrite")
+            out = out.sortWithinPartitions("_bucket", *keys)
+        writer = out.write.partitionBy(*part_dirs).mode("overwrite")
         if max_records_per_file:
             # file-size governor (Iceberg write.target-file-size analog):
             # without it a compacted 100 TB bucket collapses into one
@@ -498,12 +534,25 @@ class LakeTable:
                               layout_nb: int | None = None) -> list[dict]:
         import pyarrow.parquet as pq
 
+        from urllib.parse import unquote
+
         entries: list[dict] = []
         base = os.path.join(self.root, rel_dir)
-        for bdir in sorted(os.listdir(base)):
-            if not bdir.startswith("_bucket="):
-                continue
-            bucket = int(bdir.split("=", 1)[1])
+        # (part_value, bucket, rel_subdir) triples; flat layout has part=None,
+        # partitioned tables nest _part=<v>/_bucket=<b> (values Hive-escaped
+        # by the writer, percent-decoded here)
+        bucket_dirs: list[tuple[str | None, int, str]] = []
+        for d in sorted(os.listdir(base)):
+            if d.startswith("_bucket="):
+                bucket_dirs.append((None, int(d.split("=", 1)[1]), d))
+            elif d.startswith("_part="):
+                pval = unquote(d.split("=", 1)[1])
+                for bd in sorted(os.listdir(os.path.join(base, d))):
+                    if bd.startswith("_bucket="):
+                        bucket_dirs.append(
+                            (pval, int(bd.split("=", 1)[1]), os.path.join(d, bd))
+                        )
+        for pval, bucket, bdir in bucket_dirs:
             for fn in sorted(os.listdir(os.path.join(base, bdir))):
                 if not fn.endswith(".parquet"):
                     continue
@@ -596,6 +645,7 @@ class LakeTable:
                     {
                         "path": os.path.join(rel_dir, bdir, fn),
                         "bucket": bucket,
+                        **({"part": pval} if pval is not None else {}),
                         "rows": md.num_rows,
                         "min_key": kmin,
                         "max_key": kmax,
@@ -759,6 +809,8 @@ class LakeTable:
             "version": snap["version"] + 1,
             "parent": snap["version"],
             "n_buckets": snap["n_buckets"],
+            **({"partition_spec": snap["partition_spec"]}
+               if snap.get("partition_spec") else {}),
             "schema": (new_schema or TableSchema.from_json(snap["schema"])).to_json(),
             "manifests": manifests,
             "properties": props,
@@ -797,6 +849,8 @@ class LakeTable:
             "version": snap["version"] + 1,
             "parent": snap["version"],
             "n_buckets": new_nb,
+            **({"partition_spec": snap["partition_spec"]}
+               if snap.get("partition_spec") else {}),
             "schema": TableSchema.from_json(snap["schema"]).to_json(),
             "manifests": manifests,
             "properties": props,
@@ -1051,6 +1105,8 @@ class LakeTable:
             "version": snap["version"] + 1,  # nominal: assigned for real at publish
             "parent": snap["version"],
             "n_buckets": snap["n_buckets"],
+            **({"partition_spec": snap["partition_spec"]}
+               if snap.get("partition_spec") else {}),
             "schema": new_schema.to_json() if new_schema else snap["schema"],
             "manifests": manifests,
             "properties": dict(snap["properties"]),
@@ -1281,6 +1337,7 @@ class LakeTable:
         include_deleted: bool = False,
         keys: list[str] | None = None,
         col_ranges: dict[str, tuple] | None = None,
+        parts: set[str] | None = None,
         resolve_deltas: bool = True,
         _snap: dict | None = None,
         _delta_only: bool = False,
@@ -1309,6 +1366,40 @@ class LakeTable:
             if buckets is not None else rep["buckets_total"]
         )
         rep["files_in_selected_buckets"] = len(files)
+        pspec = snap.get("partition_spec")
+        if pspec:
+            # Partition-level file elimination — the FIRST pruning axis a
+            # 100 TB table uses, and unlike col_stats it is EXACT and applies
+            # to merge-on-read delta files too: the partition value derives
+            # from a key component (lakehouse.partition contract), so every
+            # row version of a key — including tombstones — shares one
+            # partition, and dropping an out-of-range partition can never
+            # hide a newer version or a delete. Bounds come from an explicit
+            # ``parts`` set and/or from a ``col_ranges`` entry on the
+            # partition source column (the residual row filter below keeps
+            # the result exact within the boundary partitions). Underivable
+            # bounds (``part_value`` → None) leave that side open —
+            # conservative, never wrong.
+            rep["partitions_total"] = len({f.get("part") for f in files})
+            plo = phi = None
+            if col_ranges:
+                pfld = schema.field_by_id(int(pspec["field_id"]))
+                if pfld.name in col_ranges:
+                    lo, hi = col_ranges[pfld.name]
+                    plo = _partition.part_value(lo, pspec["transform"])
+                    phi = _partition.part_value(hi, pspec["transform"])
+            if parts is not None or plo is not None or phi is not None:
+                files = [
+                    f for f in files
+                    if f.get("part") is None  # pre-spec/unknown: keep
+                    or ((parts is None or f["part"] in parts)
+                        and (plo is None or f["part"] >= plo)
+                        and (phi is None or f["part"] <= phi))
+                ]
+            rep["partitions_selected"] = len({f.get("part") for f in files})
+            rep["files_after_partition"] = len(files)
+        elif parts is not None:
+            raise ValueError("parts= requires a table created with a partition_spec")
         if key_min is not None:
             files = [f for f in files if f["max_key"] is None or f["max_key"] >= key_min]
         if key_max is not None:
@@ -1449,15 +1540,27 @@ class LakeTable:
             equivalent semi-join)."""
             if keys is None:
                 return df
-            kname = schema.key_name
-            if len(keys) <= 64:
-                return df.filter(F.col(kname).isin(list(keys)))
-            ktype = parse_type(schema.field_by_id(schema.key_field_id).type)
+            knames = schema.key_names
+            if len(knames) == 1 and len(keys) <= 64:
+                return df.filter(F.col(knames[0]).isin(list(keys)))
+            if len(knames) > 1 and len(keys) <= 64:
+                # tuple IN: struct(a, b) ISIN ((x1, y1), ...) — same
+                # pushability class as the scalar isin
+                tuples = [
+                    F.struct(*[F.lit(v) for v in (k if isinstance(k, (tuple, list)) else (k,))])
+                    for k in keys
+                ]
+                return df.filter(F.struct(*[F.col(n) for n in knames]).isin(*tuples))
+            ktypes = [
+                parse_type(schema.field_by_id(i).type) for i in schema.key_field_ids
+            ]
             kdf = spark.createDataFrame(
-                [(k,) for k in keys],
-                T.StructType([T.StructField(kname, ktype)]),
+                [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys],
+                T.StructType([
+                    T.StructField(n, t) for n, t in zip(knames, ktypes)
+                ]),
             )
-            return df.join(F.broadcast(kdf), kname, "left_semi")
+            return df.join(F.broadcast(kdf), knames, "left_semi")
 
         outs: list[DataFrame] = []
         if base_files:
@@ -1488,7 +1591,7 @@ class LakeTable:
                 _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
             )
         elif resolve_files:
-            key = schema.key_name
+            knames = schema.key_names
             if any(f.name.startswith("_seq_") for f in schema.fields):
                 # partial-update (sequence-group) table: a row-granular LWW
                 # resolve over its deltas would silently merge at the wrong
@@ -1501,7 +1604,7 @@ class LakeTable:
                     "lookups), or compact_patch first"
                 )
             rs = _restrict(scan(resolve_files, need_sys=True, push_tombstone=False))
-            others = [c for c in rs.columns if c != key]
+            others = [c for c in rs.columns if c not in knames]
             # null ordering state (pre-MoR base rows) sorts below any real
             # (ts, lsn) — same EPOCH/-1 floor the merge uses for pseudo-rows
             order = F.struct(
@@ -1509,9 +1612,9 @@ class LakeTable:
                 F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")),
             )
             resolved = (
-                rs.groupBy(key)
+                rs.groupBy(*knames)
                 .agg(F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_w"))
-                .select(key, "_w.*")
+                .select(*knames, "_w.*")
             )
             if need_tombstone_filter:
                 resolved = resolved.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
@@ -1590,14 +1693,35 @@ class LakeTable:
         "57" against a bigint key behaves like 57."""
         nb = self.n_buckets()
         schema = self.schema()
-        ktype = parse_type(schema.field_by_id(schema.key_field_id).type)
+        ktypes = [parse_type(schema.field_by_id(i).type) for i in schema.key_field_ids]
+        kn = len(ktypes)
+        knames = [f"k{j}" for j in range(kn)]
+
+        def _parts(k):
+            p = tuple(k) if isinstance(k, (tuple, list)) else (k,)
+            if len(p) != kn:
+                raise ValueError(
+                    f"key lookup needs {kn} components ({schema.key_names}), got {p!r}"
+                )
+            return tuple(str(v) if v is not None else None for v in p)
+
         kdf = spark.createDataFrame(
-            [(str(k) if k is not None else None,) for k in keys], "k string"
-        ).select(F.col("k").cast(ktype).alias("k"))
-        rows = kdf.select("k", bucket_expr("k", nb).alias("b")).distinct().collect()
+            [_parts(k) for k in keys], ", ".join(f"{n} string" for n in knames)
+        ).select(*[F.col(n).cast(t).alias(n) for n, t in zip(knames, ktypes)])
+        rows = kdf.select(*knames, bucket_expr(knames, nb).alias("b")).distinct().collect()
         buckets = {r["b"] for r in rows}
-        vals = [r["k"] for r in rows if r["k"] is not None]
-        lo, hi = (min(vals), max(vals)) if vals else (None, None)
+        if kn == 1:
+            vals = [r["k0"] for r in rows if r["k0"] is not None]
+            lo, hi = (min(vals), max(vals)) if vals else (None, None)
+        else:
+            vals = [
+                tuple(r[n] for n in knames) for r in rows
+                if all(r[n] is not None for n in knames)
+            ]
+            # [min, max] bounds cover the LEADING component — the one the
+            # per-file key stats index
+            leads = [v[0] for v in vals]
+            lo, hi = (min(leads), max(leads)) if leads else (None, None)
         return vals, buckets, lo, hi
 
     def read_keys(self, spark: SparkSession, keys: list[str],
@@ -1611,13 +1735,35 @@ class LakeTable:
         the key filter (resolve happens in ``read``)."""
         if not keys:
             return self.read(spark, buckets=set(), with_system_cols=with_system_cols)
-        key = self.schema().key_name
+        schema = self.schema()
+        knames = schema.key_names
         vals, buckets, lo, hi = self.typed_key_buckets(spark, keys)
+        # partitioned table: the partition value derives from a key
+        # component, so a point lookup knows its exact partitions up front
+        # (driver-side strftime on the typed values — no extra job); any
+        # underivable value disables the axis (conservative)
+        pspec, parts = self.snapshot().get("partition_spec"), None
+        if pspec and vals:
+            idx = schema.key_field_ids.index(int(pspec["field_id"]))
+            pvals = {
+                _partition.part_value(
+                    v[idx] if isinstance(v, tuple) else v, pspec["transform"]
+                )
+                for v in vals
+            }
+            parts = None if None in pvals else pvals
         df = self.read(
             spark, buckets=buckets, key_min=lo, key_max=hi,
-            with_system_cols=with_system_cols, keys=vals or keys,
+            with_system_cols=with_system_cols, keys=vals or keys, parts=parts,
         )
-        return df.filter(F.col(key).isin(vals or keys))
+        want = vals or keys
+        if len(knames) == 1:
+            return df.filter(F.col(knames[0]).isin(list(want)))
+        tuples = [
+            F.struct(*[F.lit(v) for v in (k if isinstance(k, (tuple, list)) else (k,))])
+            for k in want
+        ]
+        return df.filter(F.struct(*[F.col(n) for n in knames]).isin(*tuples))
 
     # --------------------------------------------------------- change feed
     def _window_candidate_keys(
@@ -1651,24 +1797,33 @@ class LakeTable:
             return []
         if sum(f.get("rows", 0) for f in sym) > 50 * cap:
             return None
-        # the key column's physical name can differ per file (renames):
-        # resolve by field id, group files by name, one column-pruned scan
-        # per group
-        kid = str(TableSchema.from_json(self.snapshot(to_v)["schema"]).key_field_id)
-        by_name: dict[str, list[str]] = {}
+        # the key columns' physical names can differ per file (renames):
+        # resolve by field id, group files by their name-tuple, one
+        # column-pruned scan per group
+        kids = [
+            str(i)
+            for i in TableSchema.from_json(self.snapshot(to_v)["schema"]).key_field_ids
+        ]
+        by_names: dict[tuple, list[str]] = {}
         for f in sym:
-            name = (f.get("name_by_id") or {}).get(kid)
-            if name is None:
+            nbi = f.get("name_by_id") or {}
+            names = tuple(nbi.get(k) for k in kids)
+            if any(n is None for n in names):
                 return None
-            by_name.setdefault(name, []).append(os.path.join(self.root, f["path"]))
+            by_names.setdefault(names, []).append(os.path.join(self.root, f["path"]))
+        aliases = [f"k{j}" for j in range(len(kids))]
         kdf = None
-        for name, paths in by_name.items():
-            part = spark.read.parquet(*paths).select(F.col(name).alias("k"))
+        for names, paths in by_names.items():
+            part = spark.read.parquet(*paths).select(
+                *[F.col(n).alias(a) for n, a in zip(names, aliases)]
+            )
             kdf = part if kdf is None else kdf.union(part)
         rows = kdf.distinct().limit(cap + 1).collect()
         if len(rows) > cap:
             return None
-        return [r["k"] for r in rows]
+        if len(kids) == 1:
+            return [r["k0"] for r in rows]
+        return [tuple(r[a] for a in aliases) for r in rows]
 
     def read_changes(
         self,
@@ -1718,9 +1873,9 @@ class LakeTable:
         # resolve each side's key name from that version's own schema (ids
         # are stable) and alias both to the new-side name before the join
         to_schema = TableSchema.from_json(self.snapshot(to_version)["schema"])
-        key = to_schema.key_name
+        knames = to_schema.key_names
         payload_fields = [
-            f for f in to_schema.fields if f.id != to_schema.key_field_id
+            f for f in to_schema.fields if f.id not in to_schema.key_field_ids
         ]
         dead = F.coalesce(F.col("_deleted"), F.lit(False))
         live = F.when(~dead, F.lit(True)).otherwise(F.lit(False))
@@ -1751,7 +1906,10 @@ class LakeTable:
                 )
                 payload.append(col.alias(f.name))
             return df.select(
-                F.col(by_id[to_schema.key_field_id]).alias(key),
+                *[
+                    F.col(by_id[kid]).alias(kn)
+                    for kid, kn in zip(to_schema.key_field_ids, knames)
+                ],
                 F.struct(
                     live.alias("live"), F.col("_event_ts"), F.col("_lsn"),
                     *payload,
@@ -1760,7 +1918,7 @@ class LakeTable:
 
         old = side(from_version, "_o")
         new = side(to_version, "_n")
-        j = old.join(new, on=key, how="full_outer")
+        j = old.join(new, on=knames, how="full_outer")
         o_live = F.coalesce(F.col("_o.live"), F.lit(False))
         n_live = F.coalesce(F.col("_n.live"), F.lit(False))
         same = (
@@ -1782,7 +1940,7 @@ class LakeTable:
             if include_preimage else []
         )
         out = j.select(
-            F.col(key),
+            *[F.col(kn) for kn in knames],
             change.alias("_change_type"),
             F.col("_n._event_ts").alias("_event_ts"),
             F.col("_n._lsn").alias("_lsn"),
@@ -2089,17 +2247,17 @@ class LakeTable:
             spark, buckets=todo, with_system_cols=True, include_deleted=True,
             resolve_deltas=False, version=snap["version"], _delta_only=True,
         )
-        key = schema.key_name
-        others = [c for c in raw.columns if c != key]
+        knames = schema.key_names
+        others = [c for c in raw.columns if c not in knames]
         order = F.struct(
             F.coalesce(F.col("_event_ts"),
                        F.lit("1970-01-01 00:00:00").cast("timestamp")),
             F.coalesce(F.col("_lsn"), F.lit(-1).cast("bigint")),
         )
         folded = (
-            raw.groupBy(key)
+            raw.groupBy(*knames)
             .agg(F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_w"))
-            .select(key, "_w.*")
+            .select(*knames, "_w.*")
         )
         new_files = self.write_data_files(folded, delta=True, sort_within=True)
         self.commit_with_retry(
@@ -2151,6 +2309,8 @@ class LakeTable:
             "version": cur["version"] + 1,
             "parent": cur["version"],
             "n_buckets": target["n_buckets"],
+            **({"partition_spec": target["partition_spec"]}
+               if target.get("partition_spec") else {}),
             "schema": target["schema"],
             "manifests": target["manifests"],
             "properties": props,

@@ -31,18 +31,24 @@ def _order_struct(ts_col: str, seq_col: str):
     return F.struct(F.col(ts_col), F.col(seq_col))
 
 
-def lww_dedup(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
-              seq_col: str = "lsn") -> DataFrame:
-    """One row per key: the (ts, seq)-max row. Hash agg with map-side combine."""
-    payload_cols = [c for c in df.columns if c != key]
+def _keys(key: str | list[str]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def lww_dedup(df: DataFrame, key: str | list[str] = "doc_id",
+              ts_col: str = "event_ts", seq_col: str = "lsn") -> DataFrame:
+    """One row per key (single or composite): the (ts, seq)-max row.
+    Hash agg with map-side combine."""
+    ks = _keys(key)
+    payload_cols = [c for c in df.columns if c not in ks]
     winner = F.max_by(F.struct(*payload_cols), _order_struct(ts_col, seq_col)).alias("_w")
-    out = df.groupBy(key).agg(winner)
-    return out.select(key, "_w.*")
+    out = df.groupBy(*ks).agg(winner)
+    return out.select(*ks, "_w.*")
 
 
 def lww_dedup_with_sideout(
     df: DataFrame,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     ts_col: str = "event_ts",
     seq_col: str = "lsn",
     reason_col: str = "_dlq_reason",
@@ -65,8 +71,9 @@ def lww_dedup_with_sideout(
     rare by construction, and a poisoned hot key costs no more than shuffling
     its raw rows would.
     """
+    ks = _keys(key)
     good = F.col(reason_col).isNull()
-    wc = winner_cols or [c for c in df.columns if c not in (key, reason_col)]
+    wc = winner_cols or [c for c in df.columns if c not in (*ks, reason_col)]
     sc = sideout_cols or df.columns
     # max(struct(ts, seq, payload...)) — lexicographic struct max — measured
     # ~20% faster than max_by(payload, ord) (one comparison, no separate
@@ -79,12 +86,12 @@ def lww_dedup_with_sideout(
     bad = F.collect_list(
         F.when(~good, F.struct(*[F.col(c) if isinstance(c, str) else c for c in sc]))
     ).alias("_bad")
-    return df.groupBy(key).agg(winner, bad)
+    return df.groupBy(*ks).agg(winner, bad)
 
 
-def lww_dedup_window(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
-                     seq_col: str = "lsn") -> DataFrame:
-    w = W.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())
+def lww_dedup_window(df: DataFrame, key: str | list[str] = "doc_id",
+                     ts_col: str = "event_ts", seq_col: str = "lsn") -> DataFrame:
+    w = W.partitionBy(*_keys(key)).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -92,7 +99,8 @@ def lww_dedup_window(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts
     )
 
 
-def lww_dedup_salted(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts",
+def lww_dedup_salted(df: DataFrame, key: str | list[str] = "doc_id",
+                     ts_col: str = "event_ts",
                      seq_col: str = "lsn", n_salts: int = 16) -> DataFrame:
     """Two-phase LWW: (key, salt) partial winners → per-key final winner.
 
@@ -100,16 +108,17 @@ def lww_dedup_salted(df: DataFrame, key: str = "doc_id", ts_col: str = "event_ts
     splits a hot key across ``n_salts`` reducers; phase 2 shuffles only
     ``n_salts`` rows per key.
     """
-    payload_cols = [c for c in df.columns if c != key]
+    ks = _keys(key)
+    payload_cols = [c for c in df.columns if c not in ks]
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(ts_col), F.col(seq_col)), F.lit(n_salts))
     )
-    phase1 = salted.groupBy(key, "_salt").agg(
+    phase1 = salted.groupBy(*ks, "_salt").agg(
         F.max_by(F.struct(*payload_cols), _order_struct(ts_col, seq_col)).alias("_w")
     )
     phase2 = (
-        phase1.select(key, "_w.*")
-        .groupBy(key)
+        phase1.select(*ks, "_w.*")
+        .groupBy(*ks)
         .agg(F.max_by(F.struct(*payload_cols), _order_struct(ts_col, seq_col)).alias("_w"))
     )
-    return phase2.select(key, "_w.*")
+    return phase2.select(*ks, "_w.*")

@@ -58,7 +58,7 @@ def _envelope(table: LakeTable, matched: DataFrame, op: str,
     schema = table.schema()
     return matched.select(
         F.lit(op).alias("op"),
-        F.col(schema.key_name).cast("string").alias("doc_id"),
+        *[F.col(k) for k in schema.key_names],
         F.lit(_coordinate(event_ts)).cast("timestamp").alias("event_ts"),
         F.lit(int(lsn)).cast("long").alias("lsn"),
         F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
@@ -87,9 +87,10 @@ def delete_where(
     old row versions completes when compaction rewrites their buckets and
     ``vacuum`` drops the superseded files (the GDPR two-step every
     snapshot-retaining lakehouse has)."""
-    cfg = cfg or MergeConfig(write_mode="mor", writer_id=DML_WRITER)
+    cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
+                                       writer_id=DML_WRITER)
     schema = table.schema()
-    matched = table.read(spark).filter(predicate).select(schema.key_name)
+    matched = table.read(spark).filter(predicate).select(*schema.key_names)
     payload = F.lit(None).cast(payload_struct(schema))
     env = _envelope(table, matched, "delete", payload, event_ts, lsn)
     m = apply_batch(spark, table, env, batch_id, cfg)
@@ -117,11 +118,12 @@ def update_where(
     as if it arrived from the feed — n_tok recompute, token normalization,
     DLQ rules, and the reference's source-vocabulary tagging (a source set
     outside {crawl, curated, synthetic} normalizes to 'crawl')."""
-    cfg = cfg or MergeConfig(write_mode="mor", writer_id=DML_WRITER)
+    cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
+                                       writer_id=DML_WRITER)
     schema = table.schema()
-    bad = [c for c in set_exprs if c == schema.key_name]
+    bad = [c for c in set_exprs if c in schema.key_names]
     if bad:
-        raise ValueError(f"cannot update the key column {bad} — delete + "
+        raise ValueError(f"cannot update key column(s) {bad} — delete + "
                          "re-insert under the new key instead")
     known = {f.name for f in schema.fields}
     unknown = [c for c in set_exprs if c not in known]

@@ -42,7 +42,7 @@ def payload_struct(schema: TableSchema, extra_names: dict[str, str] | None = Non
     captures events that used the previous name."""
     st = T.StructType()
     for f in schema.fields:
-        if f.id == schema.key_field_id:
+        if f.id in schema.key_field_ids:
             continue
         st = st.add(f.name, parse_type(f.type), True)
     st = st.add("tokens_raw", T.StringType(), True)
@@ -52,11 +52,22 @@ def payload_struct(schema: TableSchema, extra_names: dict[str, str] | None = Non
     return st
 
 
+def key_fields(schema: TableSchema) -> list[T.StructField]:
+    """Envelope key fields: one typed top-level field per key column, by its
+    CURRENT schema name. The canonical single-key table (``doc_id: string``)
+    yields exactly the historical hardcoded ``doc_id`` field; composite-key
+    tables carry each key component as its own top-level envelope field."""
+    return [
+        T.StructField(f.name, parse_type(f.type))
+        for f in (schema.field_by_id(i) for i in schema.key_field_ids)
+    ]
+
+
 def envelope_struct(schema: TableSchema, extra_names: dict[str, str] | None = None) -> T.StructType:
     return T.StructType(
         [
             T.StructField("op", T.StringType()),
-            T.StructField("doc_id", T.StringType()),
+            *key_fields(schema),
             T.StructField("event_ts", T.TimestampType()),
             T.StructField("lsn", T.LongType()),
             T.StructField("schema_version", T.IntegerType()),
@@ -78,7 +89,7 @@ def envelope_struct_light(schema: TableSchema, source_name: str | None = "source
     return T.StructType(
         [
             T.StructField("op", T.StringType()),
-            T.StructField("doc_id", T.StringType()),
+            *key_fields(schema),
             T.StructField("event_ts", T.TimestampType()),
             T.StructField("lsn", T.LongType()),
             T.StructField("schema_version", T.IntegerType()),
@@ -86,6 +97,15 @@ def envelope_struct_light(schema: TableSchema, source_name: str | None = "source
             T.StructField("schema_change", SCHEMA_CHANGE_T),
         ]
     )
+
+
+def _any_key_null(schema: TableSchema):
+    """NULL in ANY key component rejects the event (null_key): a composite
+    key with a missing component has no identity to merge under."""
+    cond = F.lit(False)
+    for k in schema.key_names:
+        cond = cond | F.col(k).isNull()
+    return cond
 
 
 def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] | None = None,
@@ -112,10 +132,11 @@ def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] |
         F.explode(F.array(F.from_json(value_col, env))).alias("e"),
     )
     df = df.select("_raw", "e.*")
+    null_key = _any_key_null(schema)
     reason = (
         F.when(F.col("op").isNull(), F.lit("unparseable"))
         .when(~F.col("op").isin(*VALID_OPS), F.lit("unknown_op"))
-        .when((F.col("op") != "schema_change") & F.col("doc_id").isNull(), F.lit("null_key"))
+        .when((F.col("op") != "schema_change") & null_key, F.lit("null_key"))
         .when(
             (F.col("op") != "schema_change")
             & (F.col("event_ts").isNull() | F.col("lsn").isNull()),
@@ -179,11 +200,12 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
     def _scalar(name: str, t: T.DataType) -> Column:
         return (F.col(name).cast(t) if name in cols else F.lit(None).cast(t))
 
+    kfs = key_fields(schema)
     out = df.select(
         (F.col("_raw") if "_raw" in cols else F.lit(None).cast(T.StringType()))
         .alias("_raw_file"),
         _scalar("op", T.StringType()).alias("op"),
-        _scalar("doc_id", T.StringType()).alias("doc_id"),
+        *[_scalar(kf.name, kf.dataType).alias(kf.name) for kf in kfs],
         _scalar("event_ts", T.TimestampType()).alias("event_ts"),
         _scalar("lsn", T.LongType()).alias("lsn"),
         _scalar("schema_version", T.IntegerType()).alias("schema_version"),
@@ -193,7 +215,7 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
     reason = (
         F.when(F.col("op").isNull(), F.lit("unparseable"))
         .when(~F.col("op").isin(*VALID_OPS), F.lit("unknown_op"))
-        .when((F.col("op") != "schema_change") & F.col("doc_id").isNull(), F.lit("null_key"))
+        .when((F.col("op") != "schema_change") & _any_key_null(schema), F.lit("null_key"))
         .when(
             (F.col("op") != "schema_change")
             & (F.col("event_ts").isNull() | F.col("lsn").isNull()),
@@ -210,8 +232,9 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
     # columns are gone post-select, and a faithful JSON of the typed row is
     # what the dead-letter queue wants anyway); when() keeps to_json out of
     # the clean-row codegen path entirely
+    knames = [kf.name for kf in kfs]
     recon = F.to_json(F.struct(
-        "op", "doc_id", "event_ts", "lsn", "schema_version",
+        "op", *knames, "event_ts", "lsn", "schema_version",
         "payload", "schema_change",
     ))
     out = out.withColumn(
@@ -220,7 +243,7 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
                F.coalesce(F.col("_raw_file"), recon)),
     )
     return out.select(
-        "_raw", "op", "doc_id", "event_ts", "lsn", "schema_version",
+        "_raw", "op", *knames, "event_ts", "lsn", "schema_version",
         "payload", "schema_change", "_dlq_reason",
     )
 

@@ -105,6 +105,19 @@ class MergeConfig:
     # raises WriterFencedError instead of landing. None = unfenced.
     writer_epoch: int | None = None
 
+    @staticmethod
+    def for_table(table, **kw) -> "MergeConfig":
+        """MergeConfig with the contract trio's field ids resolved from the
+        table's CURRENT schema by name — the defaults (2/3/4) assume the
+        canonical single-key column order, which composite-key or reordered
+        schemas shift. Missing names resolve to None (the kernel then skips
+        that transform), matching an explicit ``tokens_fid=None``."""
+        by_name = {f.name: f.id for f in table.schema().fields}
+        kw.setdefault("tokens_fid", by_name.get("tokens"))
+        kw.setdefault("ntok_fid", by_name.get("n_tok"))
+        kw.setdefault("source_fid", by_name.get("source"))
+        return MergeConfig(**kw)
+
 
 def _apply_schema_changes(schema: TableSchema, sc_rows: list,
                           protected_ids: frozenset = frozenset(),
@@ -205,7 +218,7 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
       (single Arrow round trip) — the shape a transform needs when the
       logic can't be expressed as SQL expressions.
     """
-    key = schema.key_name
+    keys = schema.key_names
 
     rename_map = evolution.get("map", {})
     added_at = evolution.get("added_at", {})
@@ -233,10 +246,12 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
     tokens_f = by_fid.get(cfg.tokens_fid)
     ntok_f = by_fid.get(cfg.ntok_fid)
     source_f = by_fid.get(cfg.source_fid)
-    canonical_ids = {cfg.tokens_fid, cfg.ntok_fid, cfg.source_fid, schema.key_field_id}
+    canonical_ids = {cfg.tokens_fid, cfg.ntok_fid, cfg.source_fid,
+                     *schema.key_field_ids}
 
     sel = [
-        F.col(key), F.col("op"), F.col("event_ts"), F.col("lsn"),
+        *[F.col(k) for k in keys],
+        F.col("op"), F.col("event_ts"), F.col("lsn"),
         F.col("_raw"), F.col("_dlq_reason"),
     ]
     if "_src_raw" in data.columns:  # lineage passthrough (fast-summary path)
@@ -445,7 +460,7 @@ def apply_batch(
     else:
         parsed = parse(raw, schema)  # full parse (pass A was light)
 
-    key = schema.key_name
+    keys = schema.key_names
     # keep structurally-bad rows in the flow: the fused dedup aggregation
     # captures them for the DLQ in the same pass (only clean schema_change
     # rows leave here — they were consumed as metadata above)
@@ -519,7 +534,15 @@ def apply_batch(
     if obs is not None:
         norm = norm.observe(obs, *metric_aggs)
 
-    payload_names = [f.name for f in schema.fields if f.id != schema.key_field_id]
+    payload_names = [f.name for f in schema.fields
+                     if f.id not in schema.key_field_ids]
+    # DLQ rows carry the key under a single diagnostic `doc_id` column —
+    # composite keys serialize as JSON so the DLQ schema stays stable
+    # across tables (replay re-parses `_raw`, so this column is display-only)
+    dlq_key = (
+        F.col(keys[0]).cast("string") if len(keys) == 1
+        else F.to_json(F.struct(*[F.col(k) for k in keys]))
+    )
     # ONE hash aggregation computes both the per-key LWW winner (good rows)
     # and the DLQ row capture (rejected rows) — dedup and dead-letter share
     # one scan + one shuffle; partial agg absorbs hot-key skew. Persisted so
@@ -527,18 +550,18 @@ def apply_batch(
     # the computation (it is tiny: ≤1 winner row + rare bad rows per key).
     deduped_all = lww_dedup_with_sideout(
         norm,
-        key=key,
+        key=keys,
         winner_cols=["op", "event_ts", "lsn", *payload_names],
         sideout_cols=[
             F.col("_raw"),
             F.col("_dlq_reason"),
             F.col("op"),
-            F.col(key).alias("doc_id"),
+            dlq_key.alias("doc_id"),
             F.col("event_ts"),
             F.col("lsn"),
         ],
     ).persist()
-    deduped = deduped_all.filter(F.col("_w").isNotNull()).select(key, "_w.*")
+    deduped = deduped_all.filter(F.col("_w").isNotNull()).select(*keys, "_w.*")
 
     nb = table.n_buckets()
     metrics: dict = {"batch_id": batch_id, "skipped": False, "schema_changes": len(sc_rows)}
@@ -550,7 +573,7 @@ def apply_batch(
         # tombstones) as LWW delta files — no target read, no bucket
         # rewrite, no affected-bucket job; readers resolve per-key max_by.
         result = deduped.select(
-            F.col(key),
+            *[F.col(k) for k in keys],
             *[
                 F.when(is_del, F.lit(None)).otherwise(F.col(n)).alias(n)
                 for n in payload_names
@@ -566,7 +589,7 @@ def apply_batch(
     else:
         affected = [
             r[0]
-            for r in deduped.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+            for r in deduped.select(bucket_expr(keys, nb).alias("b")).distinct().collect()
         ]
         _mark("dedup_and_affected")
 
@@ -579,7 +602,7 @@ def apply_batch(
             include_deleted=True,  # tombstones must defend their (ts, lsn)
         )
         pseudo = tgt.select(
-            F.col(key),
+            *[F.col(k) for k in keys],
             F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("delete"))
             .otherwise(F.lit("keep"))
             .alias("op"),
@@ -598,22 +621,22 @@ def apply_batch(
         # parallel engine cannot reproduce "first seen" for genuinely
         # different events — no total order exists — hence the contract.)
         unioned = deduped.select(pseudo.columns).unionByName(pseudo)
-        bucketed = unioned.withColumn("_bucket", bucket_expr(key, nb))
+        bucketed = unioned.withColumn("_bucket", bucket_expr(keys, nb))
         npart = min(nb, int(spark.conf.get("spark.sql.shuffle.partitions")))
         bucketed = bucketed.repartition(npart, "_bucket")
         winners = (
-            bucketed.groupBy("_bucket", key)
+            bucketed.groupBy("_bucket", *keys)
             .agg(
                 F.max(
                     F.struct("event_ts", "lsn", "op", *payload_names)
                 ).alias("_w")
             )
-            .select("_bucket", key, "_w.*")
+            .select("_bucket", *keys, "_w.*")
         )
         # Deletes persist as tombstone rows (payload nulled) so their
         # (ts, lsn) keeps beating late updates; read() hides them.
         result = winners.select(
-            key,
+            *keys,
             *[
                 F.when(is_del, F.lit(None)).otherwise(F.col(n)).alias(n)
                 for n in payload_names

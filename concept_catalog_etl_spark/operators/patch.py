@@ -191,7 +191,7 @@ def patch_table_schema(fields: list[tuple[str, str]], key: str = "doc_id"):
 def _patch_fields(schema) -> list[str]:
     return [
         f.name for f in schema.fields
-        if f.id != schema.key_field_id and not f.name.startswith("_seq_")
+        if f.id not in schema.key_field_ids and not f.name.startswith("_seq_")
     ]
 
 

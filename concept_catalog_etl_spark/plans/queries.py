@@ -311,6 +311,35 @@ SELECT user_id, event_id, value FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_merge_composite_key(spark, sf):
+    """MERGE/LWW over a COMPOSITE key (user_id, event_type) — the round-4
+    key generalization (lakehouse/schema.py key_field_ids; the reference's
+    single Mongo ``_id``, files/load.py:21, is the 1-column special case).
+    Same physical shape as the kernel: ONE hash aggregation grouped by the
+    full key tuple (map-side combine absorbs skew), winner by (ts, lsn);
+    winners whose value < 10 act as deletes and drop out."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    merged = lww_dedup(ev, key=["user_id", "event_type"],
+                       ts_col="ts", seq_col="event_id")
+    return merged.filter(F.col("value") >= 10).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+SQL_MERGE_COMPOSITE_KEY = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, value FROM r WHERE rn = 1 AND value >= 10
+"""
+
+
 def q_merge_patch(spark, sf):
     """Partial-update (merge-patch) MERGE: per-FIELD last-writer-wins — the
     faithful distributed ``$set`` (``/root/reference/files/load.py:20-22``;
@@ -3449,6 +3478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_anti": q_merge_anti,
     "q_merge_semi": q_merge_semi,
     "q_merge_final_state": q_merge_final_state,
+    "q_merge_composite_key": q_merge_composite_key,
     "q_merge_patch": q_merge_patch,
     "q_merge_aggregate": q_merge_aggregate,
     "q_join_enrich": q_join_enrich,
@@ -3520,6 +3550,7 @@ ORACLES: dict[str, str] = {
     "q_merge_anti": SQL_MERGE_ANTI,
     "q_merge_semi": SQL_MERGE_SEMI,
     "q_merge_final_state": SQL_MERGE_FINAL_STATE,
+    "q_merge_composite_key": SQL_MERGE_COMPOSITE_KEY,
     "q_merge_patch": SQL_MERGE_PATCH,
     "q_merge_aggregate": SQL_MERGE_AGGREGATE,
     "q_join_enrich": SQL_JOIN_ENRICH,

@@ -182,7 +182,7 @@ def changes_to_debezium(changes: DataFrame, schema: TableSchema,
     itself has the same constraint: it cannot emit a delete the source DB
     already purged from its log.)"""
     key = schema.key_name
-    pay = [f.name for f in schema.fields if f.id != schema.key_field_id
+    pay = [f.name for f in schema.fields if f.id not in schema.key_field_ids
            if f.name in changes.columns]
     is_del = F.col("_change_type") == "delete"
     after = F.when(

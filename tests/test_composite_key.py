@@ -1,0 +1,259 @@
+"""Composite primary keys through the whole core path (round-4 verdict
+task 2): schema → bucket_expr → merge kernel → read/read_keys → change
+feed → DML → compaction, with a hypothesis replay property against a
+naive tuple-keyed oracle.
+
+The reference's key is a single Mongo ``_id`` (``files/load.py:21``);
+real CDC tables ((tenant, doc), (order, line)) are composite on day one —
+this suite is the generalization's correctness gate.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+from concept_catalog_etl_spark.operators.dml import delete_where, update_where
+from concept_catalog_etl_spark.operators.merge import MergeConfig, apply_batch
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".scratch", "composite_key")
+
+COLS = [
+    ("tenant", "string"),
+    ("doc_id", "string"),
+    ("tokens", "array<int>"),
+    ("n_tok", "int"),
+    ("source", "string"),
+]
+
+
+def make_ck_table(root: str, n_buckets: int = 4) -> LakeTable:
+    schema = TableSchema.create(COLS, key=["tenant", "doc_id"])
+    return LakeTable.create(os.path.join(root, "table"), schema,
+                            n_buckets=n_buckets)
+
+
+def ck_cfg(table: LakeTable, **kw) -> MergeConfig:
+    return MergeConfig.for_table(table, **kw)
+
+
+def _line(op, ten, doc, ts_s, lsn, toks=None, src="crawl", bad=False):
+    ts = f"1970-01-01T00:00:{ts_s:02d}.000000"
+    if bad:
+        return '{"op": "update", "tenant": "%s", broken' % ten
+    e = {"op": op, "tenant": ten, "doc_id": doc, "event_ts": ts, "lsn": lsn,
+         "schema_version": 1}
+    if op != "delete":
+        e["payload"] = {"tokens": toks, "n_tok": (len(toks) if toks is not None else None),
+                        "source": src}
+    return json.dumps(e)
+
+
+def _raw(spark, lines):
+    return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+
+def _state(spark, t):
+    return {
+        (r["tenant"], r["doc_id"]): (r["tokens"], r["n_tok"], r["source"])
+        for r in t.read(spark).collect()
+    }
+
+
+def test_schema_composite_contract():
+    sch = TableSchema.create(COLS, key=["tenant", "doc_id"])
+    assert sch.key_field_ids == [1, 2]
+    assert sch.key_names == ["tenant", "doc_id"]
+    with pytest.raises(ValueError):  # single-key accessor fails LOUDLY
+        _ = sch.key_name
+    with pytest.raises(ValueError):  # no key component can be dropped
+        sch.drop_column("doc_id")
+    # renames follow field ids: key_names track the current names
+    ren = sch.rename_column("tenant", "org")
+    assert ren.key_names == ["org", "doc_id"]
+    # round trip (plus legacy single-key decode)
+    back = TableSchema.from_json(sch.to_json())
+    assert back.key_field_ids == [1, 2]
+    legacy = TableSchema.from_json(
+        {"schema_version": 1, "key_field_id": 1, "next_field_id": 3,
+         "fields": [{"id": 1, "name": "k", "type": "string"},
+                    {"id": 2, "name": "v", "type": "int"}]})
+    assert legacy.key_field_ids == [1] and legacy.key_name == "k"
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_composite_replay_deterministic(spark, scratch, mode):
+    """Same doc_id under different tenants are DIFFERENT keys; LWW, deletes
+    and exactly-once all key on the full tuple."""
+    t = make_ck_table(scratch)
+    cfg = ck_cfg(t, write_mode=mode)
+    lines = [
+        _line("insert", "a", "x", 1, 1, [1, 2, 3]),
+        _line("insert", "b", "x", 2, 2, [4, 5]),    # same doc_id, tenant b
+        _line("update", "a", "x", 3, 3, [7, 8, 9]),
+        _line("insert", "a", "y", 4, 4, [1]),
+        _line("delete", "b", "x", 5, 5),
+    ]
+    m = apply_batch(spark, t, _raw(spark, lines), 0, cfg)
+    assert m["events_total"] == 5 and m["dlq_count"] == 0
+    st_ = _state(spark, t)
+    assert st_ == {("a", "x"): ([7, 8, 9], 3, "crawl"),
+                   ("a", "y"): ([1], 1, "crawl")}
+    # exactly-once
+    m2 = apply_batch(spark, t, _raw(spark, lines), 0, cfg)
+    assert m2["skipped"]
+    # late event older than the tombstone loses (LWW on the tuple)
+    late = [_line("update", "b", "x", 3, 2, [9, 9])]
+    apply_batch(spark, t, _raw(spark, late), 1, cfg)
+    assert ("b", "x") not in _state(spark, t)
+
+
+def test_composite_point_lookup_and_pruning(spark, scratch):
+    t = make_ck_table(scratch, n_buckets=8)
+    cfg = ck_cfg(t)
+    lines = [_line("insert", f"t{i % 3}", f"d{i}", 1, i, [i]) for i in range(30)]
+    apply_batch(spark, t, _raw(spark, lines), 0, cfg)
+    got = t.read_keys(spark, [("t1", "d1"), ("t2", "d2")]).collect()
+    assert {(r["tenant"], r["doc_id"]) for r in got} == {("t1", "d1"), ("t2", "d2")}
+    # the lookup is bucket-pruned: it must select at most 2 of 8 buckets
+    _, buckets, _, _ = t.typed_key_buckets(spark, [("t1", "d1"), ("t2", "d2")])
+    rep = t.scan_report(spark, keys=[("t1", "d1"), ("t2", "d2")],
+                        buckets=buckets)
+    assert rep["buckets_selected"] <= 2
+    # a large key list takes the semi-join path, same rows
+    many = [(f"t{i % 3}", f"d{i}") for i in range(30)] + [("zz", "nope")] * 40
+    got2 = t.read_keys(spark, many).count()
+    assert got2 == 30
+    # single-key merge touches exactly one bucket
+    one = [_line("update", "t1", "d1", 9, 999, [42])]
+    m = apply_batch(spark, t, _raw(spark, one), 1, cfg)
+    assert m["buckets_rewritten"] == 1
+
+
+def test_composite_change_feed_and_dml(spark, scratch):
+    t = make_ck_table(scratch)
+    cfg = ck_cfg(t, write_mode="mor")
+    apply_batch(spark, t, _raw(spark, [
+        _line("insert", "a", "x", 1, 1, [1]),
+        _line("insert", "b", "x", 1, 2, [2]),
+    ]), 0, cfg)
+    v1 = t.current_version()
+    apply_batch(spark, t, _raw(spark, [
+        _line("update", "a", "x", 2, 3, [5, 5]),
+        _line("delete", "b", "x", 2, 4),
+        _line("insert", "b", "y", 2, 5, [3]),
+    ]), 1, cfg)
+    ch = {(r["tenant"], r["doc_id"]): r["_change_type"]
+          for r in t.read_changes(spark, v1).collect()}
+    assert ch == {("a", "x"): "update", ("b", "x"): "delete",
+                  ("b", "y"): "insert"}
+    # DML over the composite table: predicate delete + update
+    delete_where(spark, t, (F.col("tenant") == "b") & (F.col("doc_id") == "y"),
+                 batch_id=0, cfg=ck_cfg(t, write_mode="mor", writer_id="dml"))
+    update_where(spark, t, F.col("tenant") == "a", {"source": F.lit("curated")},
+                 batch_id=1, cfg=ck_cfg(t, write_mode="mor", writer_id="dml"))
+    assert _state(spark, t) == {("a", "x"): ([5, 5], 2, "curated")}
+    # update_where refuses to touch ANY key component
+    with pytest.raises(ValueError):
+        update_where(spark, t, F.lit(True), {"tenant": F.lit("z")},
+                     batch_id=2, cfg=ck_cfg(t, writer_id="dml"))
+
+
+def test_composite_compaction_preserves_state(spark, scratch):
+    t = make_ck_table(scratch)
+    cfg = ck_cfg(t, write_mode="mor")
+    for b in range(4):
+        lines = [_line("update", f"t{i % 2}", f"d{i % 5}", b + 1, b * 100 + i,
+                       [b, i]) for i in range(10)]
+        apply_batch(spark, t, _raw(spark, lines), b, cfg)
+    before = _state(spark, t)
+    t.compact_minor(spark, max_delta_files_per_bucket=0)
+    assert _state(spark, t) == before
+    t.compact(spark, max_files_per_bucket=0)
+    assert _state(spark, t) == before
+
+
+def test_composite_schema_evolution_in_stream(spark, scratch):
+    """A schema_change event mid-batch evolves a composite-key table; the
+    new column lands for events after the add line only."""
+    t = make_ck_table(scratch)
+    cfg = ck_cfg(t)
+    add = json.dumps({
+        "op": "schema_change", "event_ts": "1970-01-01T00:00:02.000000",
+        "lsn": 2, "schema_change": {"kind": "add", "column": "lang",
+                                    "new_type": "string"}})
+    lines = [
+        _line("insert", "a", "x", 1, 1, [1]),
+        add,
+        json.dumps({"op": "insert", "tenant": "a", "doc_id": "y",
+                    "event_ts": "1970-01-01T00:00:03.000000", "lsn": 3,
+                    "payload": {"tokens": [2], "n_tok": 1,
+                                "source": "crawl", "lang": "nb"}}),
+    ]
+    apply_batch(spark, t, _raw(spark, lines), 0, cfg)
+    rows = {(r["tenant"], r["doc_id"]): r["lang"]
+            for r in t.read(spark).collect()}
+    assert rows == {("a", "x"): None, ("a", "y"): "nb"}
+    assert t.schema().key_field_ids == [1, 2]  # key survives evolution
+
+
+# --------------------------------------------------------------------------
+# hypothesis: arbitrary composite-key event streams == naive tuple oracle
+# --------------------------------------------------------------------------
+
+ck_event_st = st.fixed_dictionaries({
+    "op": st.sampled_from(["insert", "update", "update", "delete"]),
+    "ten": st.integers(0, 1),                 # 2 tenants
+    "doc": st.integers(0, 2),                 # 3 docs → 6 composite keys
+    "ts_s": st.integers(0, 2),                # forced LWW ties on ts
+    "toks": st.lists(st.integers(0, 99), min_size=0, max_size=4),
+    "bad": st.sampled_from([False] * 6 + [True]),
+})
+
+
+def _ck_oracle(events):
+    """Naive tuple-keyed LWW replay: (ts, lsn)-max per (tenant, doc_id),
+    deletes tombstone, malformed lines dropped."""
+    state: dict = {}
+    for lsn, ev in enumerate(events):
+        if ev["bad"]:
+            continue
+        k = (f"t{ev['ten']}", f"d{ev['doc']}")
+        coord = (ev["ts_s"], lsn)
+        cur = state.get(k)
+        if cur is not None and cur[0] > coord:
+            continue
+        if ev["op"] == "delete":
+            state[k] = (coord, None)
+        else:
+            state[k] = (coord, (list(ev["toks"]), len(ev["toks"]), "crawl"))
+    return {k: v for k, (_c, v) in state.items() if v is not None}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(ck_event_st, min_size=1, max_size=20),
+       split=st.integers(1, 19),
+       mode=st.sampled_from(["cow", "mor"]))
+def test_composite_random_replay_matches_oracle(spark, events, split, mode):
+    d = os.path.join(SCRATCH, f"hy_{len(events)}_{split}_{mode}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    t = make_ck_table(d)
+    cfg = ck_cfg(t, write_mode=mode)
+    lines = [
+        _line(ev["op"], f"t{ev['ten']}", f"d{ev['doc']}", ev["ts_s"], lsn,
+              ev["toks"], bad=ev["bad"])
+        for lsn, ev in enumerate(events)
+    ]
+    cut = min(split, len(lines))
+    for bid, chunk in enumerate((lines[:cut], lines[cut:])):
+        if chunk:
+            apply_batch(spark, t, _raw(spark, chunk), bid, cfg)
+    assert _state(spark, t) == _ck_oracle(events)
+    shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,192 @@
+"""Time/value partition dimension above the hash buckets (round-4 verdict
+task 3): partition-level file elimination — including merge-on-read delta
+files, which column-stats pruning must conservatively keep — on window
+queries, point lookups, and through compaction.
+
+The partition value derives from a key COMPONENT (see
+``lakehouse/partition.py`` for why that is the soundness boundary); the
+reference's single-key Mongo collection (``files/load.py:21``) has no
+partition axis at all — this is the 100 TB-first pruning layer.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+from concept_catalog_etl_spark.lakehouse.fsck import check_table
+from concept_catalog_etl_spark.lakehouse.partition import part_value, validate_spec
+from concept_catalog_etl_spark.operators.merge import MergeConfig, apply_batch
+
+COLS = [
+    ("event_date", "timestamp"),
+    ("doc_id", "string"),
+    ("tokens", "array<int>"),
+    ("n_tok", "int"),
+    ("source", "string"),
+]
+
+
+def make_pt_table(root: str, n_buckets: int = 4) -> LakeTable:
+    schema = TableSchema.create(COLS, key=["event_date", "doc_id"])
+    return LakeTable.create(
+        f"{root}/table", schema, n_buckets=n_buckets,
+        partition_spec={"column": "event_date", "transform": "day"},
+    )
+
+
+def _line(op, day, doc, lsn, toks=None, src="crawl"):
+    e = {
+        "op": op,
+        "event_date": f"1970-01-{day:02d}T00:00:00.000000",
+        "doc_id": doc,
+        "event_ts": f"1970-01-01T00:00:{lsn % 60:02d}.000000",
+        "lsn": lsn,
+        "schema_version": 1,
+    }
+    if op != "delete":
+        e["payload"] = {"tokens": toks or [lsn], "n_tok": len(toks or [lsn]),
+                        "source": src}
+    return json.dumps(e)
+
+
+def _raw(spark, lines):
+    return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+
+def _state(spark, t, **kw):
+    return {
+        (r["event_date"].day, r["doc_id"]): (r["tokens"], r["source"])
+        for r in t.read(spark, **kw).collect()
+    }
+
+
+def test_spec_validation():
+    schema = TableSchema.create(COLS, key=["event_date", "doc_id"])
+    ok = validate_spec(schema, {"column": "event_date", "transform": "day"})
+    assert ok == {"field_id": 1, "transform": "day"}
+    with pytest.raises(ValueError, match="not a key component"):
+        validate_spec(schema, {"column": "source", "transform": "identity"})
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        validate_spec(schema, {"column": "event_date", "transform": "week"})
+    with pytest.raises(ValueError, match="type"):
+        # identity is string-only (lexical order must equal source order)
+        validate_spec(
+            TableSchema.create([("k", "bigint"), ("v", "int")], key=["k"]),
+            {"column": "k", "transform": "identity"},
+        )
+    # driver-side value twin: monotone formats, None on garbage
+    assert part_value("1970-01-05 06:00:00", "day") == "1970-01-05"
+    assert part_value("1970-01-05T06:00:00", "hour") == "1970-01-05-06"
+    assert part_value("not a date", "day") is None
+
+
+def test_spec_survives_commits(spark, scratch):
+    t = make_pt_table(scratch)
+    cfg = MergeConfig.for_table(t)
+    apply_batch(spark, t, _raw(spark, [_line("insert", 1, "a", 1)]), 0, cfg)
+    assert t.snapshot()["partition_spec"] == {"field_id": 1, "transform": "day"}
+    t.compact(spark, max_files_per_bucket=0)
+    assert t.snapshot()["partition_spec"] == {"field_id": 1, "transform": "day"}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_window_pruning_and_exact_rows(spark, scratch, mode):
+    """A 2-day window over a 6-day table opens only those days' files —
+    delta files included (the axis col_stats cannot soundly prune) — and
+    returns exactly the full-read-filtered rows."""
+    t = make_pt_table(scratch)
+    cfg = MergeConfig.for_table(t, write_mode=mode)
+    lsn = 0
+    for batch in range(3):
+        lines = []
+        for day in range(1, 7):
+            for d in range(3):
+                lsn += 1
+                lines.append(_line("update", day, f"d{d}", lsn, [batch, day, d]))
+        apply_batch(spark, t, _raw(spark, lines), batch, cfg)
+
+    win = ("1970-01-02 00:00:00", "1970-01-03 23:59:59")
+    rep = t.scan_report(spark, col_ranges={"event_date": win})
+    assert rep["partitions_total"] == 6
+    assert rep["partitions_selected"] == 2
+    assert rep["files_after_partition"] < rep["files_in_selected_buckets"]
+    if mode == "mor":
+        assert rep["delta_files"] > 0  # the files col_stats could NOT prune
+
+    got = _state(spark, t, col_ranges={"event_date": win})
+    full = _state(spark, t)
+    want = {k: v for k, v in full.items() if k[0] in (2, 3)}
+    assert got == want
+
+
+def test_point_lookup_partition_pruning(spark, scratch):
+    t = make_pt_table(scratch, n_buckets=2)
+    cfg = MergeConfig.for_table(t)
+    lines = [_line("insert", day, f"d{i}", day * 10 + i)
+             for day in range(1, 7) for i in range(2)]
+    apply_batch(spark, t, _raw(spark, lines), 0, cfg)
+    key = ("1970-01-03 00:00:00", "d1")
+    got = t.read_keys(spark, [key]).collect()
+    assert [(r["event_date"].day, r["doc_id"]) for r in got] == [(3, "d1")]
+    # the lookup's derived parts + buckets eliminate other days' files
+    rep = t.scan_report(spark, parts={"1970-01-03"})
+    assert rep["partitions_selected"] == 1
+    assert rep["files_after_partition"] * 6 <= rep["files_in_selected_buckets"] * 2
+
+
+def test_tombstones_share_partition_and_compaction_preserves(spark, scratch):
+    """Delete events carry only the key — the tombstone must land in the
+    SAME partition (that is the point of the key-component contract), so a
+    window read over that day still sees the delete; compaction and fsck
+    keep the invariant."""
+    t = make_pt_table(scratch)
+    cfg = MergeConfig.for_table(t, write_mode="mor")
+    apply_batch(spark, t, _raw(spark, [
+        _line("insert", 2, "a", 1), _line("insert", 3, "b", 2),
+    ]), 0, cfg)
+    apply_batch(spark, t, _raw(spark, [_line("delete", 2, "a", 3)]), 1, cfg)
+    win = ("1970-01-02 00:00:00", "1970-01-02 23:59:59")
+    assert _state(spark, t, col_ranges={"event_date": win}) == {}
+    # tombstone files live under _part=1970-01-02 (path-level check)
+    tomb = [f for f in t.files() if f.get("delta") and f["part"] == "1970-01-02"]
+    assert tomb
+    t.compact_minor(spark, max_delta_files_per_bucket=0)
+    assert _state(spark, t, col_ranges={"event_date": win}) == {}
+    t.compact(spark, max_files_per_bucket=0)
+    assert _state(spark, t) == {(3, "b"): ([2], "crawl")}
+    assert all(f.get("part") for f in t.files())  # rewrites stay partitioned
+    rep = check_table(t)
+    assert rep["ok"], rep["findings"]
+
+
+def test_identity_partition_on_tenant(spark, scratch):
+    """(source, doc_id) key with identity(source) partitioning — the
+    multi-tenant layout; parts= equality pruning."""
+    schema = TableSchema.create(
+        [("tenant", "string"), ("doc_id", "string"), ("n", "int")],
+        key=["tenant", "doc_id"],
+    )
+    t = LakeTable.create(
+        f"{scratch}/tenant_table", schema, n_buckets=2,
+        partition_spec={"column": "tenant", "transform": "identity"},
+    )
+    cfg = MergeConfig.for_table(t)
+    lines = [
+        json.dumps({"op": "insert", "tenant": f"t{i % 3}", "doc_id": f"d{i}",
+                    "event_ts": "1970-01-01T00:00:01.000000", "lsn": i,
+                    "schema_version": 1, "payload": {"n": i}})
+        for i in range(9)
+    ]
+    apply_batch(spark, t, _raw(spark, lines), 0, cfg)
+    rep = t.scan_report(spark, parts={"t1"})
+    assert rep["partitions_total"] == 3 and rep["partitions_selected"] == 1
+    rows = t.read(spark, parts={"t1"}).collect()
+    assert {r["tenant"] for r in rows} == {"t1"} and len(rows) == 3
+    # unpartitioned tables refuse parts= instead of silently ignoring it
+    plain = LakeTable.create(
+        f"{scratch}/plain", TableSchema.create([("k", "string"), ("v", "int")],
+                                               key=["k"]), n_buckets=2)
+    with pytest.raises(ValueError, match="partition_spec"):
+        plain.read(spark, parts={"x"})
