@@ -1,0 +1,365 @@
+"""Thin SQL surface over the lake table: SELECT via temp views, and
+``MERGE INTO`` / ``UPDATE`` / ``DELETE`` strings lowered onto the existing
+merge kernel (``operators.merge.apply_batch``) — so the SQL path inherits
+exactly-once ledgering, LWW ordering, CoW/MoR write modes, DLQ and metrics
+instead of reimplementing write semantics.
+
+The reference's only write is the per-record ``$set`` upsert
+(``/root/reference/files/load.py:20-22``) — morally ``MERGE INTO ... WHEN
+MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``; this module
+gives an analyst that statement (plus conditional clauses and DELETE)
+without opening a second write path.
+
+Grammar (deliberately restricted; anything else raises with the reason):
+
+    MERGE INTO <target alias?> USING <view | (subquery) alias> ON <cond>
+      [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | t.c = <expr>, ...]
+      [WHEN MATCHED [AND <cond>] THEN DELETE]
+      [WHEN NOT MATCHED [AND <cond>] THEN INSERT * | (cols) VALUES (exprs)]
+
+    UPDATE <name> SET c = <expr>, ... [WHERE <cond>]
+    DELETE FROM <name> [WHERE <cond>]
+
+* ``ON`` must equate EVERY key component (``t.k = s.k AND ...``): the
+  kernel upserts by full key, so a partial-key merge would be a different
+  (join-update) operation — refused, not approximated.
+* Clause conditions and expressions are Spark SQL, evaluated against the
+  joined row with aliases ``t`` (target) and ``s`` (source) in scope —
+  Catalyst does the expression work; this module only plans.
+* SQL MERGE semantics: clauses fire first-match-wins per source row;
+  duplicate source keys raise (like Delta/SQL:2016 cardinality violation)
+  unless ``allow_duplicate_source=True``, in which case the kernel's
+  deterministic LWW tie-break picks one.
+
+At scale: the only extra work vs the Python API is one join of the source
+against the (bucket-pruned by Catalyst AQE, filter-pushed) target read when
+a clause actually needs target state; the unconditional upsert form
+(``UPDATE SET * / INSERT *``) skips the target read entirely and is exactly
+``apply_batch``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..lakehouse.table import LakeTable
+from .dml import DML_WRITER, _coordinate, delete_where, update_where
+from .envelope import SCHEMA_CHANGE_T, payload_struct
+from .merge import MergeConfig, apply_batch
+
+
+def register(spark: SparkSession, table: LakeTable, name: str, **read_kw) -> None:
+    """Expose a lake table snapshot to ``spark.sql`` as a temp view."""
+    table.read(spark, **read_kw).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, tables: dict[str, LakeTable], query: str) -> DataFrame:
+    """Run a SELECT with every named lake table registered as a view."""
+    for name, t in tables.items():
+        register(spark, t, name)
+    return spark.sql(query)
+
+
+# --------------------------------------------------------------- parsing
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>\(.*?\)|\w+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.*?)(?=\s+WHEN\s)(?P<clauses>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ_RE = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", re.IGNORECASE
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside parens/quotes (assignment/value lists)."""
+    out, depth, q, cur = [], 0, None, []
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def _parse_on(on: str, talias: str, salias: str, key_names: list[str]) -> dict:
+    """ON must equate every key component; returns {target_key: source_col}."""
+    pairs: dict[str, str] = {}
+    for part in re.split(r"\s+AND\s+", on.strip(), flags=re.IGNORECASE):
+        m = _ON_EQ_RE.match(part)
+        if not m:
+            raise ValueError(
+                f"unsupported ON term {part!r}: need <alias>.<col> = <alias>.<col>"
+            )
+        a1, c1, a2, c2 = m.groups()
+        if a1.lower() == talias.lower() and a2.lower() == salias.lower():
+            pairs[c1] = c2
+        elif a1.lower() == salias.lower() and a2.lower() == talias.lower():
+            pairs[c2] = c1
+        else:
+            raise ValueError(f"ON term {part!r} must relate {talias!r} and {salias!r}")
+    missing = [k for k in key_names if k not in pairs]
+    if missing:
+        raise ValueError(
+            f"ON must equate every key component; missing {missing} "
+            f"(key: {key_names}) — a partial-key MERGE is a join-update, "
+            "which this kernel deliberately does not express"
+        )
+    extra = [k for k in pairs if k not in key_names]
+    if extra:
+        raise ValueError(f"ON references non-key target column(s): {extra}")
+    return pairs
+
+
+def merge_into_sql(
+    spark: SparkSession,
+    table: LakeTable,
+    stmt: str,
+    *,
+    batch_id: int,
+    cfg: MergeConfig | None = None,
+    event_ts=None,
+    lsn: int = 0,
+    allow_duplicate_source: bool = False,
+) -> dict:
+    """Lower a MERGE INTO statement onto ``apply_batch``; returns the merge
+    metrics dict. The target name in the statement is decorative (the table
+    handle is authoritative); the source is a temp view name or an inline
+    ``(subquery) alias``."""
+    m = _MERGE_RE.match(stmt)
+    if not m:
+        raise ValueError(
+            "unsupported MERGE shape — expected MERGE INTO t USING s ON ... "
+            "WHEN [NOT] MATCHED [AND ...] THEN UPDATE SET ...|DELETE|INSERT ..."
+        )
+    talias = m.group("talias") or "t"
+    salias = m.group("salias") or "s"
+    src_sql = m.group("source")
+    src = (
+        spark.sql(src_sql[1:-1]) if src_sql.startswith("(") else spark.table(src_sql)
+    )
+    schema = table.schema()
+    key_names = schema.key_names
+    on_pairs = _parse_on(m.group("on"), talias, salias, key_names)
+
+    clauses = []
+    for cm in _CLAUSE_RE.finditer(m.group("clauses")):
+        action = cm.group("action").strip()
+        clauses.append({
+            "matched": cm.group("not") is None,
+            "cond": cm.group("cond"),
+            "action": action,
+        })
+    if not clauses:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    for c in clauses:
+        up = c["action"].upper()
+        if not c["matched"] and not up.startswith("INSERT"):
+            raise ValueError("WHEN NOT MATCHED supports only INSERT")
+        if c["matched"] and up.startswith("INSERT"):
+            raise ValueError("WHEN MATCHED supports UPDATE SET ... or DELETE")
+
+    if not allow_duplicate_source:
+        # SQL:2016 / Delta cardinality rule: two source rows hitting one
+        # target key is an error, not a nondeterministic pick. One agg on
+        # the (batch-sized) source.
+        dup = (
+            src.groupBy(*[F.col(on_pairs[k]).alias(k) for k in key_names])
+            .count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate source rows for key {tuple(dup[0][k] for k in key_names)}; "
+                "dedupe the source or pass allow_duplicate_source=True"
+            )
+
+    # The classic upsert — unconditional UPDATE SET * + INSERT * covering
+    # BOTH sides — needs no target state at all (matched or not, the source
+    # row wins wholesale), so it lowers to apply_batch with zero target
+    # read. Anything else (a clause condition, a partial SET, DELETE, or a
+    # one-sided statement where fire/skip depends on existence) joins the
+    # target once.
+    upsert_only = (
+        len(clauses) == 2
+        and {c["matched"] for c in clauses} == {True, False}
+        and all(c["cond"] is None for c in clauses)
+        and all(
+            c["action"].upper().replace(" ", "") in ("UPDATESET*", "INSERT*")
+            for c in clauses
+        )
+    )
+    pstruct = payload_struct(schema)
+    payload_names = [f.name for f in pstruct.fields]
+    ts = F.lit(_coordinate(event_ts)).cast("timestamp")
+
+    def _payload_from(prefix: str | None, overrides: dict[str, str],
+                      visible: list[str]):
+        parts = []
+        for f in pstruct.fields:
+            if f.name in overrides:
+                col = F.expr(overrides[f.name])
+            elif prefix is not None and f.name in visible:
+                col = F.col(f"{prefix}.{f.name}")
+            else:
+                col = F.lit(None)
+            parts.append(col.cast(f.dataType).alias(f.name))
+        return F.struct(*parts)
+
+    if upsert_only:
+        # pure upsert: no target read at all — this IS apply_batch, payload
+        # straight from the source columns by name (SET * / INSERT *)
+        env = src.select(
+            F.lit("update").alias("op"),
+            *[F.col(on_pairs[k]).alias(k) for k in key_names],
+            ts.alias("event_ts"),
+            F.lit(int(lsn)).cast("long").alias("lsn"),
+            F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
+            F.struct(*[
+                (F.col(f.name) if f.name in src.columns else F.lit(None))
+                .cast(f.dataType).alias(f.name)
+                for f in pstruct.fields
+            ]).alias("payload"),
+            F.lit(None).cast(SCHEMA_CHANGE_T).alias("schema_change"),
+        )
+        cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
+                                           writer_id=DML_WRITER)
+        return apply_batch(spark, table, env, batch_id, cfg)
+
+    # general form: join source against the live target once; aliases t/s
+    # stay in scope for clause conditions and SET expressions
+    tgt = table.read(spark).withColumn("_matched", F.lit(True))
+    tgt_cols = [c for c in tgt.columns if c != "_matched"]
+    joined = src.alias(salias).join(
+        tgt.alias(talias),
+        on=[F.col(f"{salias}.{on_pairs[k]}") == F.col(f"{talias}.{k}")
+            for k in key_names],
+        how="left",
+    )
+    matched_col = F.col(f"{talias}._matched").isNotNull()
+
+    op_col = F.lit(None).cast("string")
+    payload_col = F.lit(None).cast(pstruct)
+    # first-match-wins: build when-chains in REVERSE so earlier clauses
+    # override later ones
+    for c in reversed(clauses):
+        fire = matched_col if c["matched"] else ~matched_col
+        if c["cond"]:
+            fire = fire & F.expr(c["cond"])
+        up = c["action"].upper()
+        if up == "DELETE":
+            op, pay = "delete", F.lit(None).cast(pstruct)
+        elif up.startswith("UPDATE"):
+            body = re.sub(r"^UPDATE\s+SET\s+", "", c["action"],
+                          flags=re.IGNORECASE).strip()
+            if body == "*":
+                overrides = {
+                    n: f"{salias}.{n}" for n in payload_names if n in src.columns
+                }
+            else:
+                overrides = {}
+                for a in _split_top_level(body):
+                    am = re.match(r"^(?:(\w+)\.)?(\w+)\s*=\s*(.*)$", a, re.DOTALL)
+                    if not am or (am.group(1) or talias).lower() != talias.lower():
+                        raise ValueError(f"bad SET assignment {a!r}")
+                    if am.group(2) in key_names:
+                        raise ValueError(f"cannot SET key column {am.group(2)!r}")
+                    overrides[am.group(2)] = am.group(3)
+            # unset columns keep the CURRENT row's values (row-granular LWW);
+            # payload fields with no stored column (transform-era extras
+            # like tokens_raw) carry null like the DML planner does
+            op, pay = "update", _payload_from(talias, overrides, tgt_cols)
+        else:  # INSERT
+            body = re.sub(r"^INSERT\s*", "", c["action"], flags=re.IGNORECASE).strip()
+            if body == "*":
+                overrides = {
+                    n: f"{salias}.{n}" for n in payload_names if n in src.columns
+                }
+            else:
+                im = re.match(r"^\((?P<cols>.*?)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                              body, re.IGNORECASE | re.DOTALL)
+                if not im:
+                    raise ValueError(f"bad INSERT clause {body!r}")
+                cols = [x.strip() for x in _split_top_level(im.group("cols"))]
+                vals = _split_top_level(im.group("vals"))
+                if len(cols) != len(vals):
+                    raise ValueError("INSERT column/value count mismatch")
+                overrides = {
+                    c_: v for c_, v in zip(cols, vals) if c_ not in key_names
+                }
+            op, pay = "update", _payload_from(None, overrides, [])
+        op_col = F.when(fire, F.lit(op)).otherwise(op_col)
+        payload_col = F.when(fire, pay).otherwise(payload_col)
+
+    env = (
+        joined.select(
+            op_col.alias("op"),
+            *[F.col(f"{salias}.{on_pairs[k]}").alias(k) for k in key_names],
+            ts.alias("event_ts"),
+            F.lit(int(lsn)).cast("long").alias("lsn"),
+            F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
+            payload_col.alias("payload"),
+            F.lit(None).cast(SCHEMA_CHANGE_T).alias("schema_change"),
+        )
+        .filter(F.col("op").isNotNull())  # rows firing no clause: no event
+    )
+    cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
+                                       writer_id=DML_WRITER)
+    return apply_batch(spark, table, env, batch_id, cfg)
+
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<t>\w+)\s+SET\s+(?P<set>.*?)(?:\s+WHERE\s+(?P<where>.*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<t>\w+)(?:\s+WHERE\s+(?P<where>.*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def run_dml(spark: SparkSession, table: LakeTable, stmt: str, *,
+            batch_id: int, cfg: MergeConfig | None = None,
+            event_ts=None, lsn: int = 0) -> dict:
+    """Dispatch an UPDATE / DELETE / MERGE INTO string onto the kernel."""
+    if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
+        return merge_into_sql(spark, table, stmt, batch_id=batch_id, cfg=cfg,
+                              event_ts=event_ts, lsn=lsn)
+    um = _UPDATE_RE.match(stmt)
+    if um:
+        sets = {}
+        for a in _split_top_level(um.group("set")):
+            am = re.match(r"^(\w+)\s*=\s*(.*)$", a, re.DOTALL)
+            if not am:
+                raise ValueError(f"bad SET assignment {a!r}")
+            sets[am.group(1)] = am.group(2)
+        return update_where(spark, table, F.expr(um.group("where") or "true"),
+                            sets, batch_id=batch_id, cfg=cfg,
+                            event_ts=event_ts, lsn=lsn)
+    dm = _DELETE_RE.match(stmt)
+    if dm:
+        return delete_where(spark, table, F.expr(dm.group("where") or "true"),
+                            batch_id=batch_id, cfg=cfg,
+                            event_ts=event_ts, lsn=lsn)
+    raise ValueError("statement must be MERGE INTO / UPDATE / DELETE FROM")

@@ -1,0 +1,175 @@
+"""SQL surface (round-4 verdict task 4): MERGE INTO / UPDATE / DELETE
+strings lowered onto the merge kernel, SELECT through registered views —
+end-to-end with state oracles. The reference analog is the per-record
+``$set`` upsert (``files/load.py:20-22``) == the unconditional
+UPDATE SET * / INSERT * merge."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+from concept_catalog_etl_spark.operators.merge import MergeConfig, apply_batch
+from concept_catalog_etl_spark.operators.sql import merge_into_sql, register, run_dml, sql
+
+
+def make_table(root, key=("doc_id",)):
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("n", "int"), ("tag", "string")]
+        if key == ("doc_id",)
+        else [("tenant", "string"), ("doc_id", "string"), ("n", "int"),
+              ("tag", "string")],
+        key=list(key),
+    )
+    return LakeTable.create(f"{root}/table", schema, n_buckets=4)
+
+
+def _seed(spark, t, rows, batch_id=0):
+    """rows: list of (doc_id, n, tag)"""
+    lines = [
+        json.dumps({"op": "insert", "doc_id": d,
+                    "event_ts": "1970-01-01T00:00:01.000000", "lsn": i,
+                    "schema_version": 1, "payload": {"n": n, "tag": g}})
+        for i, (d, n, g) in enumerate(rows)
+    ]
+    raw = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    apply_batch(spark, t, raw, batch_id, MergeConfig.for_table(t))
+
+
+def _state(spark, t):
+    return {r["doc_id"]: (r["n"], r["tag"]) for r in t.read(spark).collect()}
+
+
+def test_upsert_merge_and_select(spark, scratch):
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x"), ("b", 2, "y")])
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 10, 'xx'), ('c', 3, 'z') AS v(doc_id, n, tag)"
+    ).createOrReplaceTempView("updates")
+    m = merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING updates s ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        batch_id=0, event_ts="1970-01-01T00:00:05",
+    )
+    assert m["events_total"] == 2 and m["rows_written"] == 2
+    assert _state(spark, t) == {"a": (10, "xx"), "b": (2, "y"), "c": (3, "z")}
+    # SELECT through the view helper, column math in SQL
+    got = sql(spark, {"docs": t},
+              "SELECT tag, sum(n) AS total FROM docs GROUP BY tag ORDER BY tag")
+    assert [(r["tag"], r["total"]) for r in got.collect()] == [
+        ("xx", 10), ("y", 2), ("z", 3)]
+    # exactly-once: same batch id replays as a no-op
+    m2 = merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING updates s ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        batch_id=0, event_ts="1970-01-01T00:00:09",
+    )
+    assert m2["skipped"]
+
+
+def test_conditional_clauses_and_expressions(spark, scratch):
+    """Clause conditions + SET expressions referencing both sides, clause
+    order first-match-wins, DELETE, INSERT (cols) VALUES (...)."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "keep"), ("b", 100, "big"), ("c", 5, "mid")])
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 7), ('b', 8), ('c', 9), ('d', 10) "
+        "AS v(doc_id, delta)"
+    ).createOrReplaceTempView("src2")
+    merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING src2 s ON t.doc_id = s.doc_id
+           WHEN MATCHED AND t.n >= 100 THEN DELETE
+           WHEN MATCHED AND t.tag = 'keep' THEN UPDATE SET n = t.n + s.delta
+           WHEN MATCHED THEN UPDATE SET tag = concat(t.tag, '!')
+           WHEN NOT MATCHED AND s.delta > 9 THEN INSERT (doc_id, n, tag)
+             VALUES (s.doc_id, s.delta * 2, 'new')""",
+        batch_id=1, event_ts="1970-01-01T00:00:05",
+    )
+    assert _state(spark, t) == {
+        "a": (8, "keep"),      # matched, tag=keep → n = 1 + 7
+        "c": (5, "mid!"),      # matched fallback → tag append, n kept
+        "d": (20, "new"),      # not matched, delta>9 → inserted
+    }                          # b deleted (n >= 100)
+
+
+def test_composite_key_on_validation(spark, scratch):
+    t = make_table(scratch, key=("tenant", "doc_id"))
+    spark.sql(
+        "SELECT * FROM VALUES ('t1', 'a', 1, 'x') AS v(tenant, doc_id, n, tag)"
+    ).createOrReplaceTempView("src3")
+    with pytest.raises(ValueError, match="missing \\['tenant'\\]"):
+        merge_into_sql(
+            spark, t,
+            """MERGE INTO docs t USING src3 s ON t.doc_id = s.doc_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+            batch_id=0)
+    # full composite ON works end-to-end
+    merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING src3 s
+           ON t.tenant = s.tenant AND t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        batch_id=0, event_ts="1970-01-01T00:00:05")
+    rows = t.read(spark).collect()
+    assert [(r["tenant"], r["doc_id"], r["n"]) for r in rows] == [("t1", "a", 1)]
+
+
+def test_duplicate_source_raises(spark, scratch):
+    t = make_table(scratch)
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 1, 'x'), ('a', 2, 'y') AS v(doc_id, n, tag)"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(ValueError, match="duplicate source rows"):
+        merge_into_sql(
+            spark, t,
+            """MERGE INTO docs t USING dup_src s ON t.doc_id = s.doc_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+            batch_id=0)
+    merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING dup_src s ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        batch_id=0, allow_duplicate_source=True,
+        event_ts="1970-01-01T00:00:05")
+    assert len(_state(spark, t)) == 1  # deterministic single winner
+
+
+def test_update_delete_sql_strings(spark, scratch):
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "y")])
+    run_dml(spark, t, "UPDATE docs SET n = n * 10 WHERE tag = 'y'",
+            batch_id=10, event_ts="1970-01-01T00:00:05")
+    run_dml(spark, t, "DELETE FROM docs WHERE doc_id = 'a'",
+            batch_id=11, event_ts="1970-01-01T00:00:06")
+    assert _state(spark, t) == {"b": (20, "y"), "c": (30, "y")}
+    with pytest.raises(ValueError, match="MERGE INTO / UPDATE / DELETE"):
+        run_dml(spark, t, "TRUNCATE TABLE docs", batch_id=12)
+
+
+def test_inline_subquery_source_and_mor(spark, scratch):
+    """(subquery) source + MoR write mode; register() exposes col_ranges."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")])
+    merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t
+           USING (SELECT 'a' AS doc_id, 5 AS n, 'up' AS tag) s
+           ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        batch_id=1, event_ts="1970-01-01T00:00:05",
+        cfg=MergeConfig.for_table(t, write_mode="mor", writer_id="dml"),
+    )
+    assert _state(spark, t) == {"a": (5, "up")}
+    register(spark, t, "docs_now")
+    assert spark.sql("SELECT n FROM docs_now").collect()[0]["n"] == 5
