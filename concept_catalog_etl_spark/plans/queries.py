@@ -3233,7 +3233,8 @@ FROM c GROUP BY source
 """
 
 
-def q_tfidf_topk(spark, sf, k: int = 3):
+def q_tfidf_topk(spark, sf, k: int = 3, join_strategy: str = "auto",
+                 broadcast_vocab_max: int = 2_000_000):
     """Top-k TF-IDF terms per document (keyword extraction / topic-drift
     probe). Determinism across engines: idf is snapped to fixed point
     (round(ln(N/df)*1e6) BIGINT) and the score is the exact integer
@@ -3242,7 +3243,15 @@ def q_tfidf_topk(spark, sf, k: int = 3):
     Scale shape: tf is one (doc,word)-keyed map-side-combinable count; df
     is vocab-bounded (language-bounded at 100 TB) → broadcast back; N rides
     a lazy 1-row broadcast (no extra corpus pass); top-k is one window over
-    the (doc,word) rows."""
+    the (doc,word) rows.
+
+    OOM guard (round-4 verdict task 7): a natural-language vocabulary is
+    broadcast-sized, but an adversarial corpus (random strings, binary
+    spill) is not — ``join_strategy='auto'`` probes the vocabulary with one
+    HyperLogLog pass (``approx_count_distinct`` partial-aggregates
+    executor-side; no word shuffle, ~2% error is noise against a 2M-word
+    budget) and falls back to a shuffle join above ``broadcast_vocab_max``.
+    Pass 'broadcast'/'shuffle' to skip the probe and force a regime."""
     d = _spread(spark, _t(spark, sf, "documents"))
     w = d.select(
         "doc_id",
@@ -3250,10 +3259,19 @@ def q_tfidf_topk(spark, sf, k: int = 3):
     )
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    if join_strategy == "auto":
+        vocab_est = w.agg(F.approx_count_distinct("word").alias("v")).first()["v"]
+        join_strategy = (
+            "broadcast" if vocab_est <= broadcast_vocab_max else "shuffle"
+        )
+    if join_strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"join_strategy must be auto|broadcast|shuffle, got "
+                         f"{join_strategy!r}")
+    df_side = F.broadcast(df_) if join_strategy == "broadcast" else df_
     ndocs = d.agg(F.count("*").cast("double").alias("_n"))
     idf_e6 = F.round(F.log(F.col("_n") / F.col("df")) * 1e6, 0).cast("bigint")
     scored = (
-        tf.join(F.broadcast(df_), "word")
+        tf.join(df_side, "word")
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id", "word", F.col("tf").cast("bigint").alias("tf"),
@@ -3606,4 +3624,44 @@ ORACLES: dict[str, str] = {
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_scd2_history": SQL_SCD2_HISTORY,
     "q_span_dedup": SQL_SPAN_DEDUP,
+}
+
+
+# Named registry groups so oracle-checking can iterate one family at a time
+# (oracle_check.py --group <name>); every registry query belongs to exactly
+# one group — enforced by tests/test_plans.py.
+GROUPS: dict[str, list[str]] = {
+    "core": [
+        "q_scan_filter", "q_nested_prune", "q_counts", "q_hot_keys",
+        "q_lww_dedup", "q_lww_dedup_maxby", "q_topk_per_group",
+        "q_windowed_throughput", "q_sessionize", "q_scalar_funcs",
+        "q_vectorized_ntok", "q_union_evolved",
+    ],
+    "cdc": [
+        "q_merge_anti", "q_merge_semi", "q_merge_final_state",
+        "q_merge_composite_key", "q_merge_patch", "q_merge_aggregate",
+        "q_join_enrich", "q_salted_join", "q_asof_join", "q_range_join",
+        "q_scd2_history",
+    ],
+    "dedup": [
+        "q_dedup_exact", "q_dedup_normalized", "q_jaccard_ngram",
+        "q_jaccard_ngram_gemm", "q_dedup_clusters", "q_minhash_pairs",
+        "q_minhash_pairs_poly", "q_simhash", "q_simhash_poly",
+        "q_span_dedup", "q_embed_cosine_dup", "q_embed_cosine_dup_gemm",
+        "q_semdedup", "q_semdedup_gemm",
+    ],
+    "ann": ["q_ann_topk", "q_ann_topk_gemm", "q_ann_lsh", "q_ann_ivf"],
+    "text": [
+        "q_fingerprint", "q_token_count", "q_quality_score", "q_lang_id",
+        "q_corpus_stats", "q_vocab_topk", "q_len_histogram",
+        "q_repetition_stats", "q_unigram_logprob", "q_quality_classifier",
+        "q_token_drift", "q_redact_pii", "q_ngram_dup_rate", "q_tfidf_topk",
+    ],
+    "pipeline": [
+        "q_sample_hash", "q_sample_stratified", "q_mixture_plan",
+        "q_sample_fixed_k", "q_pack_sequences", "q_chunk_overlap",
+        "q_decontaminate", "q_quality_gate", "q_refinery",
+        "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_resize",
+        "q_rollup", "q_pivot",
+    ],
 }

@@ -3,8 +3,10 @@ query in ``__spark_entry__.queries()`` Spark-side AND its DuckDB oracle SQL
 on the same parquet tables, compare row count / column names / value
 multiset, and print one JSON line per query.
 
-Usage: python oracle_check.py [sf_dir] [query ...]
-Defaults to /root/testdata/sf0.01 and all queries.
+Usage: python oracle_check.py [sf_dir] [query ...] [--group NAME ...]
+Defaults to /root/testdata/sf0.01 and all queries. ``--group`` selects a
+named registry family (core/cdc/dedup/ann/text/pipeline — see
+``plans.queries.GROUPS``); it composes with explicit query names.
 """
 
 from __future__ import annotations
@@ -41,8 +43,28 @@ def _value_multiset(cols, rows):
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    groups: list[str] = []
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--group":
+            groups.append(args[i + 1])
+            i += 2
+        else:
+            rest.append(args[i])
+            i += 1
+    sf = rest[0] if rest else "/root/testdata/sf0.01"
+    only = set(rest[1:])
+    if groups:
+        from concept_catalog_etl_spark.plans.queries import GROUPS
+
+        for g in groups:
+            if g not in GROUPS:
+                print(json.dumps({"err": f"unknown group {g!r}; "
+                                         f"one of {sorted(GROUPS)}"}))
+                return 2
+            only |= set(GROUPS[g])
     import os
 
     os.environ["SPARK_GRAFT_ORACLE_SF"] = sf  # generated oracles follow sf

@@ -279,6 +279,32 @@ def test_tfidf_broadcasts_df_and_reuses_corpus_pass(spark, sf_dir="/root/testdat
     assert "CartesianProduct" not in plan, plan
 
 
+def test_tfidf_vocab_guard_both_regimes(spark, sf_dir="/root/testdata/sf0.001"):
+    """The vocab guard (round-4 task 7): under the broadcast budget the df
+    join broadcasts; above it (adversarial vocabulary) it falls back to a
+    shuffle join on word — the driver never materializes the vocab."""
+    from concept_catalog_etl_spark.plans.queries import q_tfidf_topk
+
+    # the sf0.001 vocabulary is tiny → auto resolves to broadcast
+    auto = _plan(q_tfidf_topk(spark, sf_dir, join_strategy="auto"))
+    assert "BroadcastHashJoin" in auto or "BroadcastExchange" in auto, auto
+    # force the adversarial regime via a 1-word budget: the guard removes
+    # the FORCED broadcast hint, so only Catalyst's size-bounded (10MB)
+    # auto-broadcast remains — disable it to expose the shuffle fallback
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guard = _plan(q_tfidf_topk(spark, sf_dir, join_strategy="auto",
+                                   broadcast_vocab_max=1))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in guard or "ShuffledHashJoin" in guard, guard
+    # results identical in both regimes (same rows, any order)
+    a = q_tfidf_topk(spark, sf_dir, join_strategy="broadcast")
+    b = q_tfidf_topk(spark, sf_dir, join_strategy="shuffle")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_scd2_windows_share_one_user_exchange(spark,
                                               sf_dir="/root/testdata/sf0.001"):
     """The SCD2 chain (lag → running-sum → groupBy(user,run) → lead) is
@@ -328,3 +354,19 @@ def test_merge_aggregate_two_pass_no_window(spark,
     assert "partial_sum" in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_registry_groups_partition_the_queries():
+    """GROUPS must be an exact partition of QUERIES (oracle_check --group
+    coverage can't silently skip a query), and every query without an
+    ORACLES entry must be one of the two documented engine-hash no_oracle
+    cases."""
+    from concept_catalog_etl_spark.plans.queries import (
+        GROUPS, ORACLES, QUERIES, dynamic_oracles,
+    )
+
+    flat = [q for g in GROUPS.values() for q in g]
+    assert len(flat) == len(set(flat)), "query listed in two groups"
+    assert set(flat) == set(QUERIES)
+    covered = set(ORACLES) | set(dynamic_oracles())
+    assert set(QUERIES) - covered == {"q_minhash_pairs", "q_simhash"}
