@@ -1509,7 +1509,37 @@ class LakeTable:
             parts: list[DataFrame] = []
             for grp in groups.values():
                 paths = [os.path.join(self.root, f["path"]) for f in grp]
-                raw = spark.read.parquet(*paths)
+                # supply the physical schema when the manifest carries enough
+                # to reconstruct it — skips the driver's footer-inference
+                # read per group per read() (measured ~0.13 s/group on a
+                # 128-file scan; a many-group evolved table pays it per
+                # group). The write-time name_by_id/types_by_id map every
+                # physical column; system cols have fixed types. Any
+                # unmapped column (pre-stats manifests) falls back to
+                # inference — never guess a type.
+                phys_schema = None
+                pc = grp[0].get("phys_cols")
+                if pc is not None:
+                    by_phys = {v: k for k, v in grp[0]["name_by_id"].items()}
+                    sys_t = dict(SYS_COLS)
+                    fields = []
+                    for name in pc:
+                        if name in sys_t:
+                            fields.append(T.StructField(name, sys_t[name]))
+                        elif name in by_phys:
+                            fields.append(T.StructField(
+                                name,
+                                parse_type(grp[0]["types_by_id"][by_phys[name]]),
+                            ))
+                        else:
+                            fields = None  # unknown physical column
+                            break
+                    if fields is not None:
+                        phys_schema = T.StructType(fields)
+                reader = spark.read
+                if phys_schema is not None:
+                    reader = reader.schema(phys_schema)
+                raw = reader.parquet(*paths)
                 if push_tombstone and "_deleted" in raw.columns:
                     # pushed down to the parquet scan (boolean predicate)
                     raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))

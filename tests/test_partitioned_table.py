@@ -190,3 +190,64 @@ def test_identity_partition_on_tenant(spark, scratch):
                                                key=["k"]), n_buckets=2)
     with pytest.raises(ValueError, match="partition_spec"):
         plain.read(spark, parts={"x"})
+
+
+def test_partition_source_rename_safe(spark, scratch):
+    """The spec stores a field ID: renaming the source column must not
+    break writes, window pruning, or fsck (manifests carry name_by_id)."""
+    t = make_pt_table(scratch)
+    cfg = MergeConfig.for_table(t)
+    apply_batch(spark, t, _raw(spark, [_line("insert", 2, "a", 1)]), 0, cfg)
+    t.commit(new_schema=t.schema().rename_column("event_date", "evt_day"))
+    # post-rename ingest still lands under the right partition (pre-parsed
+    # envelope, new column name)
+    import datetime as dt
+    env = spark.createDataFrame(
+        [("insert", dt.datetime(1970, 1, 3), "b",
+          dt.datetime(1970, 1, 1, 0, 0, 2), 2, 2, ([9], 1, "crawl"), None)],
+        "op string, evt_day timestamp, doc_id string, event_ts timestamp, "
+        "lsn long, schema_version int, "
+        "payload struct<tokens:array<int>,n_tok:int,source:string>, "
+        "schema_change struct<kind:string,column:string,new_name:string,"
+        "new_type:string>",
+    )
+    apply_batch(spark, t, env, 1, MergeConfig.for_table(t))
+    assert {f["part"] for f in t.files()} == {"1970-01-02", "1970-01-03"}
+    win = ("1970-01-03 00:00:00", "1970-01-03 23:59:59")
+    rep = t.scan_report(spark, col_ranges={"evt_day": win})
+    assert rep["partitions_selected"] == 1
+    rows = t.read(spark, col_ranges={"evt_day": win}).collect()
+    assert [(r["evt_day"].day, r["doc_id"]) for r in rows] == [(3, "b")]
+    assert check_table(t)["ok"]
+
+
+def test_partitioned_random_replay_matches_flat(spark, scratch):
+    """Property-style cross-check: the same event stream replayed into a
+    partitioned table and an unpartitioned twin must converge to the same
+    state, and every window read must equal the in-memory filter."""
+    import random
+
+    rng = random.Random(11)
+    schema_flat = TableSchema.create(COLS, key=["event_date", "doc_id"])
+    flat = LakeTable.create(f"{scratch}/flat", schema_flat, n_buckets=4)
+    part = make_pt_table(scratch)
+    lines_by_batch = []
+    lsn = 0
+    for b in range(3):
+        lines = []
+        for _ in range(40):
+            lsn += 1
+            op = rng.choice(["insert", "update", "update", "delete"])
+            lines.append(_line(op, rng.randint(1, 6), f"d{rng.randint(0, 9)}",
+                               lsn))
+        lines_by_batch.append(lines)
+    for tbl, mode in ((flat, "mor"), (part, "mor")):
+        cfg = MergeConfig.for_table(tbl, write_mode=mode)
+        for b, lines in enumerate(lines_by_batch):
+            apply_batch(spark, tbl, _raw(spark, lines), b, cfg)
+    assert _state(spark, part) == _state(spark, flat)
+    for d in range(1, 7):
+        win = (f"1970-01-{d:02d} 00:00:00", f"1970-01-{d:02d} 23:59:59")
+        got = _state(spark, part, col_ranges={"event_date": win})
+        want = {k: v for k, v in _state(spark, flat).items() if k[0] == d}
+        assert got == want, (d, got, want)
