@@ -19,6 +19,8 @@ Grammar (deliberately restricted; anything else raises with the reason):
 
     UPDATE <name> SET c = <expr>, ... [WHERE <cond>]
     DELETE FROM <name> [WHERE <cond>]
+    INSERT [OR REPLACE | OR IGNORE] INTO <name> [(cols)]
+      VALUES (exprs), ... | SELECT ...
 
 * ``ON`` must equate EVERY key component (``t.k = s.k AND ...``): the
   kernel upserts by full key, so a partial-key merge would be a different
@@ -329,6 +331,124 @@ def merge_into_sql(
     return apply_batch(spark, table, env, batch_id, cfg)
 
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?:OR\s+(?P<or_>REPLACE|IGNORE)\s+)?INTO\s+(?P<t>\w+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<body>VALUES\s*\(.*|SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def insert_into_sql(
+    spark: SparkSession,
+    table: LakeTable,
+    stmt: str,
+    *,
+    batch_id: int,
+    cfg: MergeConfig | None = None,
+    event_ts=None,
+    lsn: int = 0,
+    on_conflict: str = "error",
+    allow_duplicate_source: bool = False,
+) -> dict:
+    """Lower an INSERT INTO statement onto ``apply_batch``.
+
+    This table has a primary key (≤1 live row per key — the Mongo ``_id``
+    uniqueness invariant, ``/root/reference/files/load.py:21``), so INSERT
+    carries primary-key semantics, not blind-append semantics:
+
+    * ``on_conflict="error"`` (default, SQL PK behavior): a source key that
+      already exists in the live table raises. Costs one key-pruned
+      semi-join probe of the target.
+    * ``on_conflict="ignore"`` (``INSERT OR IGNORE``): existing keys are
+      dropped from the batch (anti-join), new keys land.
+    * ``on_conflict="replace"`` (``INSERT OR REPLACE``): pure upsert —
+      ZERO target read, exactly the kernel's LWW apply.
+
+    Column list semantics are standard SQL: positional for the SELECT
+    form, name-binding for the VALUES form; omitted columns are null;
+    omitting a KEY column raises. Duplicate keys *within* the source are a
+    cardinality error unless ``allow_duplicate_source=True`` (then the
+    kernel's deterministic LWW tie-break picks one) — same rule as MERGE.
+    """
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        raise ValueError(
+            "unsupported INSERT shape — expected INSERT [OR REPLACE|OR IGNORE] "
+            "INTO t [(cols)] VALUES (...)[, ...] | SELECT ..."
+        )
+    if m.group("or_"):
+        on_conflict = m.group("or_").lower()
+    if on_conflict not in ("error", "ignore", "replace"):
+        raise ValueError(f"on_conflict must be error|ignore|replace, got {on_conflict!r}")
+
+    schema = table.schema()
+    key_names = schema.key_names
+    pstruct = payload_struct(schema)
+    default_cols = schema.names()  # stored columns in schema order
+    cols = ([c.strip() for c in _split_top_level(m.group("cols"))]
+            if m.group("cols") else default_cols)
+    missing_keys = [k for k in key_names if k not in cols]
+    if missing_keys:
+        raise ValueError(f"INSERT must supply every key column; missing {missing_keys}")
+    unknown = [c for c in cols if c not in default_cols]
+    if unknown:
+        raise ValueError(f"INSERT references unknown column(s): {unknown}")
+
+    body = m.group("body").strip()
+    if body.upper().startswith("VALUES"):
+        src = spark.sql(f"SELECT * FROM {body} AS v({', '.join(cols)})")
+    else:
+        src = spark.sql(body)
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT SELECT produces {len(src.columns)} columns, "
+                f"target list has {len(cols)}"
+            )
+        src = src.toDF(*cols)  # positional binding, standard SQL
+
+    if not allow_duplicate_source:
+        dup = (src.groupBy(*key_names).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"duplicate source rows for key {tuple(dup[0][k] for k in key_names)}; "
+                "dedupe the source or pass allow_duplicate_source=True"
+            )
+
+    if on_conflict != "replace":
+        # one probe of the live target, key columns only — bucket/partition
+        # pruning and column pruning both apply to this read
+        tgt_keys = table.read(spark).select(*key_names)
+        if on_conflict == "error":
+            clash = src.join(tgt_keys, on=key_names, how="semi").limit(1).collect()
+            if clash:
+                raise ValueError(
+                    f"INSERT conflict: key {tuple(clash[0][k] for k in key_names)} "
+                    "already exists (use OR IGNORE / OR REPLACE)"
+                )
+        else:  # ignore
+            src = src.join(tgt_keys, on=key_names, how="left_anti")
+
+    ts = F.lit(_coordinate(event_ts)).cast("timestamp")
+    env = src.select(
+        F.lit("insert").alias("op"),
+        *[F.col(k) for k in key_names],
+        ts.alias("event_ts"),
+        F.lit(int(lsn)).cast("long").alias("lsn"),
+        F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
+        F.struct(*[
+            (F.col(f.name) if f.name in cols else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in pstruct.fields
+        ]).alias("payload"),
+        F.lit(None).cast(SCHEMA_CHANGE_T).alias("schema_change"),
+    )
+    cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
+                                       writer_id=DML_WRITER)
+    return apply_batch(spark, table, env, batch_id, cfg)
+
+
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<t>\w+)\s+SET\s+(?P<set>.*?)(?:\s+WHERE\s+(?P<where>.*))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -342,10 +462,13 @@ _DELETE_RE = re.compile(
 def run_dml(spark: SparkSession, table: LakeTable, stmt: str, *,
             batch_id: int, cfg: MergeConfig | None = None,
             event_ts=None, lsn: int = 0) -> dict:
-    """Dispatch an UPDATE / DELETE / MERGE INTO string onto the kernel."""
+    """Dispatch an INSERT / UPDATE / DELETE / MERGE INTO string onto the kernel."""
     if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
         return merge_into_sql(spark, table, stmt, batch_id=batch_id, cfg=cfg,
                               event_ts=event_ts, lsn=lsn)
+    if re.match(r"^\s*INSERT\b", stmt, re.IGNORECASE):
+        return insert_into_sql(spark, table, stmt, batch_id=batch_id, cfg=cfg,
+                               event_ts=event_ts, lsn=lsn)
     um = _UPDATE_RE.match(stmt)
     if um:
         sets = {}
@@ -362,4 +485,5 @@ def run_dml(spark: SparkSession, table: LakeTable, stmt: str, *,
         return delete_where(spark, table, F.expr(dm.group("where") or "true"),
                             batch_id=batch_id, cfg=cfg,
                             event_ts=event_ts, lsn=lsn)
-    raise ValueError("statement must be MERGE INTO / UPDATE / DELETE FROM")
+    raise ValueError(
+        "statement must be MERGE INTO / INSERT INTO / UPDATE / DELETE FROM")

@@ -152,8 +152,89 @@ def test_update_delete_sql_strings(spark, scratch):
     run_dml(spark, t, "DELETE FROM docs WHERE doc_id = 'a'",
             batch_id=11, event_ts="1970-01-01T00:00:06")
     assert _state(spark, t) == {"b": (20, "y"), "c": (30, "y")}
-    with pytest.raises(ValueError, match="MERGE INTO / UPDATE / DELETE"):
+    with pytest.raises(ValueError, match="MERGE INTO / INSERT INTO / UPDATE"):
         run_dml(spark, t, "TRUNCATE TABLE docs", batch_id=12)
+
+
+def test_insert_values_pk_semantics(spark, scratch):
+    """INSERT INTO on a PK table: VALUES form, default column order,
+    conflict raises by default, OR IGNORE drops, OR REPLACE upserts."""
+    from concept_catalog_etl_spark.operators.sql import insert_into_sql
+
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")])
+    m = insert_into_sql(
+        spark, t,
+        "INSERT INTO docs VALUES ('b', 2, 'y'), ('c', 3, 'z')",
+        batch_id=1, event_ts="1970-01-01T00:00:05")
+    assert m["events_total"] == 2
+    assert _state(spark, t) == {"a": (1, "x"), "b": (2, "y"), "c": (3, "z")}
+    # PK conflict (default on_conflict="error")
+    with pytest.raises(ValueError, match="INSERT conflict: key \\('a',\\)"):
+        insert_into_sql(spark, t, "INSERT INTO docs VALUES ('a', 9, 'w')",
+                        batch_id=2)
+    # OR IGNORE: existing key dropped, new key lands
+    insert_into_sql(
+        spark, t,
+        "INSERT OR IGNORE INTO docs VALUES ('a', 9, 'w'), ('d', 4, 'q')",
+        batch_id=2, event_ts="1970-01-01T00:00:06")
+    st = _state(spark, t)
+    assert st["a"] == (1, "x") and st["d"] == (4, "q")
+    # OR REPLACE: pure upsert, no probe
+    insert_into_sql(
+        spark, t, "INSERT OR REPLACE INTO docs VALUES ('a', 9, 'w')",
+        batch_id=3, event_ts="1970-01-01T00:00:07")
+    assert _state(spark, t)["a"] == (9, "w")
+    # exactly-once: replaying a committed batch id is a no-op
+    m2 = insert_into_sql(
+        spark, t, "INSERT OR REPLACE INTO docs VALUES ('a', 99, 'ww')",
+        batch_id=3, event_ts="1970-01-01T00:00:08")
+    assert m2["skipped"] and _state(spark, t)["a"] == (9, "w")
+
+
+def test_insert_select_columns_and_errors(spark, scratch):
+    """SELECT form binds positionally to the column list; omitted non-key
+    columns are null; omitted key / unknown / dup-key inputs raise."""
+    from concept_catalog_etl_spark.operators.sql import insert_into_sql
+
+    t = make_table(scratch)
+    spark.sql("SELECT * FROM VALUES ('x1', 11), ('x2', 12) AS v(id, val)") \
+        .createOrReplaceTempView("stage_rows")
+    run_dml(spark, t,
+            "INSERT INTO docs (doc_id, n) SELECT id, val FROM stage_rows",
+            batch_id=1, event_ts="1970-01-01T00:00:05")
+    assert _state(spark, t) == {"x1": (11, None), "x2": (12, None)}
+    with pytest.raises(ValueError, match="missing \\['doc_id'\\]"):
+        insert_into_sql(spark, t, "INSERT INTO docs (n, tag) VALUES (1, 'x')",
+                        batch_id=2)
+    with pytest.raises(ValueError, match="unknown column"):
+        insert_into_sql(spark, t,
+                        "INSERT INTO docs (doc_id, nope) VALUES ('z', 1)",
+                        batch_id=2)
+    with pytest.raises(ValueError, match="produces 1 columns"):
+        insert_into_sql(spark, t,
+                        "INSERT INTO docs (doc_id, n) SELECT id FROM stage_rows",
+                        batch_id=2)
+    with pytest.raises(ValueError, match="duplicate source rows"):
+        insert_into_sql(spark, t,
+                        "INSERT INTO docs VALUES ('y', 1, 'a'), ('y', 2, 'b')",
+                        batch_id=2)
+
+
+def test_insert_composite_key(spark, scratch):
+    from concept_catalog_etl_spark.operators.sql import insert_into_sql
+
+    t = make_table(scratch, key=("tenant", "doc_id"))
+    insert_into_sql(
+        spark, t,
+        "INSERT INTO docs VALUES ('t1', 'a', 1, 'x'), ('t2', 'a', 2, 'y')",
+        batch_id=1, event_ts="1970-01-01T00:00:05")
+    with pytest.raises(ValueError, match=r"key \('t1', 'a'\)"):
+        insert_into_sql(spark, t,
+                        "INSERT INTO docs VALUES ('t1', 'a', 9, 'w')",
+                        batch_id=2)
+    rows = {(r["tenant"], r["doc_id"]): r["n"] for r in t.read(spark).collect()}
+    assert rows == {("t1", "a"): 1, ("t2", "a"): 2}
 
 
 def test_inline_subquery_source_and_mor(spark, scratch):
