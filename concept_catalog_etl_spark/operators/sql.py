@@ -21,6 +21,9 @@ Grammar (deliberately restricted; anything else raises with the reason):
     DELETE FROM <name> [WHERE <cond>]
     INSERT [OR REPLACE | OR IGNORE] INTO <name> [(cols)]
       VALUES (exprs), ... | SELECT ...
+    CREATE TABLE [IF NOT EXISTS] <name> (
+      <col> <type>, ..., PRIMARY KEY (k, ...)
+    ) [PARTITIONED BY (day(col) | month(col) | ... | col)] [BUCKETS n]
 
 * ``ON`` must equate EVERY key component (``t.k = s.k AND ...``): the
   kernel upserts by full key, so a partial-key merge would be a different
@@ -42,10 +45,12 @@ a clause actually needs target state; the unconditional upsert form
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..lakehouse.schema import TableSchema, parse_type
 from ..lakehouse.table import LakeTable
 from .dml import DML_WRITER, _coordinate, delete_where, update_where
 from .envelope import SCHEMA_CHANGE_T, payload_struct
@@ -329,6 +334,98 @@ def merge_into_sql(
     cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
                                        writer_id=DML_WRITER)
     return apply_batch(spark, table, env, batch_id, cfg)
+
+
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<t>\w+)\s*\(",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_TAIL_RE = re.compile(
+    r"^\s*(?:PARTITIONED\s+BY\s*\(\s*"
+    r"(?:(?P<ptrans>\w+)\s*\(\s*(?P<pcol1>\w+)\s*\)|(?P<pcol2>\w+))"
+    r"\s*\)\s*)?"
+    r"(?:BUCKETS\s+(?P<nb>\d+)\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _matched_paren_span(s: str, open_idx: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``open_idx``."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses in CREATE TABLE")
+
+
+def create_table_sql(stmt: str, *, root: str) -> LakeTable:
+    """Lower a CREATE TABLE statement onto ``LakeTable.create``. ``root`` is
+    the parent directory; the table lands at ``{root}/{name}``. The column
+    types are this engine's DDL dialect (``lakehouse.schema.parse_type``:
+    string/int/bigint/float/double/boolean/timestamp/array<T>); PRIMARY KEY
+    is mandatory because every table is a keyed CDC target (the Mongo
+    ``_id`` invariant, ``/root/reference/files/load.py:21``) — there is no
+    heap-table mode to default into. ``PARTITIONED BY`` takes one identity
+    column or one time transform over a key component (the partition module
+    enforces the soundness contract); ``BUCKETS n`` sets the hash-bucket
+    count. ``IF NOT EXISTS`` returns the existing handle untouched."""
+    stmt = stmt.strip()
+    m = _CREATE_HEAD_RE.match(stmt)
+    if not m:
+        raise ValueError(
+            "unsupported CREATE TABLE shape — expected CREATE TABLE "
+            "[IF NOT EXISTS] t (col type, ..., PRIMARY KEY (k, ...)) "
+            "[PARTITIONED BY (transform(col) | col)] [BUCKETS n]"
+        )
+    open_idx = m.end() - 1
+    close_idx = _matched_paren_span(stmt, open_idx)
+    body = stmt[open_idx + 1:close_idx - 1]
+    tail = _CREATE_TAIL_RE.match(stmt[close_idx:])
+    if not tail:
+        raise ValueError(
+            f"unsupported CREATE TABLE tail {stmt[close_idx:]!r} — expected "
+            "[PARTITIONED BY (transform(col) | col)] [BUCKETS n]"
+        )
+    table_root = os.path.join(root, m.group("t"))
+    if m.group("ine") and LakeTable.exists(table_root):
+        return LakeTable(table_root)
+
+    cols: list[tuple[str, str]] = []
+    keys: list[str] | None = None
+    for part in _split_top_level(body):
+        km = re.match(r"^PRIMARY\s+KEY\s*\((?P<k>.*)\)$", part,
+                      re.IGNORECASE | re.DOTALL)
+        if km:
+            if keys is not None:
+                raise ValueError("duplicate PRIMARY KEY clause")
+            keys = [k.strip() for k in _split_top_level(km.group("k"))]
+            continue
+        cm = re.match(r"^(\w+)\s+(.+)$", part, re.DOTALL)
+        if not cm:
+            raise ValueError(f"bad column definition {part!r}")
+        type_str = re.sub(r"\s+", "", cm.group(2)).lower()
+        parse_type(type_str)  # validate NOW — schema storage is lazy
+        cols.append((cm.group(1), type_str))
+    if not keys:
+        raise ValueError(
+            "CREATE TABLE requires PRIMARY KEY (...) — every table in this "
+            "engine is a keyed CDC target; there is no heap-table mode"
+        )
+
+    schema = TableSchema.create(cols, key=keys)
+    pcol = tail.group("pcol1") or tail.group("pcol2")
+    spec = (
+        {"column": pcol,
+         "transform": (tail.group("ptrans") or "identity").lower()}
+        if pcol else None
+    )
+    nb = int(tail.group("nb")) if tail.group("nb") else 32
+    return LakeTable.create(table_root, schema, n_buckets=nb,
+                            partition_spec=spec)
 
 
 _INSERT_RE = re.compile(

@@ -237,6 +237,66 @@ def test_insert_composite_key(spark, scratch):
     assert rows == {("t1", "a"): 1, ("t2", "a"): 2}
 
 
+def test_create_table_ddl_lifecycle(spark, scratch):
+    """CREATE TABLE DDL → INSERT → MERGE → SELECT: the full SQL lifecycle
+    with no Python-API table construction."""
+    from concept_catalog_etl_spark.operators.sql import create_table_sql
+
+    t = create_table_sql(
+        """CREATE TABLE seqs (
+             doc_id string, tokens array<int>, n_tok int, source string,
+             PRIMARY KEY (doc_id)
+           ) BUCKETS 4""",
+        root=scratch)
+    assert t.schema().key_names == ["doc_id"] and t.n_buckets() == 4
+    run_dml(spark, t,
+            "INSERT INTO seqs VALUES ('a', array(1,2,3), 3, 'crawl')",
+            batch_id=0, event_ts="1970-01-01T00:00:05")
+    run_dml(spark, t,
+            """MERGE INTO seqs t
+               USING (SELECT 'a' AS doc_id, array(9) AS tokens,
+                             1 AS n_tok, 'curated' AS source) s
+               ON t.doc_id = s.doc_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+            batch_id=1, event_ts="1970-01-01T00:00:06")
+    got = sql(spark, {"seqs": t},
+              "SELECT doc_id, tokens, n_tok, source FROM seqs").collect()
+    # source lands tagged through the kernel's canonical-source invariant
+    assert [(r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"])
+            for r in got] == [("a", [9], 1, "curated")]
+    # IF NOT EXISTS returns the live handle; bare CREATE collides
+    t2 = create_table_sql(
+        "CREATE TABLE IF NOT EXISTS seqs (x string, PRIMARY KEY (x))",
+        root=scratch)
+    assert t2.schema().key_names == ["doc_id"]
+    with pytest.raises(FileExistsError):
+        create_table_sql("CREATE TABLE seqs (x string, PRIMARY KEY (x))",
+                         root=scratch)
+
+
+def test_create_table_partitioned_and_errors(scratch):
+    from concept_catalog_etl_spark.operators.sql import create_table_sql
+
+    t = create_table_sql(
+        """CREATE TABLE byday (
+             event_date timestamp, doc_id string, n int,
+             PRIMARY KEY (event_date, doc_id)
+           ) PARTITIONED BY (day(event_date)) BUCKETS 2""",
+        root=scratch)
+    assert t.snapshot()["partition_spec"]["transform"] == "day"
+    assert t.schema().key_names == ["event_date", "doc_id"]
+    with pytest.raises(ValueError, match="requires PRIMARY KEY"):
+        create_table_sql("CREATE TABLE nope (x string)", root=scratch)
+    with pytest.raises(ValueError, match="unsupported type"):
+        create_table_sql(
+            "CREATE TABLE nope (x varchar(9), PRIMARY KEY (x))", root=scratch)
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        create_table_sql(
+            """CREATE TABLE nope (x timestamp, PRIMARY KEY (x))
+               PARTITIONED BY (century(x))""", root=scratch)
+
+
 def test_inline_subquery_source_and_mor(spark, scratch):
     """(subquery) source + MoR write mode; register() exposes col_ranges."""
     t = make_table(scratch)
