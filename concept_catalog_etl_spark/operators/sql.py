@@ -337,16 +337,37 @@ def merge_into_sql(
 
 
 _CREATE_HEAD_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<t>\w+)\s*\(",
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<t>\w+)\s*",
     re.IGNORECASE | re.DOTALL,
+)
+_CREATE_PK_RE = re.compile(
+    r"^PRIMARY\s+KEY\s*\((?P<k>[^)]*)\)\s*", re.IGNORECASE | re.DOTALL,
 )
 _CREATE_TAIL_RE = re.compile(
     r"^\s*(?:PARTITIONED\s+BY\s*\(\s*"
     r"(?:(?P<ptrans>\w+)\s*\(\s*(?P<pcol1>\w+)\s*\)|(?P<pcol2>\w+))"
     r"\s*\)\s*)?"
-    r"(?:BUCKETS\s+(?P<nb>\d+)\s*)?$",
+    r"(?:BUCKETS\s+(?P<nb>\d+)\s*)?"
+    r"(?:AS\s+(?P<select>SELECT\s+.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+
+def _type_str(dt) -> str:
+    """Spark type → this engine's DDL dialect, for CTAS schema inference."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"array<{_type_str(dt.elementType)}>"
+    by_class = {
+        T.StringType: "string", T.IntegerType: "int", T.LongType: "bigint",
+        T.FloatType: "float", T.DoubleType: "double",
+        T.BooleanType: "boolean", T.TimestampType: "timestamp",
+    }
+    s = by_class.get(type(dt))
+    if s is None:
+        raise ValueError(f"CTAS cannot map Spark type {dt.simpleString()!r} "
+                         "into the table DDL dialect")
+    return s
 
 
 def _matched_paren_span(s: str, open_idx: int) -> int:
@@ -362,7 +383,9 @@ def _matched_paren_span(s: str, open_idx: int) -> int:
     raise ValueError("unbalanced parentheses in CREATE TABLE")
 
 
-def create_table_sql(stmt: str, *, root: str) -> LakeTable:
+def create_table_sql(stmt: str, *, root: str,
+                     spark: SparkSession | None = None,
+                     batch_id: int = 0, event_ts=None) -> LakeTable:
     """Lower a CREATE TABLE statement onto ``LakeTable.create``. ``root`` is
     the parent directory; the table lands at ``{root}/{name}``. The column
     types are this engine's DDL dialect (``lakehouse.schema.parse_type``:
@@ -372,49 +395,101 @@ def create_table_sql(stmt: str, *, root: str) -> LakeTable:
     heap-table mode to default into. ``PARTITIONED BY`` takes one identity
     column or one time transform over a key component (the partition module
     enforces the soundness contract); ``BUCKETS n`` sets the hash-bucket
-    count. ``IF NOT EXISTS`` returns the existing handle untouched."""
+    count. ``IF NOT EXISTS`` returns the existing handle untouched.
+
+    CTAS: ``CREATE TABLE t PRIMARY KEY (k, ...) [PARTITIONED BY ...]
+    [BUCKETS n] AS SELECT ...`` infers the schema from the SELECT (types
+    reverse-mapped into the dialect) and loads the result through the merge
+    kernel as batch ``batch_id`` — so even table seeding is exactly-once
+    and DLQ'd. An explicit column list composes with AS SELECT (positional
+    binding, like INSERT). Duplicate keys in the SELECT raise (cardinality
+    rule). Requires ``spark``."""
     stmt = stmt.strip()
     m = _CREATE_HEAD_RE.match(stmt)
     if not m:
         raise ValueError(
             "unsupported CREATE TABLE shape — expected CREATE TABLE "
             "[IF NOT EXISTS] t (col type, ..., PRIMARY KEY (k, ...)) "
-            "[PARTITIONED BY (transform(col) | col)] [BUCKETS n]"
+            "[PARTITIONED BY (transform(col) | col)] [BUCKETS n] "
+            "[AS SELECT ...]"
         )
-    open_idx = m.end() - 1
-    close_idx = _matched_paren_span(stmt, open_idx)
-    body = stmt[open_idx + 1:close_idx - 1]
-    tail = _CREATE_TAIL_RE.match(stmt[close_idx:])
+    rest = stmt[m.end():]
+
+    cols: list[tuple[str, str]] | None = None
+    keys: list[str] | None = None
+    if rest.startswith("("):
+        close_idx = _matched_paren_span(rest, 0)
+        body, rest = rest[1:close_idx - 1], rest[close_idx:]
+        cols = []
+        for part in _split_top_level(body):
+            km = re.match(r"^PRIMARY\s+KEY\s*\((?P<k>.*)\)$", part,
+                          re.IGNORECASE | re.DOTALL)
+            if km:
+                if keys is not None:
+                    raise ValueError("duplicate PRIMARY KEY clause")
+                keys = [k.strip() for k in _split_top_level(km.group("k"))]
+                continue
+            cm = re.match(r"^(\w+)\s+(.+)$", part, re.DOTALL)
+            if not cm:
+                raise ValueError(f"bad column definition {part!r}")
+            type_str = re.sub(r"\s+", "", cm.group(2)).lower()
+            parse_type(type_str)  # validate NOW — schema storage is lazy
+            cols.append((cm.group(1), type_str))
+    else:
+        pk = _CREATE_PK_RE.match(rest)
+        if pk:
+            keys = [k.strip() for k in _split_top_level(pk.group("k"))]
+            rest = rest[pk.end():]
+
+    tail = _CREATE_TAIL_RE.match(rest)
     if not tail:
         raise ValueError(
-            f"unsupported CREATE TABLE tail {stmt[close_idx:]!r} — expected "
-            "[PARTITIONED BY (transform(col) | col)] [BUCKETS n]"
+            f"unsupported CREATE TABLE tail {rest!r} — expected "
+            "[PARTITIONED BY (transform(col) | col)] [BUCKETS n] "
+            "[AS SELECT ...]"
         )
-    table_root = os.path.join(root, m.group("t"))
-    if m.group("ine") and LakeTable.exists(table_root):
-        return LakeTable(table_root)
-
-    cols: list[tuple[str, str]] = []
-    keys: list[str] | None = None
-    for part in _split_top_level(body):
-        km = re.match(r"^PRIMARY\s+KEY\s*\((?P<k>.*)\)$", part,
-                      re.IGNORECASE | re.DOTALL)
-        if km:
-            if keys is not None:
-                raise ValueError("duplicate PRIMARY KEY clause")
-            keys = [k.strip() for k in _split_top_level(km.group("k"))]
-            continue
-        cm = re.match(r"^(\w+)\s+(.+)$", part, re.DOTALL)
-        if not cm:
-            raise ValueError(f"bad column definition {part!r}")
-        type_str = re.sub(r"\s+", "", cm.group(2)).lower()
-        parse_type(type_str)  # validate NOW — schema storage is lazy
-        cols.append((cm.group(1), type_str))
+    select = tail.group("select")
+    if cols is None and select is None:
+        raise ValueError(
+            "CREATE TABLE needs a column list or AS SELECT (CTAS)"
+        )
     if not keys:
         raise ValueError(
             "CREATE TABLE requires PRIMARY KEY (...) — every table in this "
             "engine is a keyed CDC target; there is no heap-table mode"
         )
+
+    src = None
+    if select is not None:
+        if spark is None:
+            raise ValueError("CTAS requires the spark session")
+        src = spark.sql(select)
+        if cols is None:
+            cols = [(f.name, _type_str(f.dataType)) for f in src.schema.fields]
+        elif len(src.columns) != len(cols):
+            raise ValueError(
+                f"CTAS SELECT produces {len(src.columns)} columns, "
+                f"declared list has {len(cols)}"
+            )
+    bad_keys = [k for k in keys if k not in {c for c, _ in cols}]
+    if bad_keys:
+        raise ValueError(f"PRIMARY KEY references unknown column(s): {bad_keys}")
+    if src is not None:
+        # cardinality check BEFORE the table exists — a failing CTAS must
+        # not leave a half-created table behind
+        named = src.toDF(*[c for c, _ in cols])
+        dup = (named.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"duplicate source rows for key {tuple(dup[0][k] for k in keys)}; "
+                "CTAS requires key-unique SELECT output"
+            )
+        src = named
+
+    table_root = os.path.join(root, m.group("t"))
+    if m.group("ine") and LakeTable.exists(table_root):
+        return LakeTable(table_root)
 
     schema = TableSchema.create(cols, key=keys)
     pcol = tail.group("pcol1") or tail.group("pcol2")
@@ -424,8 +499,17 @@ def create_table_sql(stmt: str, *, root: str) -> LakeTable:
         if pcol else None
     )
     nb = int(tail.group("nb")) if tail.group("nb") else 32
-    return LakeTable.create(table_root, schema, n_buckets=nb,
-                            partition_spec=spec)
+    table = LakeTable.create(table_root, schema, n_buckets=nb,
+                             partition_spec=spec)
+    if src is not None:
+        src.createOrReplaceTempView(f"_ctas_{m.group('t')}")
+        insert_into_sql(
+            spark, table,
+            f"INSERT INTO {m.group('t')} SELECT * FROM _ctas_{m.group('t')}",
+            batch_id=batch_id, event_ts=event_ts, on_conflict="replace",
+            allow_duplicate_source=True,  # pre-checked above
+        )
+    return table
 
 
 _INSERT_RE = re.compile(

@@ -297,6 +297,52 @@ def test_create_table_partitioned_and_errors(scratch):
                PARTITIONED BY (century(x))""", root=scratch)
 
 
+def test_ctas(spark, scratch):
+    """CREATE TABLE ... AS SELECT: schema inferred from the SELECT, rows
+    loaded through the merge kernel (exactly-once batch 0)."""
+    from concept_catalog_etl_spark.operators.sql import create_table_sql
+
+    t = create_table_sql(
+        """CREATE TABLE derived PRIMARY KEY (doc_id) BUCKETS 2
+           AS SELECT * FROM VALUES
+             ('a', array(1,2), 2), ('b', array(3), 1)
+             AS v(doc_id, tokens, n_tok)""",
+        root=scratch, spark=spark, event_ts="1970-01-01T00:00:05")
+    assert [(f.name, f.type) for f in t.schema().fields] == [
+        ("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int")]
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+           for r in t.read(spark).collect()}
+    assert got == {"a": ([1, 2], 2), "b": ([3], 1)}
+    assert t.is_committed(0, writer_id="dml")  # seeding went through the ledger
+    # explicit column list binds positionally over the SELECT
+    t2 = create_table_sql(
+        """CREATE TABLE renamed (k string, cnt bigint, PRIMARY KEY (k))
+           AS SELECT 'x', 9L""",
+        root=scratch, spark=spark, event_ts="1970-01-01T00:00:05")
+    r = t2.read(spark).collect()[0]
+    assert (r["k"], r["cnt"]) == ("x", 9)
+    # errors
+    with pytest.raises(ValueError, match="duplicate source rows"):
+        create_table_sql(
+            """CREATE TABLE dup PRIMARY KEY (k)
+               AS SELECT * FROM VALUES ('a', 1), ('a', 2) AS v(k, n)""",
+            root=scratch, spark=spark)
+    with pytest.raises(ValueError, match="requires the spark session"):
+        create_table_sql("CREATE TABLE nope PRIMARY KEY (k) AS SELECT 1 AS k",
+                         root=scratch)
+    with pytest.raises(ValueError, match="unknown column"):
+        create_table_sql(
+            "CREATE TABLE nope PRIMARY KEY (zz) AS SELECT 1 AS k",
+            root=scratch, spark=spark)
+    with pytest.raises(ValueError, match="cannot map Spark type"):
+        create_table_sql(
+            "CREATE TABLE nope PRIMARY KEY (k) "
+            "AS SELECT 'a' AS k, CAST(1 AS decimal(10,2)) AS d",
+            root=scratch, spark=spark)
+    with pytest.raises(ValueError, match="column list or AS SELECT"):
+        create_table_sql("CREATE TABLE nope PRIMARY KEY (k)", root=scratch)
+
+
 def test_inline_subquery_source_and_mor(spark, scratch):
     """(subquery) source + MoR write mode; register() exposes col_ranges."""
     t = make_table(scratch)
