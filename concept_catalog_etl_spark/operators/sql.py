@@ -24,6 +24,10 @@ Grammar (deliberately restricted; anything else raises with the reason):
     CREATE TABLE [IF NOT EXISTS] <name> (
       <col> <type>, ..., PRIMARY KEY (k, ...)
     ) [PARTITIONED BY (day(col) | month(col) | ... | col)] [BUCKETS n]
+    ALTER TABLE <name> ADD COLUMN c <type> | RENAME COLUMN a TO b
+      | ALTER COLUMN c [SET DATA] TYPE <type> | DROP COLUMN c
+    SELECT ... FROM <name> [FOR VERSION AS OF n
+      | FOR TIMESTAMP AS OF '<iso>'] ...   (time travel, via ``sql()``)
 
 * ``ON`` must equate EVERY key component (``t.k = s.k AND ...``): the
   kernel upserts by full key, so a partial-key merge would be a different
@@ -62,8 +66,43 @@ def register(spark: SparkSession, table: LakeTable, name: str, **read_kw) -> Non
     table.read(spark, **read_kw).createOrReplaceTempView(name)
 
 
+_TIME_TRAVEL_RE = re.compile(
+    r"\b(?P<name>\w+)\s+FOR\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<val>'[^']*'|\S+)",
+    re.IGNORECASE,
+)
+
+
 def sql(spark: SparkSession, tables: dict[str, LakeTable], query: str) -> DataFrame:
-    """Run a SELECT with every named lake table registered as a view."""
+    """Run a SELECT with every named lake table registered as a view.
+
+    Time travel (Iceberg/Delta ``FOR ... AS OF`` dialect)::
+
+        SELECT ... FROM t FOR VERSION AS OF 3
+        SELECT ... FROM t FOR TIMESTAMP AS OF '2026-01-01T00:00:00'
+
+    The suffix is rewritten to a pinned temp view (``t__v3``) registered at
+    that snapshot — the table's retained-version window applies
+    (``VersionVacuumedError`` past it). ``TIMESTAMP AS OF`` resolves through
+    ``LakeTable.version_as_of`` (commit wall-clock, monotone over versions).
+    The rewrite is textual over table-name suffixes; a string literal that
+    happens to contain the pattern is out of scope for this thin surface.
+    """
+    def _pin(m: re.Match) -> str:
+        name = m.group("name")
+        t = tables.get(name)
+        if t is None:
+            return m.group(0)
+        val = m.group("val").strip("'")
+        if m.group("kind").upper() == "VERSION":
+            v = int(val)
+        else:
+            v = t.version_as_of(val)
+        view = f"{name}__v{v}"
+        register(spark, t, view, version=v)
+        return view
+
+    query = _TIME_TRAVEL_RE.sub(_pin, query)
     for name, t in tables.items():
         register(spark, t, name)
     return spark.sql(query)
@@ -630,6 +669,102 @@ def insert_into_sql(
     return apply_batch(spark, table, env, batch_id, cfg)
 
 
+_ALTER_FORMS = [
+    # (kind, regex over the clause after "ALTER TABLE <name> ")
+    ("add", re.compile(
+        r"^ADD\s+COLUMN\s+(?P<column>\w+)\s+(?P<new_type>.+?)\s*$",
+        re.IGNORECASE | re.DOTALL)),
+    ("rename", re.compile(
+        r"^RENAME\s+COLUMN\s+(?P<column>\w+)\s+TO\s+(?P<new_name>\w+)\s*$",
+        re.IGNORECASE)),
+    ("widen", re.compile(
+        r"^ALTER\s+COLUMN\s+(?P<column>\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
+        r"(?P<new_type>.+?)\s*$", re.IGNORECASE | re.DOTALL)),
+    ("drop", re.compile(
+        r"^DROP\s+COLUMN\s+(?P<column>\w+)\s*$", re.IGNORECASE)),
+]
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<clause>.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def alter_table_sql(
+    spark: SparkSession,
+    table: LakeTable,
+    stmt: str,
+    *,
+    batch_id: int,
+    cfg: MergeConfig | None = None,
+    event_ts=None,
+    lsn: int = 0,
+) -> dict:
+    """Lower an ALTER TABLE statement onto the schema_change event path.
+
+    Forms::
+
+        ALTER TABLE t ADD COLUMN c <type>
+        ALTER TABLE t RENAME COLUMN a TO b
+        ALTER TABLE t ALTER COLUMN c [SET DATA] TYPE <type>   -- widen only
+        ALTER TABLE t DROP COLUMN c
+
+    Rather than opening a second metadata-write path, the statement becomes
+    a one-row ``op=schema_change`` envelope applied through ``apply_batch``
+    — so SQL DDL inherits exactly the feed's evolution semantics: the same
+    add/rename/widen/drop kernel (``operators.merge._apply_schema_changes``,
+    field-id rename mapping, ``can_widen`` legality, contract-column DROP
+    protection for tokens/n_tok/source) and the same exactly-once batch-id
+    ledger (re-running a committed ``batch_id`` is a no-op) the binlog's
+    in-stream ``schema_change`` events get. Reference analog: the feed's
+    envelope evolution (FIXTURES.md F2); Iceberg analog: ``ALTER TABLE``
+    producing a new schema-id snapshot.
+
+    Illegal evolutions (unknown column, non-widening TYPE change, ADD of an
+    existing name, DROP of a contract column) raise from the kernel before
+    any write — the commit is all-or-nothing.
+    """
+    m = _ALTER_RE.match(stmt)
+    if not m:
+        raise ValueError("expected ALTER TABLE <name> <clause>")
+    clause = m.group("clause")
+    for kind, rx in _ALTER_FORMS:
+        cm = rx.match(clause)
+        if cm:
+            break
+    else:
+        raise ValueError(
+            "unsupported ALTER TABLE clause — expected ADD COLUMN c <type> | "
+            "RENAME COLUMN a TO b | ALTER COLUMN c [SET DATA] TYPE <type> | "
+            f"DROP COLUMN c; got {clause!r}"
+        )
+    g = cm.groupdict()
+    new_type = g.get("new_type")
+    if new_type is not None:
+        new_type = new_type.strip().lower()
+        parse_type(new_type)  # unknown type strings fail here, pre-flight
+
+    schema = table.schema()
+    ts = F.lit(_coordinate(event_ts)).cast("timestamp")
+    env = spark.range(1).select(
+        F.lit("schema_change").alias("op"),
+        *[F.lit(None).cast(parse_type(f.type)).alias(f.name)
+          for f in (schema.field_by_id(i) for i in schema.key_field_ids)],
+        ts.alias("event_ts"),
+        F.lit(int(lsn)).cast("long").alias("lsn"),
+        F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
+        F.lit(None).cast(payload_struct(schema)).alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(g["column"]).alias("column"),
+            F.lit(g.get("new_name")).cast("string").alias("new_name"),
+            F.lit(new_type).cast("string").alias("new_type"),
+        ).alias("schema_change"),
+    )
+    cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
+                                       writer_id=DML_WRITER)
+    return apply_batch(spark, table, env, batch_id, cfg)
+
+
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<t>\w+)\s+SET\s+(?P<set>.*?)(?:\s+WHERE\s+(?P<where>.*))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -643,12 +778,16 @@ _DELETE_RE = re.compile(
 def run_dml(spark: SparkSession, table: LakeTable, stmt: str, *,
             batch_id: int, cfg: MergeConfig | None = None,
             event_ts=None, lsn: int = 0) -> dict:
-    """Dispatch an INSERT / UPDATE / DELETE / MERGE INTO string onto the kernel."""
+    """Dispatch an INSERT / UPDATE / DELETE / MERGE INTO / ALTER TABLE
+    string onto the kernel."""
     if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
         return merge_into_sql(spark, table, stmt, batch_id=batch_id, cfg=cfg,
                               event_ts=event_ts, lsn=lsn)
     if re.match(r"^\s*INSERT\b", stmt, re.IGNORECASE):
         return insert_into_sql(spark, table, stmt, batch_id=batch_id, cfg=cfg,
+                               event_ts=event_ts, lsn=lsn)
+    if re.match(r"^\s*ALTER\b", stmt, re.IGNORECASE):
+        return alter_table_sql(spark, table, stmt, batch_id=batch_id, cfg=cfg,
                                event_ts=event_ts, lsn=lsn)
     um = _UPDATE_RE.match(stmt)
     if um:
@@ -667,4 +806,5 @@ def run_dml(spark: SparkSession, table: LakeTable, stmt: str, *,
                             batch_id=batch_id, cfg=cfg,
                             event_ts=event_ts, lsn=lsn)
     raise ValueError(
-        "statement must be MERGE INTO / INSERT INTO / UPDATE / DELETE FROM")
+        "statement must be MERGE INTO / INSERT INTO / UPDATE / DELETE FROM / "
+        "ALTER TABLE")

@@ -360,3 +360,104 @@ def test_inline_subquery_source_and_mor(spark, scratch):
     assert _state(spark, t) == {"a": (5, "up")}
     register(spark, t, "docs_now")
     assert spark.sql("SELECT n FROM docs_now").collect()[0]["n"] == 5
+
+
+def test_alter_table_ddl(spark, scratch):
+    """ALTER TABLE lifecycle: add → insert-into-new-column → rename →
+    widen → drop, each through SQL strings onto the schema_change kernel."""
+    t = make_table(scratch)  # (doc_id, n, tag)
+    _seed(spark, t, [("a", 1, "x"), ("b", 2, "y")])
+
+    run_dml(spark, t, "ALTER TABLE docs ADD COLUMN quality double",
+            batch_id=10, event_ts="1970-01-01T00:00:05")
+    assert "quality" in t.schema().names()
+    # exactly-once: the same batch_id replays as a ledgered no-op
+    assert run_dml(spark, t, "ALTER TABLE docs ADD COLUMN quality double",
+                   batch_id=10)["skipped"] is True
+
+    run_dml(spark, t, "INSERT OR REPLACE INTO docs VALUES ('c', 3, 'z', 0.9)",
+            batch_id=11, event_ts="1970-01-01T00:00:06")
+    got = {r["doc_id"]: r["quality"] for r in t.read(spark).collect()}
+    assert got == {"a": None, "b": None, "c": 0.9}  # pre-add rows read null
+
+    run_dml(spark, t, "ALTER TABLE docs RENAME COLUMN quality TO q",
+            batch_id=12, event_ts="1970-01-01T00:00:07")
+    names = t.schema().names()
+    assert "q" in names and "quality" not in names
+    assert {r["doc_id"]: r["q"] for r in t.read(spark).collect()}["c"] == 0.9
+
+    run_dml(spark, t, "ALTER TABLE docs ALTER COLUMN n TYPE bigint",
+            batch_id=13, event_ts="1970-01-01T00:00:08")
+    assert dict(t.read(spark).dtypes)["n"] == "bigint"
+    assert _state(spark, t) == {"a": (1, "x"), "b": (2, "y"), "c": (3, "z")}
+
+    run_dml(spark, t, "ALTER TABLE docs DROP COLUMN tag",
+            batch_id=14, event_ts="1970-01-01T00:00:09")
+    assert "tag" not in t.schema().names()
+    assert "tag" not in t.read(spark).columns
+
+
+def test_alter_table_errors(spark, scratch):
+    """Illegal evolutions raise pre-commit; contract columns refuse DROP."""
+    from concept_catalog_etl_spark.operators.sql import create_table_sql
+
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")])
+    v0 = t.current_version()
+    with pytest.raises(ValueError, match="narrow|widen"):
+        run_dml(spark, t, "ALTER TABLE docs ALTER COLUMN n TYPE string",
+                batch_id=20)
+    with pytest.raises(KeyError):  # same failure the feed's event path gives
+        run_dml(spark, t, "ALTER TABLE docs RENAME COLUMN nope TO x",
+                batch_id=21)
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE clause"):
+        run_dml(spark, t, "ALTER TABLE docs SET TBLPROPERTIES ('a'='b')",
+                batch_id=22)
+    with pytest.raises(ValueError, match="unsupported type"):
+        run_dml(spark, t, "ALTER TABLE docs ADD COLUMN z varchar(9)",
+                batch_id=23)
+    assert t.current_version() == v0  # nothing committed
+
+    # the contract trio refuses DROP (the per-row invariant is defined on it)
+    seqs = create_table_sql(
+        """CREATE TABLE seqs (
+             doc_id string, tokens array<int>, n_tok int, source string,
+             PRIMARY KEY (doc_id)
+           ) BUCKETS 2""",
+        root=scratch)
+    with pytest.raises(ValueError, match="contract column"):
+        run_dml(spark, seqs, "ALTER TABLE seqs DROP COLUMN tokens",
+                batch_id=0)
+
+
+def test_time_travel_select(spark, scratch):
+    """FOR VERSION AS OF / FOR TIMESTAMP AS OF pin a snapshot view."""
+    from datetime import datetime
+
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")], batch_id=0)
+    v1 = t.current_version()
+    run_dml(spark, t, "INSERT INTO docs VALUES ('b', 2, 'y')",
+            batch_id=1, event_ts="1970-01-01T00:00:06")
+
+    assert sql(spark, {"docs": t},
+               "SELECT count(*) AS c FROM docs").collect()[0]["c"] == 2
+    got = sql(spark, {"docs": t},
+              f"SELECT doc_id FROM docs FOR VERSION AS OF {v1}").collect()
+    assert [r["doc_id"] for r in got] == ["a"]
+
+    # timestamp between the two commits resolves to the earlier snapshot
+    at1 = t.snapshot(v1)["committed_at"]
+    at2 = t.snapshot()["committed_at"]
+    assert at2 > at1
+    mid = datetime.fromtimestamp((at1 + at2) / 2).isoformat()
+    got = sql(spark, {"docs": t},
+              f"SELECT doc_id FROM docs FOR TIMESTAMP AS OF '{mid}'").collect()
+    assert [r["doc_id"] for r in got] == ["a"]
+
+    # both the pinned view and the live view stay usable in one query
+    joined = sql(spark, {"docs": t}, f"""
+        SELECT live.doc_id FROM docs live
+        LEFT ANTI JOIN docs FOR VERSION AS OF {v1} old
+        ON live.doc_id = old.doc_id""").collect()
+    assert [r["doc_id"] for r in joined] == ["b"]
