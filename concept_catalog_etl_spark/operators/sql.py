@@ -28,6 +28,9 @@ Grammar (deliberately restricted; anything else raises with the reason):
       | ALTER COLUMN c [SET DATA] TYPE <type> | DROP COLUMN c
     SELECT ... FROM <name> [FOR VERSION AS OF n
       | FOR TIMESTAMP AS OF '<iso>'] ...   (time travel, via ``sql()``)
+    OPTIMIZE <name> [MINOR] [ZORDER BY (c, ...) | CLUSTER BY (c, ...)]
+    VACUUM <name> [RETAIN n SNAPSHOTS]
+    DESCRIBE [HISTORY] <name>             (via ``describe_sql``)
 
 * ``ON`` must equate EVERY key component (``t.k = s.k AND ...``): the
   kernel upserts by full key, so a partial-key merge would be a different
@@ -763,6 +766,89 @@ def alter_table_sql(
     cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
                                        writer_id=DML_WRITER)
     return apply_batch(spark, table, env, batch_id, cfg)
+
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>\w+)(?P<minor>\s+MINOR)?"
+    r"(?:\s+(?P<mode>ZORDER|CLUSTER)\s+BY\s*\((?P<cols>[^)]*)\))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>\w+)(?:\s+RETAIN\s+(?P<n>\d+)\s+SNAPSHOTS?)?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(?P<hist>HISTORY\s+)?(?P<name>\w+)\s*$", re.IGNORECASE
+)
+
+
+def run_maintenance(spark: SparkSession, table: LakeTable, stmt: str,
+                    **kw) -> dict:
+    """Lower a maintenance statement onto the table's background-job API.
+
+    ``OPTIMIZE t`` → major compaction (``LakeTable.compact``: rewrite
+    fragmented buckets, fold MoR deltas, expire aged tombstones);
+    ``OPTIMIZE t MINOR`` → ``compact_minor`` (delta fold only, no base
+    rewrite); ``ZORDER BY (a, b)`` / ``CLUSTER BY (a, b)`` set the rewrite
+    sort order so manifest col_stats prune after the rewrite. ``VACUUM t
+    [RETAIN n SNAPSHOTS]`` → ``LakeTable.vacuum`` (returns
+    ``{"files_removed": n}``); time travel keeps working inside the
+    retention window. Extra kwargs (``max_buckets_per_run``,
+    ``orphan_grace_sec``, writer fencing, ...) pass through — the SQL form
+    names the job, the knobs stay API-level. Iceberg analogs:
+    rewrite_data_files / expire_snapshots."""
+    om = _OPTIMIZE_RE.match(stmt)
+    if om:
+        if om.group("minor"):
+            if om.group("mode"):
+                raise ValueError("OPTIMIZE MINOR folds deltas in place; a "
+                                 "sort order needs the major rewrite")
+            return table.compact_minor(spark, **kw)
+        if om.group("mode"):
+            cols = [c.strip() for c in om.group("cols").split(",") if c.strip()]
+            if not cols:
+                raise ValueError(f"{om.group('mode').upper()} BY needs columns")
+            kw.setdefault("cluster_by", cols)
+            kw.setdefault("cluster_mode",
+                          "zorder" if om.group("mode").upper() == "ZORDER"
+                          else "linear")
+        return table.compact(spark, **kw)
+    vm = _VACUUM_RE.match(stmt)
+    if vm:
+        if vm.group("n") is not None:
+            kw.setdefault("retain_last", int(vm.group("n")))
+        return {"files_removed": table.vacuum(**kw)}
+    raise ValueError(
+        "maintenance statement must be OPTIMIZE <t> [MINOR] "
+        "[ZORDER|CLUSTER BY (...)] or VACUUM <t> [RETAIN n SNAPSHOTS]")
+
+
+def describe_sql(spark: SparkSession, table: LakeTable, stmt: str) -> DataFrame:
+    """``DESCRIBE <t>`` → one row per column (name, type, nullable, field_id,
+    is_key, with the partition/bucket spec echoed on every row for easy
+    display); ``DESCRIBE HISTORY <t>`` → the snapshot log
+    (``LakeTable.history``: version, committed_at, operation, row counts)."""
+    m = _DESCRIBE_RE.match(stmt)
+    if not m:
+        raise ValueError("expected DESCRIBE [HISTORY] <table>")
+    if m.group("hist"):
+        return table.history(spark)
+    schema = table.schema()
+    snap = table.snapshot()
+    part = snap.get("partition_spec") or {}
+    part_str = (f"{part['transform']}({part['column']})"
+                if part.get("transform") not in (None, "identity")
+                else part.get("column", ""))
+    rows = [
+        (f.name, f.type, bool(f.nullable), int(f.id),
+         f.id in schema.key_field_ids, part_str, int(table.n_buckets()))
+        for f in schema.fields
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, data_type string, nullable boolean, field_id int, "
+        "is_key boolean, partition string, n_buckets int",
+    )
 
 
 _UPDATE_RE = re.compile(

@@ -461,3 +461,51 @@ def test_time_travel_select(spark, scratch):
         LEFT ANTI JOIN docs FOR VERSION AS OF {v1} old
         ON live.doc_id = old.doc_id""").collect()
     assert [r["doc_id"] for r in joined] == ["b"]
+
+
+def test_optimize_vacuum_describe_sql(spark, scratch):
+    """Maintenance + introspection statements lower onto compact/vacuum/
+    schema metadata."""
+    from concept_catalog_etl_spark.operators.sql import (
+        describe_sql, run_maintenance)
+
+    t = make_table(scratch)
+    cfg = MergeConfig.for_table(t, write_mode="mor")
+    for b, rows in enumerate([[("a", 1, "x")], [("a", 2, "y")],
+                              [("b", 3, "z")]]):
+        lines = [json.dumps(
+            {"op": "insert", "doc_id": d,
+             "event_ts": f"1970-01-01T00:00:0{b + 1}.000000", "lsn": b,
+             "schema_version": 1, "payload": {"n": n, "tag": g}})
+            for d, n, g in rows]
+        apply_batch(spark, t,
+                    spark.createDataFrame([(ln,) for ln in lines],
+                                          "value string"), b, cfg)
+    n_files_before = len(t.files())  # MoR: one delta file per batch
+
+    r = run_maintenance(spark, t, "OPTIMIZE docs CLUSTER BY (doc_id)")
+    assert len(t.files()) < n_files_before
+    assert not any(f.get("delta") for f in t.files())  # deltas folded
+    assert _state(spark, t) == {"a": (2, "y"), "b": (3, "z")}
+
+    # minor form refuses a sort order (delta fold only), bad verb refused
+    with pytest.raises(ValueError, match="major rewrite"):
+        run_maintenance(spark, t, "OPTIMIZE docs MINOR ZORDER BY (doc_id)")
+    with pytest.raises(ValueError, match="maintenance statement"):
+        run_maintenance(spark, t, "ANALYZE docs")
+
+    v_now = t.current_version()
+    out = run_maintenance(spark, t, "VACUUM docs RETAIN 1 SNAPSHOTS",
+                          orphan_grace_sec=0)
+    assert out["files_removed"] > 0
+    assert t.oldest_retained_version() == v_now
+    assert _state(spark, t) == {"a": (2, "y"), "b": (3, "z")}
+
+    d = {r["col_name"]: r for r in describe_sql(spark, t, "DESCRIBE docs").collect()}
+    assert set(d) == {"doc_id", "n", "tag"}
+    assert d["doc_id"]["is_key"] and not d["n"]["is_key"]
+    assert d["n"]["data_type"] == "int" and d["doc_id"]["n_buckets"] == 4
+
+    h = describe_sql(spark, t, "DESCRIBE HISTORY docs").collect()
+    assert [r["version"] for r in h] == [v_now]  # window after vacuum
+    assert h[-1]["n_rows"] == 2
