@@ -836,9 +836,11 @@ def describe_sql(spark: SparkSession, table: LakeTable, stmt: str) -> DataFrame:
     schema = table.schema()
     snap = table.snapshot()
     part = snap.get("partition_spec") or {}
-    part_str = (f"{part['transform']}({part['column']})"
-                if part.get("transform") not in (None, "identity")
-                else part.get("column", ""))
+    # stored spec is rename-safe {field_id, transform}; resolve the CURRENT name
+    pcol = (schema.field_by_id(int(part["field_id"])).name
+            if part.get("field_id") is not None else "")
+    part_str = (f"{part['transform']}({pcol})"
+                if part.get("transform") not in (None, "identity") else pcol)
     rows = [
         (f.name, f.type, bool(f.nullable), int(f.id),
          f.id in schema.key_field_ids, part_str, int(table.n_buckets()))

@@ -509,3 +509,40 @@ def test_optimize_vacuum_describe_sql(spark, scratch):
     h = describe_sql(spark, t, "DESCRIBE HISTORY docs").collect()
     assert [r["version"] for r in h] == [v_now]  # window after vacuum
     assert h[-1]["n_rows"] == 2
+
+
+def test_describe_partitioned_and_alter_key_protection(spark, scratch):
+    """DESCRIBE resolves the rename-safe partition spec to the CURRENT
+    column name; ALTER refuses to drop a key column; renaming the
+    partition column is id-safe (reads + pruning survive)."""
+    from concept_catalog_etl_spark.operators.sql import (
+        create_table_sql, describe_sql)
+
+    t = create_table_sql(
+        """CREATE TABLE byday (
+             event_date timestamp, doc_id string, n int,
+             PRIMARY KEY (event_date, doc_id)
+           ) PARTITIONED BY (day(event_date)) BUCKETS 2""",
+        root=scratch)
+    run_dml(spark, t,
+            """INSERT INTO byday VALUES
+               (timestamp'2026-01-01 06:00:00', 'a', 1),
+               (timestamp'2026-01-02 06:00:00', 'b', 2)""",
+            batch_id=0, event_ts="1970-01-01T00:00:05")
+
+    d = describe_sql(spark, t, "DESCRIBE byday").collect()
+    by = {r["col_name"]: r for r in d}
+    assert by["event_date"]["partition"] == "day(event_date)"
+    assert by["event_date"]["is_key"] and by["doc_id"]["is_key"]
+
+    with pytest.raises(ValueError, match="cannot drop a key column"):
+        run_dml(spark, t, "ALTER TABLE byday DROP COLUMN doc_id", batch_id=1)
+
+    run_dml(spark, t, "ALTER TABLE byday RENAME COLUMN event_date TO ts_day",
+            batch_id=2, event_ts="1970-01-01T00:00:06")
+    by = {r["col_name"]: r
+          for r in describe_sql(spark, t, "DESCRIBE byday").collect()}
+    assert by["ts_day"]["partition"] == "day(ts_day)"
+    got = t.read(spark, col_ranges={
+        "ts_day": ("2026-01-02 00:00:00", "2026-01-03 00:00:00")}).collect()
+    assert [r["doc_id"] for r in got] == ["b"]
