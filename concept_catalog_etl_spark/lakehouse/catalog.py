@@ -123,6 +123,33 @@ class Catalog:
             raise KeyError(f"no such catalog table: {name}")
         return LakeTable(rec["root"]).read(spark, version=rec["version"], **read_kw)
 
+    def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        """Run a SELECT with EVERY catalog table registered as a temp view
+        at ONE cut. The snapshot is read once, so a concurrent ``publish``
+        cannot tear the query: all views resolve against the same catalog
+        version even if the query touches every table. (``sql()`` in
+        ``operators.sql`` offers the same for ad-hoc table handles, but at
+        each table's CURRENT version — no cross-table consistency.)"""
+        snap = self._snapshot()
+        for name, rec in snap["tables"].items():
+            (LakeTable(rec["root"])
+             .read(spark, version=rec["version"])
+             .createOrReplaceTempView(name))
+        return spark.sql(query)
+
+    def show_tables(self, spark: SparkSession) -> DataFrame:
+        """One row per catalog table at the current cut: name, root, pinned
+        version, the table's head version (pin lag = head - pinned)."""
+        snap = self._snapshot()
+        rows = [
+            (name, rec["root"], int(rec["version"]),
+             int(LakeTable(rec["root"]).current_version()))
+            for name, rec in sorted(snap["tables"].items())
+        ]
+        return spark.createDataFrame(
+            rows, "table_name string, root string, pinned_version int, "
+                  "head_version int")
+
     # ---------------------------------------------------------------- writes
     def register(self, name: str, table: LakeTable,
                  version: int | None = None) -> dict:

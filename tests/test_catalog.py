@@ -179,3 +179,36 @@ def test_reregister_keeps_old_cut_pinned_until_swap(spark, scratch):
     t.vacuum(retain_last=1, orphan_grace_sec=0)
     assert cat.read(spark, "t").count() == 5 + 9 * 2
     assert old_pin < cat.pin()["t"]
+
+
+def test_catalog_sql_reads_one_cut(spark, scratch):
+    """Catalog.sql joins every table at ONE snapshot read: a publish
+    racing the query cannot tear it; show_tables reports pin lag."""
+    holding = make_table(scratch, n_buckets=4)
+    agg = _agg_table(os.path.join(scratch, "agg"))
+    holding.commit(add_files=holding.write_data_files(_docs(spark, range(10))),
+                   batch_id=0)
+    agg.commit(add_files=agg.write_data_files(_aggrows(spark, 10)), batch_id=0)
+    cat = Catalog.create(os.path.join(scratch, "cat"))
+    cat.register("holding", holding)
+    cat.register("agg", agg)
+
+    # both tables advance, no publish: SQL still sees the consistent cut
+    holding.commit(add_files=holding.write_data_files(
+        _docs(spark, range(10, 15), lsn0=100)), batch_id=1)
+    agg.commit(add_files=agg.write_data_files(_aggrows(spark, 15), delta=True),
+               batch_id=1)
+    row = cat.sql(spark, """
+        SELECT a.n_docs, count(*) AS n_live
+        FROM agg a JOIN holding h ON a.source = h.source
+        GROUP BY a.n_docs""").collect()
+    assert [(r["n_docs"], r["n_live"]) for r in row] == [(10, 10)]
+
+    st = {r["table_name"]: r for r in cat.show_tables(spark).collect()}
+    assert st["holding"]["pinned_version"] == 1
+    assert st["holding"]["head_version"] == 2  # pin lag visible
+
+    cat.publish({"holding": holding.current_version(),
+                 "agg": agg.current_version()})
+    row = cat.sql(spark, "SELECT count(*) AS n FROM holding").collect()
+    assert row[0]["n"] == 15
