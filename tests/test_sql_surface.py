@@ -546,3 +546,18 @@ def test_describe_partitioned_and_alter_key_protection(spark, scratch):
     got = t.read(spark, col_ranges={
         "ts_day": ("2026-01-02 00:00:00", "2026-01-03 00:00:00")}).collect()
     assert [r["doc_id"] for r in got] == ["b"]
+
+
+def test_time_travel_exposes_as_of_schema(spark, scratch):
+    """A pinned snapshot reads under the column names AS OF that version
+    (each snapshot stores its schema) — rename doesn't rewrite history."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")])
+    v1 = t.current_version()
+    run_dml(spark, t, "ALTER TABLE docs RENAME COLUMN n TO m",
+            batch_id=1, event_ts="1970-01-01T00:00:05")
+    assert sql(spark, {"docs": t},
+               f"SELECT n FROM docs FOR VERSION AS OF {v1}"
+               ).collect()[0]["n"] == 1
+    assert sql(spark, {"docs": t},
+               "SELECT m FROM docs").collect()[0]["m"] == 1
