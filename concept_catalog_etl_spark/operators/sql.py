@@ -853,6 +853,23 @@ def describe_sql(spark: SparkSession, table: LakeTable, stmt: str) -> DataFrame:
     )
 
 
+def show_create_table(table: LakeTable, name: str = "t") -> str:
+    """Reconstruct the CREATE TABLE statement for the table's CURRENT
+    schema and layout — round-trips through ``create_table_sql`` (modulo
+    the evolved-schema history, which DDL cannot express)."""
+    schema = table.schema()
+    cols = ",\n  ".join(f"{f.name} {f.type}" for f in schema.fields)
+    stmt = (f"CREATE TABLE {name} (\n  {cols},\n  "
+            f"PRIMARY KEY ({', '.join(schema.key_names)})\n)")
+    part = table.snapshot().get("partition_spec") or {}
+    if part.get("field_id") is not None:
+        pcol = schema.field_by_id(int(part["field_id"])).name
+        tf = part.get("transform", "identity")
+        stmt += (f" PARTITIONED BY ({pcol})" if tf == "identity"
+                 else f" PARTITIONED BY ({tf}({pcol}))")
+    return stmt + f" BUCKETS {table.n_buckets()}"
+
+
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<t>\w+)\s+SET\s+(?P<set>.*?)(?:\s+WHERE\s+(?P<where>.*))?\s*$",
     re.IGNORECASE | re.DOTALL,

@@ -561,3 +561,25 @@ def test_time_travel_exposes_as_of_schema(spark, scratch):
                ).collect()[0]["n"] == 1
     assert sql(spark, {"docs": t},
                "SELECT m FROM docs").collect()[0]["m"] == 1
+
+
+def test_show_create_table_round_trips(spark, scratch):
+    """show_create_table output re-creates an equivalent table, including
+    the partition spec and an ALTER-evolved schema."""
+    from concept_catalog_etl_spark.operators.sql import (
+        create_table_sql, show_create_table)
+
+    t = create_table_sql(
+        """CREATE TABLE byday (
+             event_date timestamp, doc_id string, n int,
+             PRIMARY KEY (event_date, doc_id)
+           ) PARTITIONED BY (day(event_date)) BUCKETS 2""",
+        root=scratch)
+    run_dml(spark, t, "ALTER TABLE byday ADD COLUMN q double", batch_id=0,
+            event_ts="1970-01-01T00:00:05")
+    ddl = show_create_table(t, "byday2")
+    assert "day(event_date)" in ddl and "BUCKETS 2" in ddl and "q double" in ddl
+    t2 = create_table_sql(ddl, root=scratch)
+    assert t2.schema().names() == t.schema().names()
+    assert t2.schema().key_names == t.schema().key_names
+    assert t2.snapshot()["partition_spec"]["transform"] == "day"
