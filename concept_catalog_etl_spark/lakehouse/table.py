@@ -991,6 +991,18 @@ class LakeTable:
         ev = expect_version
         if ev is None and not is_append:
             ev = self.current_version()  # rewrites always validate overlap
+        # Schema-evolving commits must serialize: new_schema was folded from
+        # the schema at ``ev`` — if another writer evolved the schema since,
+        # re-committing ours would ERASE their change (and two concurrent
+        # ADDs would mint the same field id from one next_field_id). Anchor
+        # the base schema_version here; the retry path refuses to proceed
+        # past a schema change with CommitConflictError (caller refolds).
+        sv_at_entry = None
+        if kwargs.get("new_schema") is not None:
+            if ev is None:
+                ev = self.current_version()
+            sv_at_entry = TableSchema.from_json(
+                self.snapshot(ev)["schema"]).schema_version
         if kwargs.get("remove_paths"):
             # a path-level removal's write set is the buckets those paths
             # live in. Resolve against the EXPECTED snapshot, not the current
@@ -1027,6 +1039,15 @@ class LakeTable:
                         "bucket layout evolved during commit — rewrite the "
                         "batch's data files against the new layout"
                     ) from None
+                if sv_at_entry is not None:
+                    cur_sv = TableSchema.from_json(
+                        self.snapshot(cur)["schema"]).schema_version
+                    if cur_sv != sv_at_entry:
+                        raise CommitConflictError(
+                            f"schema evolved during commit (schema_version "
+                            f"{sv_at_entry} → {cur_sv} since v{ev}) — "
+                            f"recompute the schema fold against v{cur}"
+                        ) from None
                 if not is_append and ev is not None:
                     for v in range(ev + 1, cur + 1):
                         theirs = self._touched_buckets(self.snapshot(v))

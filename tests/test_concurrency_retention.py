@@ -458,3 +458,53 @@ def test_orphan_version_file_recovery(spark, scratch):
     )
     assert table.current_version() == 2
     assert table.read(spark).count() == 3
+
+
+# ------------------------------------------------- schema-evolution races
+def test_concurrent_schema_evolution_conflicts(spark, scratch):
+    """Two writers fold a schema change from the same base: the loser's
+    retry must REFUSE (CommitConflictError), not re-commit its stale fold —
+    a blind retry would erase the winner's column and, for two ADDs, mint
+    the SAME field id from one next_field_id."""
+    table = make_table(scratch, n_buckets=2)
+    table.commit(add_files=table.write_data_files(_rows(spark, range(4))),
+                 batch_id=0)
+    v0 = table.current_version()
+    base = table.schema()
+    s_a = base.apply_change("add", "x", None, "int")
+    s_b = base.apply_change("add", "y", None, "int")
+    # both folds minted the same id — exactly why the retry must refuse
+    assert s_a.field_by_name("x").id == s_b.field_by_name("y").id
+
+    table.commit_with_retry(new_schema=s_a, expect_version=v0, batch_id=1)
+    assert "x" in table.schema().names()
+
+    with pytest.raises(CommitConflictError, match="schema evolved"):
+        table.commit_with_retry(new_schema=s_b, expect_version=v0, batch_id=2)
+    names = table.schema().names()
+    assert "x" in names and "y" not in names  # winner preserved, loser refused
+
+    # refolding against the CURRENT schema succeeds and ids stay distinct
+    s_b2 = table.schema().apply_change("add", "y", None, "int")
+    table.commit_with_retry(new_schema=s_b2,
+                            expect_version=table.current_version(), batch_id=2)
+    sch = table.schema()
+    assert sch.field_by_name("x").id != sch.field_by_name("y").id
+
+
+def test_data_commit_racing_alter_preserves_schema(spark, scratch):
+    """A plain data append losing the race to an ALTER retries fine and
+    must NOT clobber the evolved schema (commit reloads it per attempt)."""
+    table = make_table(scratch, n_buckets=2)
+    table.commit(add_files=table.write_data_files(_rows(spark, range(3))),
+                 batch_id=0)
+    v0 = table.current_version()
+    files = table.write_data_files(_rows(spark, range(3, 6), lsn0=50))
+    # ALTER lands first
+    table.commit_with_retry(
+        new_schema=table.schema().apply_change("add", "q", None, "double"),
+        expect_version=v0, batch_id=1)
+    # stale-anchored data append retries unconditionally and lands
+    table.commit_with_retry(add_files=files, expect_version=v0, batch_id=2)
+    assert "q" in table.schema().names()
+    assert table.read(spark).count() == 6
