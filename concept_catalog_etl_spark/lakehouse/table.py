@@ -1239,8 +1239,13 @@ class LakeTable:
             # from — the overlap walk then covers every commit that landed
             # during the audit (publishing against "current" would silently
             # drop an interleaved commit's rows from the removed buckets).
-            # Appends commute; they publish against whatever is current.
-            expect_version=None if is_append else rec["base_version"],
+            # Appends commute; they publish against whatever is current —
+            # EXCEPT evolving appends: new_schema was folded from the
+            # stage-time base, so the schema-race guard must anchor there,
+            # or a schema change landing during the audit window would be
+            # silently erased by the stale fold.
+            expect_version=rec["base_version"]
+            if (not is_append or kw.get("new_schema")) else None,
             max_retries=max_retries,
         )
         self._cleanup_stage(rec)

@@ -425,3 +425,36 @@ def test_stage_anchors_at_merge_read_version(spark, scratch):
     with pytest.raises(CommitConflictError, match="before stage"):
         t.stage_commit(add_files=staged_files, remove_buckets={0, 1, 2, 3},
                        batch_id=2, expect_version=v_read)
+
+
+def test_evolving_stage_refuses_schema_change_during_audit(spark, scratch):
+    """An append stage carrying new_schema anchors at its STAGE-time base:
+    a schema change landing during the audit window makes publish refuse
+    (stale fold would erase it); a plain append stage still publishes."""
+    t = make_table(scratch, n_buckets=2)
+    t.commit(add_files=t.write_data_files(_rows(spark, range(5))), batch_id=0)
+
+    sid = t.stage_commit(
+        add_files=t.write_data_files(_rows(spark, range(5, 8), lsn0=50)),
+        new_schema=t.schema().apply_change("add", "x", None, "int"),
+        batch_id=1,
+    )
+    # ALTER lands while the audit runs
+    t.commit_with_retry(
+        new_schema=t.schema().apply_change("add", "y", None, "int"),
+        expect_version=t.current_version(), batch_id=2)
+    with pytest.raises(CommitConflictError, match="schema evolved"):
+        t.publish_stage(sid)
+    assert "y" in t.schema().names() and "x" not in t.schema().names()
+
+    # the same race with NO schema payload: appends commute, publish lands
+    sid2 = t.stage_commit(
+        add_files=t.write_data_files(_rows(spark, range(8, 11), lsn0=80)),
+        batch_id=3,
+    )
+    t.commit_with_retry(
+        new_schema=t.schema().apply_change("add", "z", None, "int"),
+        expect_version=t.current_version(), batch_id=4)
+    t.publish_stage(sid2)
+    assert t.read(spark).count() == 8
+    assert "z" in t.schema().names()
