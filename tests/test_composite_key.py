@@ -257,3 +257,28 @@ def test_composite_random_replay_matches_oracle(spark, events, split, mode):
             apply_batch(spark, t, _raw(spark, chunk), bid, cfg)
     assert _state(spark, t) == _ck_oracle(events)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_composite_dlq_capture_encodes_full_key(spark, scratch):
+    """Malformed / null-key / bad-token rows on a composite-key table land
+    in the DLQ with the FULL key JSON-encoded into the stable ``doc_id``
+    column (``to_json(struct(k...))`` — the DLQ schema is key-shape
+    invariant), and a null in ANY key component rejects the event."""
+    t = make_ck_table(scratch)
+    lines = [
+        _line("insert", "t1", "a", 1, 1, [1, 2]),
+        _line("insert", "t1", "b", 2, 2, bad=True),          # parse error
+        json.dumps({"op": "insert", "tenant": None, "doc_id": "c",
+                    "event_ts": "1970-01-01T00:00:03.000000", "lsn": 3,
+                    "schema_version": 1,
+                    "payload": {"tokens": [1], "n_tok": 1,
+                                "source": "crawl"}}),          # null component
+        _line("insert", "t2", "d", 4, 4, None),               # bad tokens
+    ]
+    m = apply_batch(spark, t, _raw(spark, lines), 0, ck_cfg(t))
+    assert m["dlq_count"] == 3
+    got = {r["_dlq_reason"]: r["doc_id"] for r in t.read_dlq(spark).collect()}
+    assert json.loads(got["bad_tokens"]) == {"tenant": "t2", "doc_id": "d"}
+    assert json.loads(got["null_key"]) == {"doc_id": "c"}  # to_json drops null
+    assert json.loads(got["unparseable"]) == {}  # no key recoverable
+    assert _state(spark, t) == {("t1", "a"): ([1, 2], 2, "crawl")}
