@@ -31,6 +31,7 @@ Grammar (deliberately restricted; anything else raises with the reason):
     OPTIMIZE <name> [MINOR] [ZORDER BY (c, ...) | CLUSTER BY (c, ...)]
     VACUUM <name> [RETAIN n SNAPSHOTS]
     DESCRIBE [HISTORY] <name>             (via ``describe_sql``)
+    SHOW CREATE TABLE                     (via ``show_create_table``)
 
 * ``ON`` must equate EVERY key component (``t.k = s.k AND ...``): the
   kernel upserts by full key, so a partial-key merge would be a different
