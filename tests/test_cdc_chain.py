@@ -102,3 +102,49 @@ def test_downstream_delete_propagates(spark, scratch):
 
     assert table_state(spark, down) == table_state(spark, up)
     assert "doc-a" not in table_state(spark, down)
+
+
+def test_maintenance_commits_are_cdf_silent(spark, scratch):
+    """Compaction (minor + major) and vacuum move files, not logical state:
+    a change-feed window that covers ONLY maintenance commits must be empty,
+    and a window spanning [data batch, maintenance] must emit exactly the
+    data batch's changes — file rewrites never masquerade as row changes
+    (the diff is LWW-coordinate-based, not file-based)."""
+    import json
+
+    from concept_catalog_etl_spark.operators.merge import apply_batch
+
+    t = make_table(scratch, n_buckets=2)
+    cfg = MergeConfig.for_table(t, write_mode="mor")
+
+    def _batch(bid, rows):
+        lines = [json.dumps(
+            {"op": op, "doc_id": d,
+             "event_ts": f"1970-01-01T00:00:{bid + 1:02d}.000000",
+             "lsn": bid * 100 + i, "schema_version": 1,
+             "payload": ({"tokens": tk, "n_tok": len(tk), "source": "crawl"}
+                         if tk is not None else None)}
+            ) for i, (op, d, tk) in enumerate(rows)]
+        apply_batch(spark, t,
+                    spark.createDataFrame([(ln,) for ln in lines],
+                                          "value string"), bid, cfg)
+
+    _batch(0, [("insert", "a", [1]), ("insert", "b", [2]),
+               ("insert", "c", [3])])
+    _batch(1, [("update", "a", [9]), ("delete", "b", None)])
+    v_data = t.current_version()
+
+    t.compact_minor(spark)
+    t.compact(spark)
+    t.vacuum(retain_last=8, orphan_grace_sec=0)
+    v_maint = t.current_version()
+    assert v_maint > v_data  # maintenance really committed
+
+    assert t.read_changes(spark, v_data, v_maint).count() == 0
+    # ...including under the full-diff plan (no candidate-key shortcut)
+    assert t.read_changes(spark, v_data, v_maint,
+                          max_candidate_keys=0).count() == 0
+    # a window spanning batch 1 + maintenance: exactly batch 1's changes
+    got = {r["doc_id"]: r["_change_type"]
+           for r in t.read_changes(spark, v_data - 1, v_maint).collect()}
+    assert got == {"a": "update", "b": "delete"}
