@@ -148,3 +148,47 @@ def test_maintenance_commits_are_cdf_silent(spark, scratch):
     got = {r["doc_id"]: r["_change_type"]
            for r in t.read_changes(spark, v_data - 1, v_maint).collect()}
     assert got == {"a": "update", "b": "delete"}
+
+
+def test_rebucket_and_alter_are_cdf_silent(spark, scratch):
+    """Bucket-layout evolution rewrites every file and an ALTER commits a
+    new schema — neither changes any row's LWW coordinate, so both windows
+    are change-feed silent (rebucket takes the full-diff fallback: its
+    added files cover the whole table, blowing the candidate-key budget)."""
+    import json
+
+    from concept_catalog_etl_spark.operators.merge import apply_batch
+    from concept_catalog_etl_spark.operators.sql import alter_table_sql
+
+    t = make_table(scratch, n_buckets=2)
+    cfg = MergeConfig.for_table(t)
+    lines = [json.dumps(
+        {"op": "insert", "doc_id": f"d{i}",
+         "event_ts": "1970-01-01T00:00:01.000000", "lsn": i,
+         "schema_version": 1,
+         "payload": {"tokens": [i], "n_tok": 1, "source": "crawl"}})
+        for i in range(20)]
+    apply_batch(spark, t,
+                spark.createDataFrame([(ln,) for ln in lines],
+                                      "value string"), 0, cfg)
+    v0 = t.current_version()
+
+    t.rebucket(spark, 4)
+    v_rb = t.current_version()
+    assert t.read_changes(spark, v0, v_rb, max_candidate_keys=5).count() == 0
+
+    alter_table_sql(spark, t, "ALTER TABLE t ADD COLUMN q double",
+                    batch_id=1, event_ts="1970-01-01T00:00:02")
+    v_alter = t.current_version()
+    assert v_alter > v_rb
+    assert t.read_changes(spark, v_rb, v_alter).count() == 0
+    # the evolved column appears (as NULL) in a window that has real changes
+    apply_batch(spark, t, spark.createDataFrame([(json.dumps(
+        {"op": "update", "doc_id": "d0",
+         "event_ts": "1970-01-01T00:00:03.000000", "lsn": 100,
+         "schema_version": 2,
+         "payload": {"tokens": [7], "n_tok": 1, "source": "crawl",
+                     "q": 0.5}}),)], "value string"), 2, cfg)
+    ch = t.read_changes(spark, v_alter).collect()
+    assert [(r["doc_id"], r["_change_type"], r["q"]) for r in ch] == [
+        ("d0", "update", 0.5)]
