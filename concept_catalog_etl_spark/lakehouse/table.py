@@ -219,13 +219,25 @@ class LakeTable:
     # ------------------------------------------------------------------ init
     @staticmethod
     def create(root: str, schema: TableSchema, n_buckets: int = 32,
-               partition_spec: dict | None = None) -> "LakeTable":
+               partition_spec: dict | None = None,
+               check_constraints: dict[str, str] | None = None) -> "LakeTable":
         """``partition_spec={"column": name, "transform": "day"}`` adds a
         coarse partition dimension above the hash buckets (layout
         ``_part=<v>/_bucket=<b>``) — see ``lakehouse.partition`` for the
         transforms and the key-component soundness contract. The spec is
         fixed at create time (partition evolution would need Iceberg-style
-        per-file spec ids; out of scope — rebuild via ``clone``/CTAS)."""
+        per-file spec ids; out of scope — rebuild via ``clone``/CTAS).
+
+        ``check_constraints={name: spark_sql_expr}`` declares row-level
+        CHECK constraints over the table's columns (Delta CHECK analog with
+        CDC-appropriate enforcement): the merge kernel evaluates them on
+        every insert/update AFTER normalization and routes violating rows
+        to the DLQ with reason ``check:<name>`` — a bad feed row must not
+        crash a 10^10-event replay, and the reference's fail-log semantics
+        (files/load.py:19) already route per-row failures, not aborts. SQL
+        three-valued logic: a NULL-valued expression PASSES (only
+        definitely-false violates). Renaming or dropping a referenced
+        column is refused (the stored expression would dangle)."""
         t = LakeTable(root)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -242,6 +254,8 @@ class LakeTable:
                 "committed_batch_ids": [],
                 "max_batch_id": None,
                 "lineage_offsets": {},
+                **({"check_constraints": dict(check_constraints)}
+                   if check_constraints else {}),
             },
         }
         t._write_manifest(snap)

@@ -86,10 +86,18 @@ def _residue(raw: DataFrame, table: LakeTable, cfg: MergeConfig) -> DataFrame:
         if tokens_name is not None
         else F.lit(False)
     )
-    norm = norm.withColumn(
-        "_dlq_reason",
-        F.coalesce(F.col("_dlq_reason"), F.when(is_bad_tokens, F.lit("bad_tokens"))),
-    )
+    reason_chain = [F.col("_dlq_reason"),
+                    F.when(is_bad_tokens, F.lit("bad_tokens"))]
+    # mirror the kernel's CHECK-constraint routing (merge.apply_batch)
+    for nm in sorted(table.properties().get("check_constraints") or {}):
+        ex = table.properties()["check_constraints"][nm]
+        viol = (
+            F.col("_dlq_reason").isNull()
+            & F.col("op").isin("insert", "update")
+            & ~F.coalesce(F.expr(ex).cast("boolean"), F.lit(True))
+        )
+        reason_chain.append(F.when(viol, F.lit(f"check:{nm}")))
+    norm = norm.withColumn("_dlq_reason", F.coalesce(*reason_chain))
     return norm.filter(F.col("_dlq_reason").isNotNull()).select(
         "_raw", "_dlq_reason", "op",
         F.col(key).alias("doc_id"), "event_ts", "lsn",

@@ -50,6 +50,7 @@ Only buckets actually hit by the batch's keys are read and rewritten
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
@@ -444,9 +445,22 @@ def apply_batch(
         )
     _mark("summary_agg")
 
+    checks: dict = table.properties().get("check_constraints") or {}
     evolution: dict = {}
     new_schema = None
     if sc_rows:
+        # a stored CHECK expression references columns by NAME: a rename or
+        # drop of a referenced column would leave it dangling (evaluating
+        # against nothing / the wrong column) — refuse, like Delta does
+        for r in sc_rows:
+            if r["kind"] in ("rename", "drop") and checks:
+                hit = [nm for nm, ex in checks.items()
+                       if re.search(rf"\b{re.escape(r['column'])}\b", ex)]
+                if hit:
+                    raise ValueError(
+                        f"cannot {r['kind']} column {r['column']!r}: "
+                        f"referenced by CHECK constraint(s) {hit}"
+                    )
         new_schema, ren = _apply_schema_changes(
             schema, sc_rows,
             protected_ids=frozenset(
@@ -486,10 +500,22 @@ def apply_batch(
         if tokens_name is not None
         else F.lit(False)
     )
-    norm = norm.withColumn(
-        "_dlq_reason",
-        F.coalesce(F.col("_dlq_reason"), F.when(is_bad_tokens, F.lit("bad_tokens"))),
-    )
+    reason_chain = [
+        F.col("_dlq_reason"),
+        F.when(is_bad_tokens, F.lit("bad_tokens")),
+    ]
+    # CHECK constraints (table property, see LakeTable.create): evaluated
+    # post-normalization on data rows only — SQL three-valued logic, NULL
+    # passes; violations dead-letter (reason check:<name>), never crash.
+    # Zero plan cost when the table declares none (this loop adds nothing).
+    for _nm in sorted(checks):
+        viol = (
+            F.col("_dlq_reason").isNull()
+            & F.col("op").isin("insert", "update")
+            & ~F.coalesce(F.expr(checks[_nm]).cast("boolean"), F.lit(True))
+        )
+        reason_chain.append(F.when(viol, F.lit(f"check:{_nm}")))
+    norm = norm.withColumn("_dlq_reason", F.coalesce(*reason_chain))
     goodish = F.col("_dlq_reason").isNull() | (F.col("_dlq_reason") == "bad_tokens")
 
     metric_aggs = [
@@ -506,16 +532,26 @@ def apply_batch(
             F.max(F.when(goodish, F.col("event_ts").cast("timestamp")))
         ).alias("max_event_ts_us"),
     ]
+    if checks:
+        # rides the same observe/agg pass; tables without constraints keep
+        # the historical metric shape (and plan) exactly
+        metric_aggs.append(F.coalesce(
+            F.sum(F.col("_dlq_reason").startswith("check:").cast("int")),
+            F.lit(0)).alias("check_violations"))
     if fast_summary:
         # lineage counts rows the EXACT light-summary path would count: its
-        # max_lsn is taken pre-normalization where bad_tokens is undetectable
-        # (structurally clean), so bad_tokens rows must advance lineage here
-        # too — use `goodish` (null-or-bad_tokens), not isNull()
-        good_lin = goodish
+        # max_lsn is taken pre-normalization where bad_tokens and CHECK
+        # violations are undetectable (structurally clean), so those rows
+        # must advance lineage here too — and _structural_dlq must count
+        # ONLY parse-time reasons (check rows are already counted by the
+        # check_violations metric; overlapping would double dlq_count)
+        good_lin = goodish | F.col("_dlq_reason").startswith("check:")
         metric_aggs.append(
             F.coalesce(
                 F.sum((F.col("_dlq_reason").isNotNull()
-                       & (F.col("_dlq_reason") != "bad_tokens")).cast("int")),
+                       & (F.col("_dlq_reason") != "bad_tokens")
+                       & ~F.col("_dlq_reason").startswith("check:")
+                       ).cast("int")),
                 F.lit(0),
             ).alias("_structural_dlq")
         )
@@ -677,7 +713,8 @@ def apply_batch(
                 ):
                     if r["mx"] is not None:
                         lineage[r["_src_raw"]] = int(r["mx"])
-            events_total = int(m.get("events_data", 0) or 0) + structural_dlq
+            events_total = (int(m.get("events_data", 0) or 0) + structural_dlq
+                            + int(m.get("check_violations", 0) or 0))
         metrics.update({k: (int(v) if v is not None else 0) for k, v in m.items()})
         bad_tokens = metrics.get("bad_tokens", 0)
         # ingest lag: wall-clock now vs newest event applied this batch
@@ -694,7 +731,8 @@ def apply_batch(
     metrics["write_mode"] = cfg.write_mode
 
     # ---- DLQ side-output: explode the captured bad rows (no re-scan) ----
-    dlq_count = structural_dlq + int(bad_tokens)
+    dlq_count = (structural_dlq + int(bad_tokens)
+                 + int(metrics.get("check_violations", 0) or 0))
     if cfg.write_dlq and (dlq_count > 0 or obs is None):
         bad_df = deduped_all.select(F.explode("_bad").alias("b")).select("b.*")
         if obs is None:

@@ -23,6 +23,7 @@ Grammar (deliberately restricted; anything else raises with the reason):
       VALUES (exprs), ... | SELECT ...
     CREATE TABLE [IF NOT EXISTS] <name> (
       <col> <type>, ..., PRIMARY KEY (k, ...)
+      [, [CONSTRAINT nm] CHECK (<expr>)] ...
     ) [PARTITIONED BY (day(col) | month(col) | ... | col)] [BUCKETS n]
     ALTER TABLE <name> ADD COLUMN c <type> | RENAME COLUMN a TO b
       | ALTER COLUMN c [SET DATA] TYPE <type> | DROP COLUMN c
@@ -460,6 +461,7 @@ def create_table_sql(stmt: str, *, root: str,
 
     cols: list[tuple[str, str]] | None = None
     keys: list[str] | None = None
+    checks: dict[str, str] = {}
     if rest.startswith("("):
         close_idx = _matched_paren_span(rest, 0)
         body, rest = rest[1:close_idx - 1], rest[close_idx:]
@@ -471,6 +473,15 @@ def create_table_sql(stmt: str, *, root: str,
                 if keys is not None:
                     raise ValueError("duplicate PRIMARY KEY clause")
                 keys = [k.strip() for k in _split_top_level(km.group("k"))]
+                continue
+            ck = re.match(
+                r"^(?:CONSTRAINT\s+(?P<nm>\w+)\s+)?CHECK\s*\((?P<e>.*)\)$",
+                part, re.IGNORECASE | re.DOTALL)
+            if ck:
+                nm = ck.group("nm") or f"check_{len(checks) + 1}"
+                if nm in checks:
+                    raise ValueError(f"duplicate CHECK constraint name {nm!r}")
+                checks[nm] = ck.group("e").strip()
                 continue
             cm = re.match(r"^(\w+)\s+(.+)$", part, re.DOTALL)
             if not cm:
@@ -541,9 +552,23 @@ def create_table_sql(stmt: str, *, root: str,
          "transform": (tail.group("ptrans") or "identity").lower()}
         if pcol else None
     )
+    if checks and spark is not None:
+        # analyze each expression against an empty frame of the declared
+        # schema NOW — an unknown column or bad syntax fails before the
+        # table exists, not on the first ingest batch
+        probe = spark.createDataFrame(
+            [], ", ".join(f"{c} {ty}" for c, ty in cols))
+        for nm, ex in checks.items():
+            try:
+                probe.filter(F.expr(ex).cast("boolean")).schema
+            except Exception as e:
+                raise ValueError(
+                    f"CHECK constraint {nm!r} does not analyze against the "
+                    f"declared columns: {e}") from None
     nb = int(tail.group("nb")) if tail.group("nb") else 32
     table = LakeTable.create(table_root, schema, n_buckets=nb,
-                             partition_spec=spec)
+                             partition_spec=spec,
+                             check_constraints=checks or None)
     if src is not None:
         src.createOrReplaceTempView(f"_ctas_{m.group('t')}")
         insert_into_sql(
@@ -859,9 +884,12 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     schema and layout — round-trips through ``create_table_sql`` (modulo
     the evolved-schema history, which DDL cannot express)."""
     schema = table.schema()
-    cols = ",\n  ".join(f"{f.name} {f.type}" for f in schema.fields)
-    stmt = (f"CREATE TABLE {name} (\n  {cols},\n  "
-            f"PRIMARY KEY ({', '.join(schema.key_names)})\n)")
+    parts = [f"{f.name} {f.type}" for f in schema.fields]
+    parts.append(f"PRIMARY KEY ({', '.join(schema.key_names)})")
+    for nm, ex in sorted(
+            (table.properties().get("check_constraints") or {}).items()):
+        parts.append(f"CONSTRAINT {nm} CHECK ({ex})")
+    stmt = f"CREATE TABLE {name} (\n  " + ",\n  ".join(parts) + "\n)"
     part = table.snapshot().get("partition_spec") or {}
     if part.get("field_id") is not None:
         pcol = schema.field_by_id(int(part["field_id"])).name

@@ -583,3 +583,68 @@ def test_show_create_table_round_trips(spark, scratch):
     assert t2.schema().names() == t.schema().names()
     assert t2.schema().key_names == t.schema().key_names
     assert t2.snapshot()["partition_spec"]["transform"] == "day"
+
+
+def test_check_constraints_route_to_dlq(spark, scratch):
+    """CHECK constraints declared in CREATE TABLE are enforced at ingest:
+    violating rows dead-letter with reason check:<name> (never crash the
+    batch), NULL expressions pass (SQL three-valued logic), constraints
+    survive commits, and SHOW CREATE TABLE echoes them."""
+    from concept_catalog_etl_spark.operators.sql import (
+        create_table_sql, show_create_table)
+
+    t = create_table_sql(
+        """CREATE TABLE gated (
+             doc_id string, n int, tag string,
+             PRIMARY KEY (doc_id),
+             CONSTRAINT n_pos CHECK (n > 0),
+             CHECK (tag IN ('x', 'y'))
+           ) BUCKETS 2""",
+        root=scratch, spark=spark)
+    m = run_dml(spark, t,
+                "INSERT INTO gated VALUES ('a', 1, 'x'), ('b', -1, 'y'), "
+                "('c', 2, 'zz'), ('d', NULL, 'y')",
+                batch_id=0, event_ts="1970-01-01T00:00:05")
+    assert m["dlq_count"] == 2
+    assert sorted(r["doc_id"] for r in t.read(spark).collect()) == ["a", "d"]
+    got = {r["doc_id"]: r["_dlq_reason"] for r in t.read_dlq(spark).collect()}
+    assert got == {"b": "check:n_pos", "c": "check:check_2"}
+
+    # still enforced on a later batch (property survives commits)
+    m2 = run_dml(spark, t, "INSERT OR REPLACE INTO gated VALUES ('e', 0, 'x')",
+                 batch_id=1, event_ts="1970-01-01T00:00:06")
+    assert m2["dlq_count"] == 1
+
+    ddl = show_create_table(t, "gated2")
+    assert "CONSTRAINT n_pos CHECK (n > 0)" in ddl
+    t2 = create_table_sql(ddl, root=scratch, spark=spark)
+    assert t2.properties()["check_constraints"]["n_pos"] == "n > 0"
+
+    # bad expression fails at CREATE, before the table exists
+    with pytest.raises(ValueError, match="does not analyze"):
+        create_table_sql(
+            "CREATE TABLE nope (x string, PRIMARY KEY (x), CHECK (zz > 0))",
+            root=scratch, spark=spark)
+    import os
+    assert not os.path.exists(f"{scratch}/nope")
+
+
+def test_check_constraint_blocks_rename_drop_of_referenced_column(spark, scratch):
+    from concept_catalog_etl_spark.operators.sql import create_table_sql
+
+    t = create_table_sql(
+        """CREATE TABLE gated (
+             doc_id string, n int, tag string,
+             PRIMARY KEY (doc_id), CONSTRAINT n_pos CHECK (n > 0)
+           ) BUCKETS 2""",
+        root=scratch, spark=spark)
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        run_dml(spark, t, "ALTER TABLE gated RENAME COLUMN n TO m", batch_id=0)
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        run_dml(spark, t, "ALTER TABLE gated DROP COLUMN n", batch_id=1)
+    # unreferenced columns still evolve freely; widening n is fine too
+    run_dml(spark, t, "ALTER TABLE gated RENAME COLUMN tag TO label",
+            batch_id=2, event_ts="1970-01-01T00:00:05")
+    run_dml(spark, t, "ALTER TABLE gated ALTER COLUMN n TYPE bigint",
+            batch_id=3, event_ts="1970-01-01T00:00:06")
+    assert "label" in t.schema().names()
