@@ -27,6 +27,7 @@ Grammar (deliberately restricted; anything else raises with the reason):
     ) [PARTITIONED BY (day(col) | month(col) | ... | col)] [BUCKETS n]
     ALTER TABLE <name> ADD COLUMN c <type> | RENAME COLUMN a TO b
       | ALTER COLUMN c [SET DATA] TYPE <type> | DROP COLUMN c
+      | ADD CONSTRAINT nm CHECK (<expr>) | DROP CONSTRAINT nm
     SELECT ... FROM <name> [FOR VERSION AS OF n
       | FOR TIMESTAMP AS OF '<iso>'] ...   (time travel, via ``sql()``)
     OPTIMIZE <name> [MINOR] [ZORDER BY (c, ...) | CLUSTER BY (c, ...)]
@@ -698,6 +699,54 @@ def insert_into_sql(
     return apply_batch(spark, table, env, batch_id, cfg)
 
 
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+CONSTRAINT\s+(?P<nm>\w+)\s+"
+    r"CHECK\s*\((?P<e>.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+CONSTRAINT\s+(?P<nm>\w+)\s*$",
+    re.IGNORECASE)
+
+
+def _alter_constraint_sql(spark: SparkSession, table: LakeTable,
+                          stmt: str) -> dict | None:
+    """ADD/DROP CONSTRAINT: a table-properties commit, not a schema_change.
+
+    ADD validates EXISTING rows first (Delta semantics: a constraint you
+    could not have ingested under must not appear retroactively) and the
+    commit anchors ``expect_version`` at the version the scan read — a row
+    landing between scan and commit fails the version check loudly instead
+    of slipping in unvalidated (same anchor discipline as the schema-race
+    guard). Enforcement starts at the next batch: ``apply_batch`` reads
+    constraints from the live snapshot."""
+    am = _ADD_CONSTRAINT_RE.match(stmt)
+    dm = _DROP_CONSTRAINT_RE.match(stmt) if not am else None
+    if not am and not dm:
+        return None
+    cur = table.current_version()
+    checks = dict(table.snapshot(cur)["properties"]
+                  .get("check_constraints") or {})
+    if am:
+        nm, ex = am.group("nm"), am.group("e").strip()
+        if nm in checks:
+            raise ValueError(f"constraint {nm!r} already exists")
+        viol = (table.read(spark, version=cur)
+                .filter(~F.coalesce(F.expr(ex).cast("boolean"), F.lit(True)))
+                .limit(1).collect())
+        if viol:
+            raise ValueError(
+                f"cannot ADD CONSTRAINT {nm}: existing row violates it "
+                f"(e.g. {viol[0].asDict()})")
+        checks[nm] = ex
+    else:
+        nm = dm.group("nm")
+        if nm not in checks:
+            raise KeyError(f"no such constraint: {nm}")
+        del checks[nm]
+    table.commit(extra_props={"check_constraints": checks},
+                 expect_version=cur)
+    return {"check_constraints": checks, "version": table.current_version()}
+
+
 _ALTER_FORMS = [
     # (kind, regex over the clause after "ALTER TABLE <name> ")
     ("add", re.compile(
@@ -736,6 +785,9 @@ def alter_table_sql(
         ALTER TABLE t RENAME COLUMN a TO b
         ALTER TABLE t ALTER COLUMN c [SET DATA] TYPE <type>   -- widen only
         ALTER TABLE t DROP COLUMN c
+        ALTER TABLE t ADD CONSTRAINT nm CHECK (<expr>)   -- props commit,
+        ALTER TABLE t DROP CONSTRAINT nm                 -- existing rows
+                                                         -- validated
 
     Rather than opening a second metadata-write path, the statement becomes
     a one-row ``op=schema_change`` envelope applied through ``apply_batch``
@@ -752,6 +804,9 @@ def alter_table_sql(
     existing name, DROP of a contract column) raise from the kernel before
     any write — the commit is all-or-nothing.
     """
+    r = _alter_constraint_sql(spark, table, stmt)
+    if r is not None:
+        return r
     m = _ALTER_RE.match(stmt)
     if not m:
         raise ValueError("expected ALTER TABLE <name> <clause>")

@@ -648,3 +648,32 @@ def test_check_constraint_blocks_rename_drop_of_referenced_column(spark, scratch
     run_dml(spark, t, "ALTER TABLE gated ALTER COLUMN n TYPE bigint",
             batch_id=3, event_ts="1970-01-01T00:00:06")
     assert "label" in t.schema().names()
+
+
+def test_add_drop_constraint_sql(spark, scratch):
+    """ADD CONSTRAINT validates existing rows and enforces from the next
+    batch; DROP CONSTRAINT lifts enforcement; both are anchored commits."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x"), ("b", 2, "y")])
+
+    # existing violation → refused, nothing committed
+    v0 = t.current_version()
+    with pytest.raises(ValueError, match="existing row violates"):
+        run_dml(spark, t, "ALTER TABLE docs ADD CONSTRAINT big CHECK (n > 1)",
+                batch_id=9)
+    assert t.current_version() == v0
+
+    r = run_dml(spark, t,
+                "ALTER TABLE docs ADD CONSTRAINT n_pos CHECK (n > 0)",
+                batch_id=9)
+    assert r["check_constraints"] == {"n_pos": "n > 0"}
+    m = run_dml(spark, t, "INSERT OR REPLACE INTO docs VALUES ('c', -3, 'z')",
+                batch_id=10, event_ts="1970-01-01T00:00:06")
+    assert m["dlq_count"] == 1 and "c" not in _state(spark, t)
+
+    run_dml(spark, t, "ALTER TABLE docs DROP CONSTRAINT n_pos", batch_id=11)
+    m2 = run_dml(spark, t, "INSERT OR REPLACE INTO docs VALUES ('c', -3, 'z')",
+                 batch_id=12, event_ts="1970-01-01T00:00:07")
+    assert m2["dlq_count"] == 0 and _state(spark, t)["c"] == (-3, "z")
+    with pytest.raises(KeyError, match="no such constraint"):
+        run_dml(spark, t, "ALTER TABLE docs DROP CONSTRAINT nope", batch_id=13)
