@@ -414,3 +414,51 @@ def test_legacy_layout_visible_on_read_and_migrated_by_replay(spark,
     got = {r["doc_id"]: list(r["tokens"]) for r in table.read(spark).collect()}
     assert got == {"L1": [4, 5]}
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_check_violation_repair_loop(spark, scratch):
+    """A CHECK-violating row dead-letters, a vectorized repair fixes the
+    payload, replay_dlq merges it under the original LWW coordinate; a
+    still-violating row stays residue with its check reason."""
+    import json
+
+    from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+    from concept_catalog_etl_spark.operators.merge import apply_batch
+
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("tokens", "array<int>"),
+         ("n_tok", "int"), ("source", "string")], key=["doc_id"])
+    t = LakeTable.create(os.path.join(scratch, "table"), schema, n_buckets=4,
+                         check_constraints={"short": "size(tokens) <= 3"})
+    cfg = MergeConfig.for_table(t)
+
+    def _ev(doc, toks, lsn):
+        return json.dumps({
+            "op": "insert", "doc_id": doc,
+            "event_ts": f"1970-01-01T00:00:{lsn:02d}.000000", "lsn": lsn,
+            "schema_version": 1,
+            "payload": {"tokens": toks, "n_tok": len(toks), "source": "crawl"}})
+
+    lines = [_ev("ok", [1, 2], 1),
+             _ev("fixable", [1, 2, 3, 4, 5], 2),
+             _ev("hopeless", [7, 7, 7, 7, 7, 7], 3)]
+    m = apply_batch(spark, t,
+                    spark.createDataFrame([(ln,) for ln in lines],
+                                          "value string"), 0, cfg)
+    assert m["dlq_count"] == 2
+    assert sorted(r["doc_id"] for r in t.read(spark).collect()) == ["ok"]
+
+    def _truncate(raw):  # producer fixed: long arrays trimmed to 3
+        return raw.select(F.regexp_replace(
+            "value", r'"tokens": \[1, 2, 3, 4, 5\]',
+            '"tokens": [1, 2, 3]').alias("value"))
+
+    results = replay_dlq(spark, t, repair=_truncate, cfg=cfg)
+    assert sum(r["recovered"] for r in results) == 1
+    state = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+             for r in t.read(spark).collect()}
+    # n_tok recomputed by the kernel's invariant, not trusted from payload
+    assert state["fixable"] == ([1, 2, 3], 3)
+    res = t.read_dlq(spark)
+    assert [(r["doc_id"], r["_dlq_reason"]) for r in res.collect()] == [
+        ("hopeless", "check:short")]
