@@ -968,7 +968,14 @@ def run_dml(spark: SparkSession, table: LakeTable, stmt: str, *,
             batch_id: int, cfg: MergeConfig | None = None,
             event_ts=None, lsn: int = 0) -> dict:
     """Dispatch an INSERT / UPDATE / DELETE / MERGE INTO / ALTER TABLE
-    string onto the kernel."""
+    string onto the kernel.
+
+    CHECK-constraint semantics on DML: a written row that violates a table
+    constraint dead-letters (reason ``check:<name>``, metrics
+    ``check_violations``/``dlq_count``) and the key keeps its previous
+    state — the engine's per-row fail-log philosophy applies to every
+    ingest path uniformly, SQL included; inspect the batch metrics (or the
+    DLQ) rather than expecting a statement-level abort."""
     if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
         return merge_into_sql(spark, table, stmt, batch_id=batch_id, cfg=cfg,
                               event_ts=event_ts, lsn=lsn)
