@@ -137,9 +137,11 @@ def check_table(table: LakeTable, deep: bool = False,
                 if not 0 <= int(entry.get("bucket", -1)) < nb:
                     _f(findings, "error", "entry_bucket_out_of_range",
                        f"v{v}: {p} bucket={entry.get('bucket')} nb={nb}")
-                if snap.get("partition_spec"):
+                if snap.get("partition_spec") or snap.get("partition_specs"):
                     # partition pruning trusts entry["part"] — it must exist
                     # and agree with the file's _part= path segment
+                    # (spec-agnostic: whatever spec wrote the file, the part
+                    # value it pruned under is the one in its path)
                     want = next(
                         (unquote(seg.split("=", 1)[1])
                          for seg in p.split(os.sep) if seg.startswith("_part=")),
@@ -149,6 +151,13 @@ def check_table(table: LakeTable, deep: bool = False,
                         _f(findings, "error", "entry_part_path_mismatch",
                            f"v{v}: {p} part={entry.get('part')!r}, "
                            f"path says {want!r}")
+                    specs = snap.get("partition_specs")
+                    if specs is not None:
+                        known = {int(s["spec_id"]) for s in specs}
+                        if int(entry.get("spec_id", 0)) not in known:
+                            _f(findings, "error", "entry_spec_id_unknown",
+                               f"v{v}: {p} spec_id={entry.get('spec_id')} "
+                               f"not in {sorted(known)}")
                 if not os.path.exists(os.path.join(table.root, p)):
                     _f(findings, "error", "data_file_missing", f"v{v}: {p}")
                 if entry.get("bloom") and not os.path.exists(

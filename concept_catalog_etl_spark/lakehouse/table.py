@@ -211,6 +211,36 @@ def bucket_expr(key_cols: str | list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
 
+def _partition_fields(snap: dict) -> dict:
+    """Partition metadata to carry into a rebuilt snapshot dict.
+
+    ``partition_spec`` is the CURRENT default spec (absent when the table is
+    unpartitioned right now); after a spec evolution the snapshot also holds
+    the full spec history ``partition_specs`` (Iceberg per-table spec list
+    analog) plus ``default_spec_id``, and every file entry written since
+    carries the ``spec_id`` it was laid out under (entries without one
+    belong to spec 0 — the spec active at create time)."""
+    out: dict = {}
+    if snap.get("partition_spec"):
+        out["partition_spec"] = snap["partition_spec"]
+    if snap.get("partition_specs") is not None:
+        out["partition_specs"] = snap["partition_specs"]
+        out["default_spec_id"] = snap["default_spec_id"]
+    return out
+
+
+def _specs_by_id(snap: dict) -> dict[int, dict | None] | None:
+    """spec_id → spec (None = unpartitioned era) for an EVOLVED table, or
+    None when the table still has its create-time spec only (every file
+    belongs to ``snap["partition_spec"]``, if any)."""
+    specs = snap.get("partition_specs")
+    if specs is None:
+        return None
+    return {
+        int(s["spec_id"]): (s if s.get("transform") else None) for s in specs
+    }
+
+
 class LakeTable:
     def __init__(self, root: str):
         self.root = root
@@ -224,9 +254,10 @@ class LakeTable:
         """``partition_spec={"column": name, "transform": "day"}`` adds a
         coarse partition dimension above the hash buckets (layout
         ``_part=<v>/_bucket=<b>``) — see ``lakehouse.partition`` for the
-        transforms and the key-component soundness contract. The spec is
-        fixed at create time (partition evolution would need Iceberg-style
-        per-file spec ids; out of scope — rebuild via ``clone``/CTAS).
+        transforms and the key-component soundness contract. The spec can
+        evolve later without rewriting data (``set_partition_spec`` —
+        Iceberg-style per-file spec ids; compaction migrates old files to
+        the current spec as routine maintenance).
 
         ``check_constraints={name: spark_sql_expr}`` declares row-level
         CHECK constraints over the table's columns (Delta CHECK analog with
@@ -537,10 +568,18 @@ class LakeTable:
                 sort_within or bool(cluster_cols)
                 or bool(self.properties().get("bloom_on_write"))
             )
-        return self._collect_file_entries(
+        entries = self._collect_file_entries(
             rel_dir, schema, key, delta=delta, with_bloom=with_bloom,
             layout_nb=nb,
         )
+        if snap.get("partition_specs") is not None:
+            # evolved table: entries are self-describing — they record the
+            # spec they were laid out under (the snapshot THIS writer read,
+            # which may lag a racing evolution; the entry stays correct
+            # because its part values really were computed under that spec)
+            for e in entries:
+                e["spec_id"] = int(snap["default_spec_id"])
+        return entries
 
     def _collect_file_entries(self, rel_dir: str, schema: TableSchema, key: str,
                               delta: bool = False,
@@ -734,8 +773,14 @@ class LakeTable:
         writer_id: str | None = None,
         new_n_buckets: int | None = None,
         writer_epoch: int | None = None,
+        new_partition: dict | None = None,
     ) -> dict:
         """Build + atomically publish the next snapshot.
+
+        ``new_partition``: replacement partition metadata (the full field
+        set ``partition_spec``/``partition_specs``/``default_spec_id``) for
+        a spec-evolution commit — see ``set_partition_spec``, which is the
+        only caller and owns the fold/validation.
 
         Data files, ledger entry, lineage offsets and (optionally) an evolved
         schema all land in one pointer swap — the exactly-once unit.
@@ -823,8 +868,7 @@ class LakeTable:
             "version": snap["version"] + 1,
             "parent": snap["version"],
             "n_buckets": snap["n_buckets"],
-            **({"partition_spec": snap["partition_spec"]}
-               if snap.get("partition_spec") else {}),
+            **(_partition_fields(snap) if new_partition is None else new_partition),
             "schema": (new_schema or TableSchema.from_json(snap["schema"])).to_json(),
             "manifests": manifests,
             "properties": props,
@@ -863,8 +907,7 @@ class LakeTable:
             "version": snap["version"] + 1,
             "parent": snap["version"],
             "n_buckets": new_nb,
-            **({"partition_spec": snap["partition_spec"]}
-               if snap.get("partition_spec") else {}),
+            **_partition_fields(snap),
             "schema": TableSchema.from_json(snap["schema"]).to_json(),
             "manifests": manifests,
             "properties": props,
@@ -907,6 +950,71 @@ class LakeTable:
             new_n_buckets=new_n_buckets,
             expect_version=snap["version"],
         )
+
+    def set_partition_spec(self, spec: dict | None,
+                           max_retries: int = 5) -> dict:
+        """Partition-spec evolution (Iceberg spec-evolution analog): change
+        the table's partition dimension WITHOUT rewriting a single data
+        file. ``spec={"column": name, "transform": t}`` switches new writes
+        to that layout; ``spec=None`` drops partitioning for new writes.
+
+        Metadata-only commit: the snapshot gains the spec HISTORY
+        (``partition_specs``, ids dense from 0 = the create-time spec) and a
+        ``default_spec_id``; every file entry written afterwards records its
+        ``spec_id``. Readers prune each file under its own spec — exactly,
+        even across granularities (see ``read``'s soundness note): window
+        reads derive per-spec bounds, point lookups derive each key's
+        partition value per spec, and the new spec still must satisfy the
+        key-component contract (``lakehouse.partition.validate_spec``).
+        Old-era files keep pruning under their old spec forever; a
+        ``compact()`` rewrites buckets under the CURRENT spec, so normal
+        maintenance is the migration path (no stop-the-world rebuild).
+
+        Concurrency: the commit anchors ``expect_version`` and refolds the
+        spec list from the LATEST snapshot on a lost race, so two racing
+        evolutions serialize with distinct spec ids; racing data writers
+        are unaffected (their entries self-describe the spec they were
+        laid out under)."""
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            schema = TableSchema.from_json(snap["schema"])
+            new = (_partition.validate_spec(schema, spec)
+                   if spec is not None else None)
+            cur = snap.get("partition_spec")
+            same = (
+                (new is None and not cur)
+                or (new is not None and cur
+                    and int(cur["field_id"]) == int(new["field_id"])
+                    and cur["transform"] == new["transform"])
+            )
+            if same:
+                return snap  # idempotent: already the default spec
+            specs = list(snap.get("partition_specs") or [])
+            if not specs:
+                # first evolution: materialize the create-time spec as id 0
+                specs = [
+                    {"spec_id": 0, **cur} if cur else {"spec_id": 0}
+                ]
+            nid = max(int(s["spec_id"]) for s in specs) + 1
+            specs.append({"spec_id": nid, **(new or {})})
+            fields: dict = {"partition_specs": specs, "default_spec_id": nid}
+            if new is not None:
+                fields["partition_spec"] = new
+            try:
+                return self.commit(new_partition=fields,
+                                   expect_version=snap["version"])
+            except (FileExistsError, RuntimeError) as e:
+                if not (isinstance(e, FileExistsError)
+                        or "concurrent commit" in str(e)):
+                    raise
+                if isinstance(e, FileExistsError):
+                    # crashed-writer wedge: same age-gated reap as
+                    # commit_with_retry (which we can't use here — its
+                    # blind retry would re-commit a stale spec fold)
+                    self._reap_orphan_version(self.current_version(), 30.0)
+                continue  # refold against the new current snapshot
+        raise CommitConflictError(
+            "set_partition_spec lost the commit race repeatedly")
 
     def _touched_buckets(self, snap: dict) -> set[int]:
         """Buckets whose manifest changed between ``snap`` and its parent —
@@ -1140,8 +1248,7 @@ class LakeTable:
             "version": snap["version"] + 1,  # nominal: assigned for real at publish
             "parent": snap["version"],
             "n_buckets": snap["n_buckets"],
-            **({"partition_spec": snap["partition_spec"]}
-               if snap.get("partition_spec") else {}),
+            **_partition_fields(snap),
             "schema": new_schema.to_json() if new_schema else snap["schema"],
             "manifests": manifests,
             "properties": dict(snap["properties"]),
@@ -1377,7 +1484,7 @@ class LakeTable:
         include_deleted: bool = False,
         keys: list[str] | None = None,
         col_ranges: dict[str, tuple] | None = None,
-        parts: set[str] | None = None,
+        parts: set[str] | dict[int, set[str] | None] | None = None,
         resolve_deltas: bool = True,
         _snap: dict | None = None,
         _delta_only: bool = False,
@@ -1407,7 +1514,8 @@ class LakeTable:
         )
         rep["files_in_selected_buckets"] = len(files)
         pspec = snap.get("partition_spec")
-        if pspec:
+        spec_by_id = _specs_by_id(snap)
+        if pspec or spec_by_id:
             # Partition-level file elimination — the FIRST pruning axis a
             # 100 TB table uses, and unlike col_stats it is EXACT and applies
             # to merge-on-read delta files too: the partition value derives
@@ -1420,26 +1528,57 @@ class LakeTable:
             # the result exact within the boundary partitions). Underivable
             # bounds (``part_value`` → None) leave that side open —
             # conservative, never wrong.
+            #
+            # SPEC EVOLUTION: each file is pruned under ITS OWN spec (the
+            # ``spec_id`` stamped at write time; missing = spec 0). Mixing
+            # granularities is exact, not just conservative: every row
+            # version of a key shares one partition-source VALUE (it is a
+            # key component), and a value inside [lo, hi] stays inside the
+            # coarsened bounds under every monotone transform — so all of
+            # an in-range key's files survive under all specs, while any
+            # stale version kept by a coarser spec is removed by the
+            # residual row filter.
             rep["partitions_total"] = len({f.get("part") for f in files})
-            plo = phi = None
-            if col_ranges:
-                pfld = schema.field_by_id(int(pspec["field_id"]))
-                if pfld.name in col_ranges:
-                    lo, hi = col_ranges[pfld.name]
-                    plo = _partition.part_value(lo, pspec["transform"])
-                    phi = _partition.part_value(hi, pspec["transform"])
-            if parts is not None or plo is not None or phi is not None:
-                files = [
-                    f for f in files
-                    if f.get("part") is None  # pre-spec/unknown: keep
-                    or ((parts is None or f["part"] in parts)
+            if parts is not None and not isinstance(parts, dict):
+                # plain set: values interpreted under the current default
+                # spec; other specs' files are kept (pruning stays a hint)
+                parts = {
+                    int(snap["default_spec_id"]) if spec_by_id is not None
+                    else 0: set(parts)
+                }
+            all_specs: dict[int, dict | None] = (
+                spec_by_id if spec_by_id is not None else {0: pspec}
+            )
+            bounds: dict[int, tuple] = {}
+            for sid, sp in all_specs.items():
+                plo = phi = None
+                if sp is not None and col_ranges:
+                    pfld = schema.field_by_id(int(sp["field_id"]))
+                    if pfld.name in col_ranges:
+                        lo, hi = col_ranges[pfld.name]
+                        plo = _partition.part_value(lo, sp["transform"])
+                        phi = _partition.part_value(hi, sp["transform"])
+                bounds[sid] = (plo, phi)
+
+            def _keep_part(f: dict) -> bool:
+                if f.get("part") is None:
+                    return True  # unpartitioned-era/unknown: keep
+                sid = int(f.get("spec_id", 0))
+                if all_specs.get(sid) is None:
+                    return True  # unknown spec: conservative, never wrong
+                plo, phi = bounds.get(sid, (None, None))
+                pset = parts.get(sid) if parts is not None else None
+                return ((pset is None or f["part"] in pset)
                         and (plo is None or f["part"] >= plo)
                         and (phi is None or f["part"] <= phi))
-                ]
+
+            if parts is not None or any(b != (None, None) for b in bounds.values()):
+                files = [f for f in files if _keep_part(f)]
             rep["partitions_selected"] = len({f.get("part") for f in files})
             rep["files_after_partition"] = len(files)
         elif parts is not None:
-            raise ValueError("parts= requires a table created with a partition_spec")
+            raise ValueError("parts= requires a partitioned table "
+                             "(partition_spec at create or set_partition_spec)")
         if key_min is not None:
             files = [f for f in files if f["max_key"] is None or f["max_key"] >= key_min]
         if key_max is not None:
@@ -1812,16 +1951,34 @@ class LakeTable:
         # component, so a point lookup knows its exact partitions up front
         # (driver-side strftime on the typed values — no extra job); any
         # underivable value disables the axis (conservative)
-        pspec, parts = self.snapshot().get("partition_spec"), None
-        if pspec and vals:
-            idx = schema.key_field_ids.index(int(pspec["field_id"]))
-            pvals = {
-                _partition.part_value(
-                    v[idx] if isinstance(v, tuple) else v, pspec["transform"]
-                )
-                for v in vals
-            }
-            parts = None if None in pvals else pvals
+        snap0 = self.snapshot()
+        spec_by_id = _specs_by_id(snap0)
+        all_specs = (
+            spec_by_id if spec_by_id is not None
+            else ({0: snap0["partition_spec"]}
+                  if snap0.get("partition_spec") else None)
+        )
+        parts: dict[int, set | None] | None = None
+        if all_specs and vals:
+            # per-spec partition sets: a file is pruned under the spec IT
+            # was written with, so the lookup derives each key's partition
+            # value under EVERY spec in the table's history (exact per
+            # spec — all of a key's row versions share the source value)
+            parts = {}
+            for sid, sp in all_specs.items():
+                if sp is None:
+                    parts[sid] = None  # unpartitioned era: no axis
+                    continue
+                idx = schema.key_field_ids.index(int(sp["field_id"]))
+                pvals = {
+                    _partition.part_value(
+                        v[idx] if isinstance(v, tuple) else v, sp["transform"]
+                    )
+                    for v in vals
+                }
+                parts[sid] = None if None in pvals else pvals
+            if all(v is None for v in parts.values()):
+                parts = None
         df = self.read(
             spark, buckets=buckets, key_min=lo, key_max=hi,
             with_system_cols=with_system_cols, keys=vals or keys, parts=parts,
@@ -2379,8 +2536,7 @@ class LakeTable:
             "version": cur["version"] + 1,
             "parent": cur["version"],
             "n_buckets": target["n_buckets"],
-            **({"partition_spec": target["partition_spec"]}
-               if target.get("partition_spec") else {}),
+            **_partition_fields(target),
             "schema": target["schema"],
             "manifests": target["manifests"],
             "properties": props,

@@ -28,6 +28,7 @@ Grammar (deliberately restricted; anything else raises with the reason):
     ALTER TABLE <name> ADD COLUMN c <type> | RENAME COLUMN a TO b
       | ALTER COLUMN c [SET DATA] TYPE <type> | DROP COLUMN c
       | ADD CONSTRAINT nm CHECK (<expr>) | DROP CONSTRAINT nm
+      | SET PARTITIONED BY (day(c) | c | ())   (spec evolution; () drops)
     SELECT ... FROM <name> [FOR VERSION AS OF n
       | FOR TIMESTAMP AS OF '<iso>'] ...   (time travel, via ``sql()``)
     OPTIMIZE <name> [MINOR] [ZORDER BY (c, ...) | CLUSTER BY (c, ...)]
@@ -765,6 +766,31 @@ _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<clause>.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_SET_PARTITION_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+SET\s+PARTITIONED\s+BY\s*\(\s*"
+    r"(?:(?P<ptrans>\w+)\s*\(\s*(?P<pcol1>\w+)\s*\)|(?P<pcol2>\w+))?"
+    r"\s*\)\s*$", re.IGNORECASE)
+
+
+def _alter_partition_sql(table: LakeTable, stmt: str) -> dict | None:
+    """``ALTER TABLE t SET PARTITIONED BY (day(col) | col | )``: partition
+    spec evolution — a metadata-only commit (``LakeTable.set_partition_spec``,
+    Iceberg spec-evolution analog), same clause grammar as CREATE TABLE's
+    ``PARTITIONED BY``. An empty clause ``()`` drops partitioning for new
+    writes. No data moves; old files keep pruning under the spec they were
+    written with, and OPTIMIZE migrates them to the new spec."""
+    m = _SET_PARTITION_RE.match(stmt)
+    if not m:
+        return None
+    col = m.group("pcol1") or m.group("pcol2")
+    spec = None
+    if col is not None:
+        spec = {"column": col,
+                "transform": (m.group("ptrans") or "identity").lower()}
+    snap = table.set_partition_spec(spec)
+    return {"partition_spec": snap.get("partition_spec"),
+            "default_spec_id": snap.get("default_spec_id"),
+            "version": snap["version"]}
 
 
 def alter_table_sql(
@@ -788,6 +814,8 @@ def alter_table_sql(
         ALTER TABLE t ADD CONSTRAINT nm CHECK (<expr>)   -- props commit,
         ALTER TABLE t DROP CONSTRAINT nm                 -- existing rows
                                                          -- validated
+        ALTER TABLE t SET PARTITIONED BY (day(c) | c | ())  -- spec
+                                                            -- evolution
 
     Rather than opening a second metadata-write path, the statement becomes
     a one-row ``op=schema_change`` envelope applied through ``apply_batch``
@@ -805,6 +833,9 @@ def alter_table_sql(
     any write — the commit is all-or-nothing.
     """
     r = _alter_constraint_sql(spark, table, stmt)
+    if r is not None:
+        return r
+    r = _alter_partition_sql(table, stmt)
     if r is not None:
         return r
     m = _ALTER_RE.match(stmt)
