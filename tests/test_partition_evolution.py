@@ -246,3 +246,92 @@ def test_sql_set_partitioned_by(spark, scratch):
     with pytest.raises(ValueError, match="not a key component"):
         run_dml(spark, t, "ALTER TABLE docs SET PARTITIONED BY (n)", batch_id=4)
     assert t.read(spark).count() == 2
+
+
+# ---- property: random replay with a spec evolution injected mid-stream ----
+
+import os
+import shutil
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from concept_catalog_etl_spark.oracle import replay_dir
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+from helpers import make_table as make_doc_table, table_state
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".scratch", "partition_evo_property")
+
+prop_event_st = st.fixed_dictionaries({
+    "op": st.sampled_from(["insert", "update", "update", "delete"]),
+    "doc": st.integers(0, 4),              # few keys → collisions guaranteed
+    "ts_s": st.integers(0, 3),             # few timestamps → LWW ties on ts
+    "toks": st.lists(st.integers(0, 99), min_size=0, max_size=4),
+})
+
+
+def _prop_line(ev, lsn):
+    doc = f"doc-{ev['doc']:06d}"
+    ts = f"1970-01-01T00:00:{ev['ts_s']:02d}.000000"
+    if ev["op"] == "delete":
+        return json.dumps({"op": "delete", "doc_id": doc, "event_ts": ts,
+                           "lsn": lsn})
+    return json.dumps({
+        "op": ev["op"], "doc_id": doc, "event_ts": ts, "lsn": lsn,
+        "payload": {"tokens": ev["toks"], "n_tok": len(ev["toks"]),
+                    "source": "crawl"},
+    })
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(prop_event_st, min_size=2, max_size=20),
+       split=st.integers(1, 19), seed=st.integers(0, 10**6),
+       mode=st.sampled_from(["cow", "mor"]),
+       evo=st.sampled_from(["add", "add_drop", "add_compact"]))
+def test_random_replay_with_spec_evolution(spark, events, split, seed, mode, evo):
+    """An identity(doc_id) spec evolution (and optionally a later drop or a
+    compaction migration) injected between arbitrary micro-batches: the
+    final state must equal the oracle replay for arbitrary op mixes and LWW
+    ties, and per-spec point lookups must agree with the full read — i.e.
+    the per-file spec pruning never hides or resurrects a row version."""
+    d = os.path.join(SCRATCH, f"ex_{seed}_{len(events)}_{split}_{mode}_{evo}")
+    shutil.rmtree(d, ignore_errors=True)
+    binlog = os.path.join(d, "binlog")
+    os.makedirs(binlog)
+    lines = [_prop_line(ev, lsn) for lsn, ev in enumerate(events)]
+    cut = max(1, min(split, len(lines) - 1))
+    for i, chunk in enumerate((lines[:cut], lines[cut:])):
+        with open(os.path.join(binlog, f"f{i}.jsonl"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+    paths = sorted(os.path.join(binlog, f) for f in os.listdir(binlog))
+
+    table = make_doc_table(d, n_buckets=4)
+    cfg = MergeConfig(write_mode=mode)
+    replay_batch(spark, paths[:1], table, files_per_batch=1, cfg=cfg)
+    table.set_partition_spec({"column": "doc_id", "transform": "identity"})
+    replay_batch(spark, paths[1:], table, files_per_batch=1,
+                 start_batch_id=50, cfg=cfg)
+    if evo == "add_drop":
+        table.set_partition_spec(None)
+    elif evo == "add_compact":
+        table.compact(spark, max_files_per_bucket=0)
+
+    oracle_state, _schema, _stats = replay_dir(binlog)
+    got = table_state(spark, table)
+    want = {
+        k: {f: (list(v[f]) if isinstance(v.get(f), list) else v.get(f))
+            for f in ("doc_id", "tokens", "n_tok", "source")}
+        for k, v in oracle_state.items()
+    }
+    assert got == want
+    # per-spec point lookups (parts derived per key per spec) agree with
+    # the full read — for present AND deleted keys
+    for doc in {f"doc-{i:06d}" for i in range(5)}:
+        hit = table.read_keys(spark, [doc]).collect()
+        if doc in want:
+            assert len(hit) == 1 and hit[0]["doc_id"] == doc
+        else:
+            assert hit == []
+    assert check_table(table)["ok"]
+    shutil.rmtree(d, ignore_errors=True)
