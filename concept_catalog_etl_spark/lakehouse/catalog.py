@@ -215,6 +215,42 @@ class Catalog:
                 pass
         return snap
 
+    # ------------------------------------------------------- transactions
+    def transaction(self, txn_id: str | None = None) -> "CatalogTransaction":
+        """Open (or, with an existing id, re-attach to) a cross-table
+        atomic transaction — see ``CatalogTransaction``."""
+        return CatalogTransaction(self, txn_id)
+
+    def transactions(self) -> list[dict]:
+        """In-flight transaction ledgers (txn_id, state, staged tables)."""
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if fn.startswith("txn-") and fn.endswith(".json") and ".tmp." not in fn:
+                try:
+                    with open(os.path.join(self.meta_dir, fn)) as f:
+                        rec = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                out.append({"txn_id": rec["txn_id"], "state": rec["state"],
+                            "tables": sorted(rec["stages"])})
+        return out
+
+    def recover_transactions(self) -> dict[str, str]:
+        """Settle every in-flight transaction after a coordinator crash:
+        'staging' → abort (nothing was visible), 'committing' → re-drive
+        to completion (per-table publishes are exactly-once, the cut
+        publish is monotonic). Returns {txn_id: outcome}."""
+        out: dict[str, str] = {}
+        for rec in self.transactions():
+            txn = CatalogTransaction(self, rec["txn_id"])
+            if txn.state == "committing":
+                txn.commit()
+                out[rec["txn_id"]] = "committed"
+            else:
+                txn.abort()
+                out[rec["txn_id"]] = "aborted"
+        return out
+
     def _publish_fn(self, fn, expect_version: int | None = None,
                     max_retries: int = 5) -> dict:
         for _ in range(max_retries + 1):
@@ -235,3 +271,139 @@ class Catalog:
                     ) from None
                 continue  # reload and re-apply fn on the winner's mapping
         raise CatalogConflictError("catalog publish retries exhausted")
+
+
+# --------------------------------------------------------- transactions
+class TransactionStateError(RuntimeError):
+    pass
+
+
+class CatalogTransaction:
+    """Cross-table atomic transaction: stage writes on several catalog
+    tables (table-level WAP stages — invisible to every reader), then
+    ``commit()`` publishes all stages and advances the catalog cut in ONE
+    pointer swap. Catalog readers (``Catalog.read/sql/pin``) see every
+    table move together or none — the multi-table analog of a table
+    commit, and the piece Iceberg-style single-table lakehouses leave to
+    an external coordinator.
+
+    Visibility boundary (be precise about what is atomic): the CATALOG CUT
+    is atomic; direct ``LakeTable`` readers that bypass the catalog can
+    observe individual tables between the per-table publishes inside
+    ``commit()`` — exactly like reading a table replica under 2PC. The
+    coordination ledger (``txn-<id>.json`` in the catalog dir) makes a
+    crashed ``commit()`` re-drivable: per-table publishes are
+    exactly-once (batch-id ledger), the cut publish is monotonic, so
+    ``Catalog.recover_transactions()`` completes or aborts every
+    in-flight transaction deterministically — state 'staging' aborts
+    (nothing was visible), state 'committing' re-drives to completion.
+
+    A REWRITE stage can still lose its table-level race
+    (``CommitConflictError``): commit() then stops with the transaction
+    ledger intact and the cut UNMOVED — re-stage the conflicted table and
+    commit again, or ``abort()`` (which drops the not-yet-published
+    stages; already-published tables stay ahead of the cut, invisible to
+    catalog readers until some later cut advances them).
+    """
+
+    def __init__(self, catalog: "Catalog", txn_id: str | None = None):
+        self.catalog = catalog
+        self.txn_id = txn_id or uuid.uuid4().hex[:12]
+        self._path = os.path.join(catalog.meta_dir, f"txn-{self.txn_id}.json")
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                self._rec = json.load(f)
+        else:
+            self._rec = {"txn_id": self.txn_id, "state": "staging",
+                         "stages": {}}
+            self._persist()
+
+    # ------------------------------------------------------------ ledger
+    def _persist(self) -> None:
+        tmp = self._path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self._rec, f)
+        os.replace(tmp, self._path)
+
+    @property
+    def state(self) -> str:
+        return self._rec["state"]
+
+    # ----------------------------------------------------------- staging
+    def add_stage(self, name: str, stage_id: str) -> None:
+        """Adopt a table-level WAP stage (e.g. from
+        ``apply_batch(..., cfg with stage_only=True)`` or
+        ``LakeTable.stage_commit``) into this transaction. One stage per
+        table: the cut pins one version per table, so a second stage on
+        the same table must be folded into the first upstream."""
+        if self._rec["state"] != "staging":
+            raise TransactionStateError(
+                f"transaction {self.txn_id} is {self._rec['state']}")
+        if name in self._rec["stages"]:
+            raise TransactionStateError(
+                f"table {name!r} already has stage "
+                f"{self._rec['stages'][name]} in this transaction")
+        self.catalog.table(name)._load_stage(stage_id)  # must exist
+        self._rec["stages"][name] = stage_id
+        self._persist()
+
+    def stage(self, name: str, add_files: list[dict],
+              batch_id: int | None = None, **stage_kw) -> str:
+        """Stage ``add_files`` (from ``LakeTable.write_data_files``) on a
+        catalog table and enroll the stage. Thin sugar over
+        ``stage_commit`` + ``add_stage``."""
+        sid = self.catalog.table(name).stage_commit(
+            add_files=add_files, batch_id=batch_id, **stage_kw)
+        self.add_stage(name, sid)
+        return sid
+
+    def read_staged(self, spark: SparkSession, name: str, **read_kw) -> DataFrame:
+        """Audit surface: the table AS IF this transaction were committed."""
+        sid = self._rec["stages"].get(name)
+        t = self.catalog.table(name)
+        if sid is None:
+            return t.read(spark, **read_kw)
+        return t.read_stage(spark, sid, **read_kw)
+
+    # ------------------------------------------------------------ decide
+    def commit(self) -> dict:
+        """Publish every staged table, then advance the catalog cut in one
+        swap. Re-drivable after a crash at ANY point: per-table publishes
+        are exactly-once, the cut publish is monotonic per table."""
+        if self._rec["state"] == "aborted":
+            raise TransactionStateError(f"transaction {self.txn_id} aborted")
+        if not self._rec["stages"] and self._rec["state"] == "staging":
+            raise TransactionStateError("nothing staged")
+        self._rec["state"] = "committing"
+        self._persist()  # intent marker BEFORE any table publish (2PC)
+        for name, sid in self._rec["stages"].items():
+            # missing_ok: a crashed earlier drive may have published and
+            # cleaned the marker — the batch-id ledger keeps it exactly-once
+            self.catalog.table(name).publish_stage(sid, missing_ok=True)
+        cut = {
+            name: self.catalog.table(name).current_version()
+            for name in self._rec["stages"]
+        }
+        snap = self.catalog.publish(cut)
+        try:
+            os.remove(self._path)
+        except OSError:
+            pass
+        self._rec["state"] = "committed"
+        return snap
+
+    def abort(self) -> None:
+        """Drop the transaction: aborts every not-yet-published stage (their
+        data files become vacuum-collectable); the cut never moved. In
+        state 'committing', tables already published stay ahead of the cut
+        (catalog-invisible) — documented boundary, see class docstring."""
+        for name, sid in self._rec["stages"].items():
+            try:
+                self.catalog.table(name).abort_stage(sid)
+            except KeyError:
+                pass  # already published (committing crash) or cleaned
+        self._rec["state"] = "aborted"
+        try:
+            os.remove(self._path)
+        except OSError:
+            pass
