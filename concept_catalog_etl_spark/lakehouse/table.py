@@ -1591,7 +1591,14 @@ class LakeTable:
             # dropped base/delta file contributes no row version of any
             # looked-up key, and rows of OTHER keys are filtered by the
             # caller anyway. Files without a sidecar are kept.
-            files = [f for f in files if self._bloom_maybe(f, keys)]
+            # Composite keys probe the LEADING component — the one the
+            # sidecar was built from (str() of the parquet values; probing
+            # str(tuple) would hash a different byte string than the build
+            # side and silently drop every file — a bloom FALSE NEGATIVE).
+            lead_keys = [
+                k[0] if isinstance(k, (tuple, list)) else k for k in keys
+            ]
+            files = [f for f in files if self._bloom_maybe(f, lead_keys)]
         rep["files_after_bloom"] = len(files)
         # the MoR-resolve bucket split and the stats-pruning guard below
         # MUST agree on this set for the pruning soundness argument to

@@ -282,3 +282,31 @@ def test_composite_dlq_capture_encodes_full_key(spark, scratch):
     assert json.loads(got["null_key"]) == {"doc_id": "c"}  # to_json drops null
     assert json.loads(got["unparseable"]) == {}  # no key recoverable
     assert _state(spark, t) == {("t1", "a"): ([1, 2], 2, "crawl")}
+
+
+def test_composite_point_lookup_after_compaction_blooms(spark, scratch):
+    """Bloom sidecars (built at compaction from the LEADING key component's
+    parquet values) must not false-negative composite-key probes: the probe
+    hashes the tuple's leading component, not str(tuple). Regression — a
+    str(tuple) probe hashed a different byte string than the build side and
+    silently dropped EVERY file, so post-compaction point lookups (and the
+    change feed's key-list reads) returned nothing."""
+    t = make_ck_table(scratch, n_buckets=4)
+    cfg = ck_cfg(t)
+    lines = [_line("insert", f"t{i % 3}", f"d{i}", 1, i, [i]) for i in range(30)]
+    apply_batch(spark, t, _raw(spark, lines), 0, cfg)
+    t.compact(spark, max_files_per_bucket=0)  # sorted rewrite builds blooms
+    assert any(f.get("bloom") for f in t.files())
+
+    got = t.read_keys(spark, [("t1", "d1"), ("t2", "d2")]).collect()
+    assert {(r["tenant"], r["doc_id"]) for r in got} == {("t1", "d1"), ("t2", "d2")}
+    # absent key: blooms prune every file, result still exact
+    assert t.read_keys(spark, [("zz", "nope")]).count() == 0
+    # the change feed across the compaction window stays silent (its
+    # key-list reads go through the same bloom probe)
+    v0 = t.current_version()
+    apply_batch(spark, t, _raw(spark, [
+        _line("update", "t1", "d1", 9, 999, [42])]), 1, cfg)
+    ch = t.read_changes(spark, v0).collect()
+    assert [(r["tenant"], r["doc_id"], r["_change_type"]) for r in ch] == [
+        ("t1", "d1", "update")]

@@ -335,3 +335,34 @@ def test_random_replay_with_spec_evolution(spark, events, split, seed, mode, evo
             assert hit == []
     assert check_table(table)["ok"]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_spec_evolution_is_cdf_silent_and_cross_era_diff_exact(spark, scratch):
+    """set_partition_spec is a metadata-only commit: its window is
+    change-feed silent (no row's LWW coordinate moved). A window straddling
+    the evolution diffs exactly — data changes from both eras, nothing
+    phantom from the layout change (compaction after the evolution is
+    likewise silent, as pinned for the single-spec case in
+    test_cdc_chain)."""
+    t = make_table(scratch)
+    cfg = MergeConfig.for_table(t, write_mode="mor")
+    apply_batch(spark, t, _raw(spark, [
+        _line("insert", d, f"d{i}", d * 10 + i) for d in (1, 2) for i in range(2)
+    ]), 0, cfg)
+    v0 = t.current_version()
+    t.set_partition_spec({"column": "event_date", "transform": "day"})
+    v_evo = t.current_version()
+    assert v_evo == v0 + 1
+    assert t.read_changes(spark, v0, v_evo).count() == 0
+
+    apply_batch(spark, t, _raw(spark, [
+        _line("update", 1, "d0", 100, n=9), _line("delete", 2, "d1", 101),
+    ]), 1, MergeConfig.for_table(t, write_mode="mor"))
+    # straddling window: pre-evolution base → post-evolution head
+    ch = {(r["event_date"].day, r["doc_id"]): r["_change_type"]
+          for r in t.read_changes(spark, v0).collect()}
+    assert ch == {(1, "d0"): "update", (2, "d1"): "delete"}
+    # migration compaction is silent too
+    v1 = t.current_version()
+    t.compact(spark, max_files_per_bucket=0)
+    assert t.read_changes(spark, v1).count() == 0
