@@ -84,10 +84,16 @@ def main() -> None:
 
     win = ("2026-01-02 00:00:00", "2026-01-03 23:59:59")
 
+    reps = int(os.environ.get("BENCH_REPEAT", "3"))
+
     def timed_win():
-        t0 = time.monotonic()
-        n = t.read(spark, col_ranges={"event_date": win}).count()
-        return time.monotonic() - t0, n
+        best, n = None, None
+        for _ in range(reps):  # min-of-reps: first touch pays JVM warm-up
+            t0 = time.monotonic()
+            n = t.read(spark, col_ranges={"event_date": win}).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n
 
     win_flat_sec, n0 = timed_win()
 
