@@ -304,6 +304,11 @@ class CatalogTransaction:
     commit again, or ``abort()`` (which drops the not-yet-published
     stages; already-published tables stay ahead of the cut, invisible to
     catalog readers until some later cut advances them).
+
+    Durability note: staged files are vacuum-protected like any WAP stage,
+    but a maintenance loop passing ``stage_ttl_sec`` to ``vacuum`` will
+    abort stages older than the TTL — size that TTL above the longest
+    transaction you intend to hold open.
     """
 
     def __init__(self, catalog: "Catalog", txn_id: str | None = None):
@@ -343,8 +348,17 @@ class CatalogTransaction:
             raise TransactionStateError(
                 f"table {name!r} already has stage "
                 f"{self._rec['stages'][name]} in this transaction")
-        self.catalog.table(name)._load_stage(stage_id)  # must exist
-        self._rec["stages"][name] = stage_id
+        rec = self.catalog.table(name)._load_stage(stage_id)  # must exist
+        # the stage's ledger coordinates ride in the txn ledger too: if the
+        # stage marker vanishes before commit (e.g. a maintenance pass with
+        # stage_ttl_sec aborted it), the ledger is the only way to tell
+        # "already published" (fine, re-drive skips) from "aborted under
+        # us" (must refuse — committing would silently drop the batch)
+        self._rec["stages"][name] = {
+            "stage_id": stage_id,
+            "batch_id": rec["kwargs"].get("batch_id"),
+            "writer_id": rec["kwargs"].get("writer_id"),
+        }
         self._persist()
 
     def stage(self, name: str, add_files: list[dict],
@@ -359,11 +373,11 @@ class CatalogTransaction:
 
     def read_staged(self, spark: SparkSession, name: str, **read_kw) -> DataFrame:
         """Audit surface: the table AS IF this transaction were committed."""
-        sid = self._rec["stages"].get(name)
+        ent = self._rec["stages"].get(name)
         t = self.catalog.table(name)
-        if sid is None:
+        if ent is None:
             return t.read(spark, **read_kw)
-        return t.read_stage(spark, sid, **read_kw)
+        return t.read_stage(spark, ent["stage_id"], **read_kw)
 
     # ------------------------------------------------------------ decide
     def commit(self) -> dict:
@@ -376,10 +390,28 @@ class CatalogTransaction:
             raise TransactionStateError("nothing staged")
         self._rec["state"] = "committing"
         self._persist()  # intent marker BEFORE any table publish (2PC)
-        for name, sid in self._rec["stages"].items():
-            # missing_ok: a crashed earlier drive may have published and
-            # cleaned the marker — the batch-id ledger keeps it exactly-once
-            self.catalog.table(name).publish_stage(sid, missing_ok=True)
+        for name, ent in self._rec["stages"].items():
+            t = self.catalog.table(name)
+            try:
+                t._load_stage(ent["stage_id"])
+            except KeyError:
+                # marker gone: either a crashed earlier drive already
+                # published it (ledger says committed — re-drive skips) or
+                # something aborted the stage under us (stage_ttl_sec
+                # maintenance, an operator abort_stage) — committing then
+                # would silently drop the batch from the cut. The ledger
+                # coordinates captured at add_stage distinguish the two.
+                bid, wid = ent.get("batch_id"), ent.get("writer_id")
+                if bid is not None and t.is_committed(bid, wid):
+                    continue
+                raise TransactionStateError(
+                    f"stage {ent['stage_id']} on {name!r} vanished without "
+                    f"committing (batch_id={bid}) — aborted under this "
+                    "transaction; re-stage and retry"
+                ) from None
+            # missing_ok closes the load/publish race window (a concurrent
+            # re-drive settling it between the check and here)
+            t.publish_stage(ent["stage_id"], missing_ok=True)
         cut = {
             name: self.catalog.table(name).current_version()
             for name in self._rec["stages"]
@@ -397,9 +429,9 @@ class CatalogTransaction:
         data files become vacuum-collectable); the cut never moved. In
         state 'committing', tables already published stay ahead of the cut
         (catalog-invisible) — documented boundary, see class docstring."""
-        for name, sid in self._rec["stages"].items():
+        for name, ent in self._rec["stages"].items():
             try:
-                self.catalog.table(name).abort_stage(sid)
+                self.catalog.table(name).abort_stage(ent["stage_id"])
             except KeyError:
                 pass  # already published (committing crash) or cleaned
         self._rec["state"] = "aborted"

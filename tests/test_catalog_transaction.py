@@ -106,7 +106,7 @@ def test_crash_mid_commit_redrives_exactly_once(spark, scratch):
     # simulate the crash: do what commit() does, then die after table 1
     txn._rec["state"] = "committing"
     txn._persist()
-    holding.publish_stage(txn._rec["stages"]["holding"])
+    holding.publish_stage(txn._rec["stages"]["holding"]["stage_id"])
     assert holding.read(spark).count() == 8  # table-level visible…
     assert cat.pin() == pin0                 # …but the cut never tore
 
@@ -176,3 +176,29 @@ def test_txn_state_guards(spark, scratch):
     again.abort()
     with pytest.raises(TransactionStateError, match="aborted"):
         again.commit()
+
+
+def test_staged_txn_survives_vacuum(spark, scratch):
+    """A pending transaction's staged files are WAP-stage-protected from
+    vacuum (orphan grace irrelevant); a maintenance TTL aborts stale
+    stages — after which commit() must fail loudly, not publish a torn
+    subset."""
+    cat, holding, agg = _setup(spark, scratch)
+    txn = cat.transaction()
+    txn.stage("holding",
+              holding.write_data_files(_docs(spark, range(5, 8), lsn0=10)),
+              batch_id=1)
+    holding.vacuum(retain_last=1, orphan_grace_sec=0)
+    # staged data intact and committable after an aggressive vacuum
+    assert txn.read_staged(spark, "holding").count() == 8
+    # a TTL'd maintenance pass aborts the stage out from under the txn:
+    # commit must refuse loudly (the ledger proves the batch never landed),
+    # never publish a cut silently missing the staged batch
+    holding.vacuum(retain_last=1, orphan_grace_sec=0, stage_ttl_sec=0)
+    assert holding.stages() == []
+    pin0 = cat.pin()
+    with pytest.raises(TransactionStateError, match="vanished without"):
+        txn.commit()
+    assert cat.pin() == pin0
+    assert not holding.is_committed(1)
+    assert holding.read(spark).count() == 5
