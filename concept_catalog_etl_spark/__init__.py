@@ -12,7 +12,9 @@ checkpointed streaming replay.
 
 Layout:
     lakehouse/   Parquet + JSON-manifest table format (snapshots, atomic commit,
-                 bucket + min/max file pruning, schema evolution by field id)
+                 bucket + min/max file pruning, schema evolution by field id,
+                 partition-spec evolution, multi-table catalog with atomic
+                 cuts and cross-table transactions)
     operators/   envelope parse/DLQ, LWW dedup, copy-on-write MERGE, skew tools
     functions/   vectorized pandas UDFs, reference-repair re-expression,
                  text analysis, dedup (minhash/simhash), similarity, multimodal
