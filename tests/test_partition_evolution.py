@@ -366,3 +366,26 @@ def test_spec_evolution_is_cdf_silent_and_cross_era_diff_exact(spark, scratch):
     v1 = t.current_version()
     t.compact(spark, max_files_per_bucket=0)
     assert t.read_changes(spark, v1).count() == 0
+
+
+def test_spec_evolution_on_branch_then_fast_forward(spark, scratch):
+    """Evolve the spec on a BRANCH (audit/experiment pattern): main is
+    untouched until fast_forward, which carries the spec history and the
+    branch's partitioned writes wholesale."""
+    t = make_table(scratch)
+    apply_batch(spark, t, _raw(spark, [_line("insert", 2, "a", 1)]), 0,
+                MergeConfig.for_table(t))
+    t.create_branch("exp")
+    bt = t.branch("exp")
+    bt.set_partition_spec({"column": "event_date", "transform": "day"})
+    assert "partition_specs" not in t.snapshot()  # main untouched
+    apply_batch(spark, bt, _raw(spark, [_line("insert", 3, "b", 2)]), 1,
+                MergeConfig.for_table(bt))
+    assert (bt.read(spark).count(), t.read(spark).count()) == (2, 1)
+
+    t.fast_forward("exp")
+    s = t.snapshot()
+    assert s["partition_spec"] == {"field_id": 1, "transform": "day"}
+    assert s["default_spec_id"] == 1
+    assert _days(spark, t) == [(1, 2, "a"), (1, 3, "b")]
+    assert check_table(t)["ok"]
