@@ -3483,58 +3483,17 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 # registry
 # ---------------------------------------------------------------------------
 
+# Ordering contract: the per-round driver snapshot has been observed to
+# record only a PREFIX of this dict (r3 recorded the first 50 of 64), so
+# position is coverage priority, not taxonomy: (1) queries that have never
+# had a driver CORRECTNESS row yet, (2) the reference-semantics core,
+# (3) one flagship per dedup/ANN/text family. Physical-plan twins
+# (*_gemm), the two engine-hash no_oracle queries (exactness carried by
+# their _poly twins above), and already-driver-green extras sit last --
+# every one of them stays fully checked by oracle_check.py, which always
+# runs the WHOLE registry. GROUPS below is the taxonomy view.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q_scan_filter": q_scan_filter,
-    "q_nested_prune": q_nested_prune,
-    "q_counts": q_counts,
-    "q_hot_keys": q_hot_keys,
-    "q_lww_dedup": q_lww_dedup,
-    "q_lww_dedup_maxby": q_lww_dedup_maxby,
-    "q_topk_per_group": q_topk_per_group,
-    "q_windowed_throughput": q_windowed_throughput,
-    "q_sessionize": q_sessionize,
-    "q_merge_anti": q_merge_anti,
-    "q_merge_semi": q_merge_semi,
-    "q_merge_final_state": q_merge_final_state,
     "q_merge_composite_key": q_merge_composite_key,
-    "q_merge_patch": q_merge_patch,
-    "q_merge_aggregate": q_merge_aggregate,
-    "q_join_enrich": q_join_enrich,
-    "q_salted_join": q_salted_join,
-    "q_union_evolved": q_union_evolved,
-    "q_scalar_funcs": q_scalar_funcs,
-    "q_vectorized_ntok": q_vectorized_ntok,
-    "q_dedup_exact": q_dedup_exact,
-    "q_jaccard_ngram": q_jaccard_ngram,
-    "q_jaccard_ngram_gemm": q_jaccard_ngram_gemm,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_minhash_pairs": q_minhash_pairs,
-    "q_minhash_pairs_poly": q_minhash_pairs_poly,
-    "q_simhash": q_simhash,
-    "q_simhash_poly": q_simhash_poly,
-    "q_fingerprint": q_fingerprint,
-    "q_token_count": q_token_count,
-    "q_quality_score": q_quality_score,
-    "q_lang_id": q_lang_id,
-    "q_ann_topk": q_ann_topk,
-    "q_ann_topk_gemm": q_ann_topk_gemm,
-    "q_ann_lsh": q_ann_lsh,
-    "q_ann_ivf": q_ann_ivf,
-    "q_semdedup": q_semdedup,
-    "q_semdedup_gemm": q_semdedup_gemm,
-    "q_embed_cosine_dup": q_embed_cosine_dup,
-    "q_embed_cosine_dup_gemm": q_embed_cosine_dup_gemm,
-    "q_multimodal_meta": q_multimodal_meta,
-    "q_multimodal_frames": q_multimodal_frames,
-    "q_multimodal_resize": q_multimodal_resize,
-    "q_corpus_stats": q_corpus_stats,
-    "q_asof_join": q_asof_join,
-    "q_range_join": q_range_join,
-    "q_rollup": q_rollup,
-    "q_pivot": q_pivot,
-    "q_sample_hash": q_sample_hash,
-    "q_sample_stratified": q_sample_stratified,
-    "q_mixture_plan": q_mixture_plan,
     "q_sample_fixed_k": q_sample_fixed_k,
     "q_pack_sequences": q_pack_sequences,
     "q_chunk_overlap": q_chunk_overlap,
@@ -3553,6 +3512,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_scd2_history": q_scd2_history,
     "q_span_dedup": q_span_dedup,
+    "q_scan_filter": q_scan_filter,
+    "q_nested_prune": q_nested_prune,
+    "q_counts": q_counts,
+    "q_hot_keys": q_hot_keys,
+    "q_lww_dedup": q_lww_dedup,
+    "q_topk_per_group": q_topk_per_group,
+    "q_windowed_throughput": q_windowed_throughput,
+    "q_sessionize": q_sessionize,
+    "q_merge_anti": q_merge_anti,
+    "q_merge_semi": q_merge_semi,
+    "q_merge_final_state": q_merge_final_state,
+    "q_merge_patch": q_merge_patch,
+    "q_merge_aggregate": q_merge_aggregate,
+    "q_join_enrich": q_join_enrich,
+    "q_salted_join": q_salted_join,
+    "q_union_evolved": q_union_evolved,
+    "q_scalar_funcs": q_scalar_funcs,
+    "q_vectorized_ntok": q_vectorized_ntok,
+    "q_dedup_exact": q_dedup_exact,
+    "q_jaccard_ngram": q_jaccard_ngram,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_minhash_pairs_poly": q_minhash_pairs_poly,
+    "q_simhash_poly": q_simhash_poly,
+    "q_fingerprint": q_fingerprint,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
+    "q_semdedup": q_semdedup,
+    "q_lww_dedup_maxby": q_lww_dedup_maxby,
+    "q_jaccard_ngram_gemm": q_jaccard_ngram_gemm,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_ann_topk_gemm": q_ann_topk_gemm,
+    "q_semdedup_gemm": q_semdedup_gemm,
+    "q_embed_cosine_dup": q_embed_cosine_dup,
+    "q_embed_cosine_dup_gemm": q_embed_cosine_dup_gemm,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_corpus_stats": q_corpus_stats,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_rollup": q_rollup,
+    "q_pivot": q_pivot,
+    "q_sample_hash": q_sample_hash,
+    "q_sample_stratified": q_sample_stratified,
+    "q_mixture_plan": q_mixture_plan,
 }
 
 ORACLES: dict[str, str] = {
