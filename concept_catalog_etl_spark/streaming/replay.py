@@ -48,6 +48,8 @@ def replay_stream(
     tombstone_horizon_lsns: int | None = None,
     vacuum_retain_last: int = 8,
     source_format: str = "text",
+    socket_host: str = "127.0.0.1",
+    socket_port: int | None = None,
     sync_derived=None,
     audit=None,
     fsck_every: int | None = None,
@@ -59,6 +61,17 @@ def replay_stream(
     directory, then stop (resumable later). Pass ``trigger_interval``
     (e.g. ``"30 seconds"``) to tail the directory continuously instead —
     the long-running service mode.
+
+    ``source_format="socket"`` / ``"socket-debezium"`` swaps the directory
+    for a live TCP feed (``socket_host``/``socket_port``; ``binlog_dir`` is
+    ignored, pass ``None``): same newline-delimited envelopes, same sink,
+    but the transport is not replayable, so the producer must re-send
+    unacknowledged lines — see the inline note on how at-least-once
+    delivery composes with the idempotent sink to exactly-once state.
+    Socket mode always tails (default tick 500 ms); stop via the returned
+    query handle. Give each socket SESSION its own ``cfg.writer_id``: a
+    fresh query restarts foreachBatch ids at 0, so without a fresh ledger
+    namespace a previous session's ledger would swallow the new batch 0.
 
     ``maintenance_every=N`` runs the background-maintenance tick (bounded
     incremental compaction + vacuum) after every N applied batches, inside
@@ -143,6 +156,30 @@ def replay_stream(
             .format("parquet")
             .load(binlog_dir)
         )
+    elif source_format in ("socket", "socket-debezium"):
+        # Wire transport: Spark's built-in TCP socket source (the engine
+        # connects OUT to host:port and reads newline-delimited JSON — the
+        # same text envelope the file transport carries, so everything from
+        # the parse down is byte-identical to the directory path). The
+        # socket itself is NOT replayable, so the end-to-end contract
+        # composes as: producer re-sends from its own log (at-least-once)
+        # × idempotent sink (ledger for re-delivered BATCHES, LWW upsert
+        # for re-delivered EVENTS — the reference's `$set` idempotence,
+        # /root/reference/files/load.py:20-22) = exactly-once state. A
+        # Kafka source drops into this same seam: swap the reader, keep
+        # `_sink` (documented transport seam, SURVEY §2.4).
+        if socket_port is None:
+            raise ValueError("source_format='socket' requires socket_port")
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", socket_host)
+            .option("port", int(socket_port))
+            .load()
+        )
+        if not trigger_interval:
+            # a socket can't be drained-then-stopped (availableNow needs a
+            # replayable source); tail it at a tight tick, caller stops
+            trigger_interval = "500 milliseconds"
     else:
         reader = (
             spark.readStream.format("text")
@@ -178,7 +215,7 @@ def replay_stream(
     _fence_ep = sink_cfg.writer_epoch if sink_cfg else None
 
     def _sink(df, batch_id: int):
-        if source_format == "debezium":
+        if source_format in ("debezium", "socket-debezium"):
             # Debezium lines are parsed HERE, per batch, under the registry
             # schema current at apply time (same evolution-transparency
             # rationale as the internal text path — the readStream itself
