@@ -165,3 +165,104 @@ def test_kill9_mid_replay_then_resume_converges(spark, scratch):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k]["tokens"] == list(v["tokens"]), k
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not present"
+)
+def test_crash_monkey_repeated_random_kills(spark, scratch):
+    """Crash-monkey: SIGKILL the replay process group at RANDOMIZED offsets,
+    several times in a row (each kill lands at a different phase — mid
+    write, mid commit, between batches), restarting after each. Invariants
+    after every kill: the table is structurally sound (fsck reports zero
+    errors — a torn run may leave orphan garbage, never a dangling
+    reference, because data/manifests are written BEFORE the pointer swap);
+    version never regresses. After the final clean run: every batch landed
+    exactly once and the state equals the oracle."""
+    import random
+    import signal
+    import subprocess
+    import time
+
+    import shutil as sh
+
+    from concept_catalog_etl_spark.lakehouse.fsck import check_table
+
+    rng = random.Random(4711)
+    from package_zip import build
+
+    zip_path = build(os.path.join(scratch, "engine.zip"))
+    entry = sh.copy(os.path.join(REPO, "submit_main.py"), scratch)
+    blog = os.path.join(scratch, "binlog")
+    paths = generate_binlog(blog, n_events=40_000, n_docs=600, n_files=24, seed=47)
+    table_root = os.path.join(scratch, "lake")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    args = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path, entry,
+        "--binlog-dir", blog, "--table", table_root,
+        "--checkpoint", os.path.join(scratch, "ckpt"),
+        "--mode", "batch", "--n-buckets", "8", "--files-per-batch", "1",
+    ]
+
+    def version() -> int:
+        try:
+            return LakeTable(table_root).current_version()
+        except Exception:
+            return 0
+
+    kills, v_floor = 0, 0
+    for _ in range(8):  # bounded restarts; normally 4 kills + 1 clean run
+        proc = subprocess.Popen(
+            args, cwd=scratch, env=env, start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if kills < 4:
+            # arm the kill at a random point: first wait for fresh progress
+            # (so each run advances), then a random extra delay so the shot
+            # lands mid-batch, mid-commit, or between batches
+            target = v_floor + rng.randint(1, 3)
+            deadline = time.time() + 240
+            while time.time() < deadline and proc.poll() is None:
+                if version() >= target:
+                    time.sleep(rng.uniform(0.0, 2.0))
+                    break
+                time.sleep(0.02)
+        if proc.poll() is None and kills < 4:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            kills += 1
+            v = version()
+            assert v >= v_floor, "a crash must never regress the pointer"
+            v_floor = v
+            if v:
+                rep = check_table(LakeTable(table_root))
+                errs = [f for f in rep["findings"] if f["level"] == "error"]
+                assert not errs, f"fsck errors after kill #{kills}: {errs[:4]}"
+            if v >= len(paths):
+                break  # everything landed despite the kill
+        else:
+            proc.wait()
+            assert proc.returncode == 0
+            break
+    else:
+        raise AssertionError("replay never completed within the restart budget")
+
+    # final drain (no-op if the loop already finished clean)
+    r = subprocess.run(args, cwd=scratch, env=env, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert kills >= 3, f"monkey only landed {kills} kills — not a crash test"
+
+    table = LakeTable(table_root)
+    assert table.current_version() == len(paths)
+    assert all(table.is_committed(b) for b in range(len(paths)))
+    rep = check_table(table)
+    assert not [f for f in rep["findings"] if f["level"] == "error"]
+    want, _schema, _stats = oracle.replay(paths)
+    got = table_state(spark, table)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k]["tokens"] == list(v["tokens"]), k
