@@ -340,3 +340,69 @@ def test_random_export_sync_points_reconstruct(spark, events, cuts,
         got[row["doc_id"]] = row
     assert got == want
     shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- CHECK-constraint property: violations are invisible to state --------
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(event_st, min_size=1, max_size=25),
+       split=st.integers(1, 24), seed=st.integers(0, 10**6),
+       mode=st.sampled_from(["cow", "mor"]))
+def test_random_replay_with_check_constraint(spark, events, split, seed, mode):
+    """For arbitrary event mixes against a table declaring
+    ``CHECK (size(tokens) <= 3)``: every violating insert/update
+    dead-letters (counted by the ``check_violations`` metric) and has ZERO
+    state effect — the engine's final state equals the oracle replay of the
+    same log with the violating lines removed. Deletes and malformed lines
+    are untouched by the constraint (op-filtered / structurally dead first);
+    LWW, batch splits, and both write modes compose with enforcement."""
+    import os as _os
+
+    from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    d = os.path.join(SCRATCH, f"chk_{seed}_{len(events)}_{split}_{mode}")
+    shutil.rmtree(d, ignore_errors=True)
+    lines = [_line(ev, lsn) for lsn, ev in enumerate(events)]
+
+    def _violates(ev):
+        return (ev["kind"] != "malformed" and ev["op"] != "delete"
+                and len(ev["toks"]) > 3)
+
+    kept = [ln for ln, ev in zip(lines, events) if not _violates(ev)]
+    n_viol = len(lines) - len(kept)
+
+    binlog = os.path.join(d, "binlog")          # full log -> engine
+    oraclelog = os.path.join(d, "oraclelog")    # violations removed -> oracle
+    for root, ls in ((binlog, lines), (oraclelog, kept)):
+        _os.makedirs(root)
+        cut = min(split, len(ls))
+        for i, chunk in enumerate((ls[:cut], ls[cut:])):
+            if chunk:
+                with open(os.path.join(root, f"f{i}.jsonl"), "w") as f:
+                    f.write("\n".join(chunk) + "\n")
+
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("tokens", "array<int>"),
+         ("n_tok", "int"), ("source", "string")], key="doc_id")
+    table = LakeTable.create(
+        os.path.join(d, "table"), schema, n_buckets=4,
+        check_constraints={"short": "size(tokens) <= 3"})
+    paths = sorted(os.path.join(binlog, f) for f in os.listdir(binlog))
+    metrics = replay_batch(spark, paths, table, files_per_batch=1,
+                           cfg=MergeConfig(write_mode=mode))
+
+    oracle_state, _schema, ostats = (
+        replay_dir(oraclelog) if kept else ({}, None, {"dlq": 0}))
+    got = table_state(spark, table)
+    want = {
+        k: {f: (list(v[f]) if isinstance(v.get(f), list) else v.get(f))
+            for f in ("doc_id", "tokens", "n_tok", "source")}
+        for k, v in oracle_state.items()
+    }
+    assert got == want
+    assert sum(m.get("check_violations", 0) for m in metrics) == n_viol
+    assert sum(m.get("dlq_count", 0) for m in metrics) == ostats["dlq"] + n_viol
+    shutil.rmtree(d, ignore_errors=True)
