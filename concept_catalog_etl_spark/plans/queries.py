@@ -2814,7 +2814,15 @@ def q_refinery(spark, sf, budget: int = 512):
     is a broadcast probe (eval sets are KBs against a 100 TB corpus), and
     packing reuses the per-source clustering. Stage order is the 100 TB
     order: cheapest-per-row first, so each shuffle sees only survivors."""
-    d = _spread(spark, _t(spark, sf, "documents"))
+    return refinery_plan(_spread(spark, _t(spark, sf, "documents")), budget)
+
+
+def refinery_plan(corpus: DataFrame, budget: int = 512) -> DataFrame:
+    """The refinery over ANY corpus DataFrame with (doc_id:number-castable,
+    source, text) — the static parquet (q_refinery) and a CDC-maintained
+    lake table (``LakeTable.read``) are interchangeable inputs; see
+    tests/test_refinery_over_lake.py for the equality pin."""
+    d = corpus
     words = F.split(F.trim(F.lower("text")), "\\s+")
     d = d.select("doc_id", "source", "text", words.alias("w"),
                  F.size(words).alias("n"))
