@@ -330,3 +330,239 @@ def replay_batch(
         out.append(apply_batch(spark, table, raw, bid, cfg))
         bid += 1
     return out
+
+
+# --------------------------------------------------------------- routing
+# A real binlog covers a whole DATABASE: one WAL/Debezium stream carries
+# events for many collections (the reference tails exactly one Mongo
+# collection, /root/reference/files/extract.py:27 — the single-table replay
+# above is its direct analog; routing is the engine-grade generalization).
+# Events opt into routing with a top-level `"table": "<name>"` attribute in
+# the envelope; the routing key is extracted JVM-side (get_json_object) —
+# no Python touches the line, and full parsing still happens per TABLE
+# under that table's current registry schema, so per-table schema
+# evolution keeps working mid-stream.
+
+
+def _route_col():
+    from pyspark.sql import functions as F
+
+    return F.get_json_object(F.col("value"), "$.table")
+
+
+def _apply_routed_batch(
+    spark: SparkSession,
+    catalog,
+    tables: dict[str, LakeTable],
+    raw,
+    batch_id: int,
+    cfg: MergeConfig | None,
+    default_route: str | None,
+    unknown_dir: str | None,
+    atomic: bool,
+) -> dict:
+    """Apply one text micro-batch to N tables behind one (optionally atomic)
+    commit. Returns {"batch_id", "routes": {name: merge-metrics},
+    "unknown": n, "txn_id": id|None}.
+
+    Atomicity: with ``atomic=True`` every routed table's merge is staged
+    (table-level WAP, invisible) and published behind ONE catalog-cut swap
+    (``Catalog.transaction``) — catalog readers see the whole batch land on
+    every table together or not at all. Crash windows: before commit() the
+    stages are aborted by ``recover_transactions`` / stage-TTL vacuum and
+    the redelivered batch re-stages; mid-commit() the intent marker makes
+    recovery re-drive to completion, after which the redelivered batch
+    ledger-skips per table. Either way: exactly-once per (table, batch).
+
+    Unknown routes (a ``table`` attribute naming no registered route, or a
+    missing attribute with ``default_route=None``) go to ``unknown_dir`` as
+    JSONL under a batch-deterministic subdir (idempotent under redelivery)
+    — or raise if no ``unknown_dir`` is given: an unroutable event in a
+    stream with no side-channel is structural corruption, and the loop
+    halts rather than dropping data.
+    """
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    cfg = cfg or MergeConfig()
+    routed = raw.withColumn("_route", _route_col())
+    if default_route is not None:
+        routed = routed.withColumn(
+            "_route", F.coalesce(F.col("_route"), F.lit(default_route))
+        )
+    routed = routed.persist()
+    try:
+        # O(#distinct routes) — bounded by the table count, not the batch
+        present = [
+            r["_route"] for r in routed.select("_route").distinct().collect()
+        ]
+        unknown = [r for r in present if r not in tables]
+        n_unknown = 0
+        if unknown:
+            known = [r for r in present if r in tables]
+            # explicit null arm: a missing `table` attribute (with no
+            # default_route) yields a NULL route, and `~isin` alone would
+            # silently drop it under three-valued logic
+            bad = routed.filter(
+                F.col("_route").isNull() | ~F.col("_route").isin(known)
+                if known else F.lit(True)
+            )
+            n_unknown = bad.count()
+            if unknown_dir is None:
+                raise ValueError(
+                    f"batch {batch_id}: {n_unknown} event(s) for unknown "
+                    f"route(s) {sorted(str(u) for u in unknown)[:5]} and no "
+                    "unknown_dir side-channel — refusing to drop them"
+                )
+            (
+                bad.select(
+                    F.to_json(F.struct(
+                        F.lit(batch_id).alias("batch_id"),
+                        F.col("_route").alias("route"),
+                        F.col("value").alias("raw"),
+                    )).alias("value")
+                )
+                .write.mode("overwrite")
+                .text(os.path.join(unknown_dir, f"batch-{batch_id:09d}"))
+            )
+        hit = [n for n in present if n in tables]
+        metrics: dict = {"batch_id": batch_id, "routes": {},
+                         "unknown": n_unknown, "txn_id": None}
+        if not hit:
+            return metrics
+        if atomic:
+            sink_cfg = dataclasses.replace(cfg, stage_only=True)
+            txn = None
+            for name in sorted(hit):
+                sub = routed.filter(F.col("_route") == name).drop("_route")
+                m = apply_batch(spark, tables[name], sub, batch_id, sink_cfg)
+                metrics["routes"][name] = m
+                if not m.get("skipped"):
+                    if txn is None:
+                        txn = catalog.transaction()
+                    txn.add_stage(name, m["stage_id"])
+            if txn is not None:
+                txn.commit()
+                metrics["txn_id"] = txn.txn_id
+        else:
+            for name in sorted(hit):
+                sub = routed.filter(F.col("_route") == name).drop("_route")
+                metrics["routes"][name] = apply_batch(
+                    spark, tables[name], sub, batch_id, cfg)
+        return metrics
+    finally:
+        routed.unpersist()
+
+
+def replay_batch_routed(
+    spark: SparkSession,
+    binlog_files: list[str],
+    catalog,
+    routes: list[str],
+    files_per_batch: int = 10,
+    cfg: MergeConfig | None = None,
+    start_batch_id: int = 0,
+    default_route: str | None = None,
+    unknown_dir: str | None = None,
+    atomic: bool = True,
+) -> list[dict]:
+    """Batch-mode multi-table replay: one text binlog fanned out to the
+    catalog tables named in ``routes`` by each event's ``"table"``
+    attribute; per batch, all touched tables commit behind one catalog-cut
+    swap (``atomic=True``, the default) or independently (``atomic=False``
+    — each table still exactly-once via its own ledger, but a crash
+    mid-batch leaves tables at different batch high-water marks until
+    redelivery equalizes them). Settles crashed transactions up front."""
+    if atomic:
+        catalog.recover_transactions()
+    tables = {n: catalog.table(n) for n in routes}
+    files = sorted(binlog_files)
+    out = []
+    bid = start_batch_id
+    for i in range(0, len(files), files_per_batch):
+        raw = spark.read.text(files[i : i + files_per_batch])
+        out.append(_apply_routed_batch(
+            spark, catalog, tables, raw, bid, cfg,
+            default_route, unknown_dir, atomic))
+        bid += 1
+    return out
+
+
+def replay_stream_routed(
+    spark: SparkSession,
+    binlog_dir: str,
+    catalog,
+    routes: list[str],
+    checkpoint_dir: str,
+    cfg: MergeConfig | None = None,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+    trigger_interval: str | None = None,
+    default_route: str | None = None,
+    unknown_dir: str | None = None,
+    atomic: bool = True,
+    maintenance_every: int | None = None,
+    maintenance_max_buckets: int | None = 16,
+    minor_compact_max_delta: int | None = None,
+    vacuum_retain_last: int = 8,
+):
+    """Structured Streaming multi-table replay (foreachBatch): the routed
+    analog of ``replay_stream``. One checkpointed text stream over the
+    binlog directory; every micro-batch fans out to the catalog tables in
+    ``routes`` and (default) commits atomically behind one catalog-cut
+    swap — see ``_apply_routed_batch`` for the exactly-once argument.
+
+    Maintenance: ``minor_compact_max_delta=K`` applies the per-table
+    read-amplification bound after every applied batch, only to tables the
+    batch touched (a quiet table accrues no deltas); ``maintenance_every=N``
+    runs the full compact+vacuum tick over ALL routed tables every N
+    applied batches. Keep ``vacuum_retain_last`` above the depth of catalog
+    cuts you want time-travel-readable: maintenance advances table versions
+    ahead of the current cut, and the cut's pinned versions must survive
+    vacuum until the next batch advances the cut (same retention contract
+    as single-table time travel)."""
+    if atomic:
+        catalog.recover_transactions()
+    tables = {n: catalog.table(n) for n in routes}
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 10)
+        .load(os.path.join(binlog_dir, "*.jsonl"))
+    )
+    batch_metrics: list[dict] = []
+
+    def _sink(df, batch_id: int):
+        m = _apply_routed_batch(
+            df.sparkSession, catalog, tables, df, batch_id, cfg,
+            default_route, unknown_dir, atomic)
+        batch_metrics.append(m)
+        touched = [n for n, tm in m["routes"].items()
+                   if not tm.get("skipped")]
+        if minor_compact_max_delta is not None:
+            for name in touched:
+                tables[name].compact_minor(
+                    df.sparkSession,
+                    max_delta_files_per_bucket=minor_compact_max_delta,
+                    max_buckets_per_run=maintenance_max_buckets,
+                )
+        applied = sum(1 for x in batch_metrics if x["routes"])
+        if maintenance_every and applied and applied % maintenance_every == 0:
+            for name in routes:
+                t = tables[name]
+                t.compact(df.sparkSession, max_files_per_bucket=1,
+                          max_buckets_per_run=maintenance_max_buckets)
+                t.vacuum(retain_last=vacuum_retain_last, orphan_grace_sec=0)
+
+    writer = raw.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    else:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if await_termination and not trigger_interval:
+        q.awaitTermination()
+        return batch_metrics
+    return q

@@ -1,0 +1,263 @@
+"""Multi-table routed CDC replay: one binlog stream carrying events for
+several tables, fanned out by the envelope's `"table"` attribute, committed
+behind ONE catalog-cut swap per micro-batch (SURVEY.md §2.4).
+
+Pins: per-table oracle equality after routed replay, atomic all-or-nothing
+cut, crash-recovery of in-flight transactions (staging→abort,
+committing→re-drive) with exactly-once redelivery, unknown-route
+side-channel (incl. the NULL-route arm), default-route fallback, and
+streaming checkpoint resume."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_catalog_etl_spark.lakehouse.catalog import Catalog
+from concept_catalog_etl_spark.oracle import replay_dir
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from concept_catalog_etl_spark.streaming.replay import (
+    replay_batch_routed, replay_stream_routed,
+)
+
+from helpers import assert_state_equals_oracle, make_table, table_state
+
+
+def _tag_and_merge(src_dirs: dict[str, str], out_dir: str,
+                   tag_frac: float = 1.0) -> None:
+    """Build one routed binlog stream from per-table binlogs: inject a
+    top-level `"table": name` attribute into each JSON line and interleave
+    the files. Original dirs stay intact as the per-table oracle input."""
+    os.makedirs(out_dir, exist_ok=True)
+    per_table = {
+        name: sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+        for name, d in src_dirs.items()
+    }
+    n_files = max(len(v) for v in per_table.values())
+    for i in range(n_files):
+        out_lines = []
+        for name, d in src_dirs.items():
+            files = per_table[name]
+            if i >= len(files):
+                continue
+            with open(os.path.join(d, files[i])) as f:
+                for j, line in enumerate(f):
+                    line = line.rstrip("\n")
+                    if line.startswith("{") and (tag_frac >= 1.0 or j % 2 == 0):
+                        line = '{"table": "%s", ' % name + line[1:]
+                    out_lines.append(line)
+        with open(os.path.join(out_dir, f"routed-{i:04d}.jsonl"), "w") as f:
+            f.write("\n".join(out_lines) + "\n")
+
+
+def _setup_two_tables(scratch):
+    a = make_table(os.path.join(scratch, "ta"))
+    b = make_table(os.path.join(scratch, "tb"))
+    cat = Catalog.create(os.path.join(scratch, "cat"))
+    cat.register("holding_a", a)
+    cat.register("holding_b", b)
+    return cat, a, b
+
+
+def _two_binlogs(scratch, n=600, seed_a=21, seed_b=22):
+    da = os.path.join(scratch, "log_a")
+    db = os.path.join(scratch, "log_b")
+    generate_binlog(da, n_events=n, n_docs=80, n_files=4, seed=seed_a,
+                    p_malformed=0.0)
+    generate_binlog(db, n_events=n, n_docs=80, n_files=4, seed=seed_b,
+                    p_malformed=0.0)
+    return da, db
+
+
+def test_batch_routed_matches_per_table_oracle(spark, scratch):
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch)
+    routed = os.path.join(scratch, "routed")
+    _tag_and_merge({"holding_a": da, "holding_b": db}, routed)
+
+    files = [os.path.join(routed, f) for f in os.listdir(routed)]
+    ms = replay_batch_routed(spark, files, cat,
+                             ["holding_a", "holding_b"], files_per_batch=2)
+    assert all(m["unknown"] == 0 for m in ms)
+    assert all(m["txn_id"] for m in ms if m["routes"])
+
+    sa, _, _ = replay_dir(da)
+    sb, _, _ = replay_dir(db)
+    assert_state_equals_oracle(spark, a, sa)
+    assert_state_equals_oracle(spark, b, sb)
+
+    # the catalog cut pins BOTH tables at their post-replay versions
+    pin = cat.pin()
+    assert pin["holding_a"] == a.current_version()
+    assert pin["holding_b"] == b.current_version()
+
+
+def test_batch_routed_redelivery_is_exactly_once(spark, scratch):
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=300)
+    routed = os.path.join(scratch, "routed")
+    _tag_and_merge({"holding_a": da, "holding_b": db}, routed)
+    files = [os.path.join(routed, f) for f in os.listdir(routed)]
+
+    replay_batch_routed(spark, files, cat, ["holding_a", "holding_b"],
+                        files_per_batch=2)
+    va, vb = a.current_version(), b.current_version()
+    st_a, st_b = table_state(spark, a), table_state(spark, b)
+
+    # full redelivery (same batch ids): every route ledger-skips
+    ms = replay_batch_routed(spark, files, cat, ["holding_a", "holding_b"],
+                             files_per_batch=2)
+    for m in ms:
+        assert all(tm.get("skipped") for tm in m["routes"].values())
+        assert m["txn_id"] is None
+    assert (a.current_version(), b.current_version()) == (va, vb)
+    assert table_state(spark, a) == st_a
+    assert table_state(spark, b) == st_b
+
+
+def test_recovery_settles_crashed_transactions(spark, scratch):
+    """Crash windows: a txn abandoned in 'staging' aborts (its batch is
+    re-staged by redelivery); one crashed in 'committing' re-drives to
+    completion and redelivery ledger-skips. Final state = oracle either
+    way."""
+    import dataclasses
+
+    from concept_catalog_etl_spark.operators.merge import (
+        MergeConfig, apply_batch,
+    )
+
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=300)
+    routed = os.path.join(scratch, "routed")
+    _tag_and_merge({"holding_a": da, "holding_b": db}, routed)
+    files = sorted(os.path.join(routed, f) for f in os.listdir(routed))
+    scfg = dataclasses.replace(MergeConfig(), stage_only=True)
+
+    def _stage_batch0(txn):
+        raw = spark.read.text(files[:2]).withColumn(
+            "_route", F.get_json_object(F.col("value"), "$.table"))
+        for name, t in (("holding_a", a), ("holding_b", b)):
+            sub = raw.filter(F.col("_route") == name).drop("_route")
+            m = apply_batch(spark, t, sub, 0, scfg)
+            txn.add_stage(name, m["stage_id"])
+
+    # crash BEFORE commit: state 'staging', nothing visible
+    _stage_batch0(cat.transaction())
+    assert a.read(spark).count() == 0 and b.read(spark).count() == 0
+
+    # crash MID-commit: intent marker written, publishes not yet driven
+    txn2 = cat.transaction()
+    _stage_batch0(txn2)  # second stage attempt for the same batch id
+    txn2._rec["state"] = "committing"
+    txn2._persist()
+
+    # the replay driver settles both up front, then replays everything;
+    # batch 0 must ledger-skip on both tables (txn2 re-drove it)
+    ms = replay_batch_routed(spark, files, cat,
+                             ["holding_a", "holding_b"], files_per_batch=2)
+    assert all(tm.get("skipped") for tm in ms[0]["routes"].values())
+    assert not cat.transactions()  # nothing left in flight
+
+    sa, _, _ = replay_dir(da)
+    sb, _, _ = replay_dir(db)
+    assert_state_equals_oracle(spark, a, sa)
+    assert_state_equals_oracle(spark, b, sb)
+
+
+def test_unknown_route_side_channel_and_refusal(spark, scratch):
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=200)
+    routed = os.path.join(scratch, "routed")
+    _tag_and_merge({"holding_a": da, "holding_ZZZ": db}, routed)
+    files = [os.path.join(routed, f) for f in os.listdir(routed)]
+
+    # no side-channel → refuse rather than drop
+    with pytest.raises(ValueError, match="unknown route"):
+        replay_batch_routed(spark, files, cat, ["holding_a"],
+                            files_per_batch=100)
+
+    unk = os.path.join(scratch, "unknown")
+    ms = replay_batch_routed(spark, files, cat, ["holding_a"],
+                             files_per_batch=100, unknown_dir=unk)
+    assert sum(m["unknown"] for m in ms) > 0
+    # captured lines carry route + raw and re-parse as JSON
+    cap = spark.read.text(os.path.join(unk, "*", "part-*")).collect()
+    assert len(cap) == sum(m["unknown"] for m in ms)
+    rec = json.loads(cap[0]["value"])
+    assert rec["route"] == "holding_ZZZ" and rec["raw"].startswith("{")
+    # the known route still replayed to oracle equality
+    sa, _, _ = replay_dir(da)
+    assert_state_equals_oracle(spark, a, sa)
+
+
+def test_null_route_goes_to_default_or_side_channel(spark, scratch):
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=200)
+    routed = os.path.join(scratch, "routed")
+    # tag only half of table-a lines: untagged lines have NO route
+    _tag_and_merge({"holding_a": da}, routed, tag_frac=0.5)
+
+    files = [os.path.join(routed, f) for f in os.listdir(routed)]
+    # with default_route, untagged lines still land in holding_a → oracle
+    replay_batch_routed(spark, files, cat, ["holding_a"],
+                        files_per_batch=100, default_route="holding_a")
+    sa, _, _ = replay_dir(da)
+    assert_state_equals_oracle(spark, a, sa)
+
+    # without default_route, NULL routes must hit the side-channel (the
+    # three-valued-logic arm: null is neither in nor not-in the known set)
+    cat2, a2, _ = _setup_two_tables(os.path.join(scratch, "second"))
+    unk = os.path.join(scratch, "unknown2")
+    ms = replay_batch_routed(spark, files, cat2, ["holding_a"],
+                             files_per_batch=100, unknown_dir=unk)
+    assert sum(m["unknown"] for m in ms) > 0
+
+
+def test_stream_routed_resume_and_idempotence(spark, scratch):
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=400)
+    routed = os.path.join(scratch, "routed")
+    _tag_and_merge({"holding_a": da, "holding_b": db}, routed)
+    ckpt = os.path.join(scratch, "ckpt")
+
+    ms = replay_stream_routed(spark, routed, cat,
+                              ["holding_a", "holding_b"], ckpt,
+                              max_files_per_trigger=2)
+    assert len(ms) >= 2
+    sa, _, _ = replay_dir(da)
+    sb, _, _ = replay_dir(db)
+    assert_state_equals_oracle(spark, a, sa)
+    assert_state_equals_oracle(spark, b, sb)
+
+    # second wave, then resume from checkpoint
+    generate_binlog(os.path.join(scratch, "log_a2"), n_events=200, n_docs=80,
+                    n_files=2, seed=31, start_lsn=50_000, p_malformed=0.0)
+    _tag_and_merge({"holding_a": os.path.join(scratch, "log_a2")},
+                   os.path.join(scratch, "routed_w2"))
+    for f in os.listdir(os.path.join(scratch, "routed_w2")):
+        os.rename(os.path.join(scratch, "routed_w2", f),
+                  os.path.join(routed, "w2-" + f))
+    replay_stream_routed(spark, routed, cat, ["holding_a", "holding_b"],
+                         ckpt, max_files_per_trigger=2)
+    # oracle over BOTH waves for table a; table b unchanged by wave 2
+    import shutil
+    both = os.path.join(scratch, "log_a_all")
+    os.makedirs(both)
+    for d in (da, os.path.join(scratch, "log_a2")):
+        for f in os.listdir(d):
+            shutil.copy(os.path.join(d, f),
+                        os.path.join(both, os.path.basename(d) + "-" + f))
+    sa2, _, _ = replay_dir(both)
+    assert_state_equals_oracle(spark, a, sa2)
+    assert_state_equals_oracle(spark, b, sb)
+
+    # fresh checkpoint → foreachBatch ids re-fire → all skipped
+    va, vb = a.current_version(), b.current_version()
+    ms3 = replay_stream_routed(spark, routed, cat,
+                               ["holding_a", "holding_b"],
+                               os.path.join(scratch, "ckpt2"),
+                               max_files_per_trigger=2)
+    for m in ms3:
+        assert all(tm.get("skipped") for tm in m["routes"].values())
+    assert (a.current_version(), b.current_version()) == (va, vb)
