@@ -3070,6 +3070,98 @@ FROM s
 """
 
 
+_DSIR_D = 2048  # hashed feature buckets — bounded, so the LLR table always broadcasts
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document by how target-like its hashed word-feature distribution is.
+    Target sample = docs with doc_id % 13 == 0 (stand-in for the curated
+    domain sample); candidates = the rest. Features are words hashed into
+    D=2048 buckets; per-bucket log-likelihood-ratio
+    ln p_target(b) - ln p_raw(b) with Laplace smoothing; a document's
+    importance weight is the sum of its word occurrences' LLRs.
+
+    Scale shape (100 TB lens): the LLR table is D-bounded (2048 rows
+    regardless of corpus size) so it broadcasts legitimately — the corpus
+    side never shuffles for the scoring join; the only wide exchange is
+    the bucket count agg, which is map-side combinable. The final per-doc
+    sum is a partial agg over the scan.
+
+    Determinism (same discipline as q_unigram_logprob): each ln is snapped
+    to fixed-point (round(ln*1e6) as BIGINT) BEFORE the subtraction and the
+    per-doc sum runs on exact integers, so the emitted values are
+    bit-identical across engines and partitionings."""
+    d = _t(spark, sf, "documents")
+    wb = d.select(
+        "doc_id",
+        (F.col("doc_id") % 13 == 0).alias("is_tgt"),
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("word"),
+    ).withColumn("b", _poly_hash_expr(F.col("word"), _P31) % F.lit(_DSIR_D))
+    counts = wb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    # corpus masses ride a lazy 1-row broadcast off the same agg (exchange
+    # reuse — no second corpus pass, no driver-side count)
+    tot = counts.agg(
+        F.sum("ct").cast("double").alias("_tt"),
+        F.sum("cr").cast("double").alias("_tr"),
+    )
+    llr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.round(F.log((F.col("ct") + 1) / (F.col("_tt") + _DSIR_D)) * 1e6, 0)
+            - F.round(F.log((F.col("cr") + 1) / (F.col("_tr") + _DSIR_D)) * 1e6, 0)
+        ).cast("bigint").alias("llr_e6"),
+    )
+    scored = wb.filter(~F.col("is_tgt")).join(F.broadcast(llr), "b")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("llr_e6").cast("bigint").alias("logw_e6"),
+        F.round(F.sum("llr_e6") / (F.count("*") * F.lit(1e6)), 4).alias("mean_llr"),
+    )
+
+
+SQL_DSIR_WEIGHTS = rf"""
+WITH w AS (
+  SELECT doc_id, doc_id % 13 = 0 AS is_tgt,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), wb AS (
+  SELECT doc_id, is_tgt,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+             list_transform(regexp_extract_all(word, '.'),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 131 + c) % {_P31}
+         ) % {_DSIR_D} AS b
+  FROM w
+), c AS (
+  SELECT b,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END) AS cr
+  FROM wb GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM c
+), llr AS (
+  SELECT b,
+         CAST(round(ln((ct + 1) / (tt + {_DSIR_D})) * 1000000, 0) AS BIGINT)
+       - CAST(round(ln((cr + 1) / (tr + {_DSIR_D})) * 1000000, 0) AS BIGINT)
+           AS llr_e6
+  FROM c CROSS JOIN t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(llr_e6) AS BIGINT) AS logw_e6,
+       round(SUM(llr_e6) / (COUNT(*) * 1000000.0), 4) AS mean_llr
+FROM wb JOIN llr USING (b)
+WHERE NOT is_tgt
+GROUP BY doc_id
+"""
+
+
 # PII patterns shared by the Spark plan and the DuckDB oracle — restricted
 # to syntax Java regex and RE2 interpret identically (no lookaround, no
 # backrefs; \b and character classes behave the same in both)
@@ -3570,6 +3662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_mixture_plan": q_mixture_plan,
+    "q_dsir_weights": q_dsir_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -3641,6 +3734,7 @@ ORACLES: dict[str, str] = {
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_scd2_history": SQL_SCD2_HISTORY,
     "q_span_dedup": SQL_SPAN_DEDUP,
+    "q_dsir_weights": SQL_DSIR_WEIGHTS,
 }
 
 
@@ -3677,7 +3771,7 @@ GROUPS: dict[str, list[str]] = {
     "pipeline": [
         "q_sample_hash", "q_sample_stratified", "q_mixture_plan",
         "q_sample_fixed_k", "q_pack_sequences", "q_chunk_overlap",
-        "q_decontaminate", "q_quality_gate", "q_refinery",
+        "q_decontaminate", "q_quality_gate", "q_refinery", "q_dsir_weights",
         "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_resize",
         "q_rollup", "q_pivot",
     ],

@@ -370,3 +370,19 @@ def test_registry_groups_partition_the_queries():
     assert set(flat) == set(QUERIES)
     covered = set(ORACLES) | set(dynamic_oracles())
     assert set(QUERIES) - covered == {"q_minhash_pairs", "q_simhash"}
+
+
+def test_dsir_broadcasts_llr_and_partial_aggs(spark, sf_dir="/root/testdata/sf0.001"):
+    """DSIR scoring: the D-bounded LLR table must arrive by broadcast (the
+    candidate side never shuffles for the scoring join), the bucket count
+    must have a map-side partial phase, and there is no cartesian join
+    (the 1-row mass table rides a broadcast nested-loop, which Spark
+    prints as BroadcastNestedLoopJoin — allowed; CartesianProduct is
+    not)."""
+    from concept_catalog_etl_spark.plans.queries import q_dsir_weights
+
+    plan = _plan(q_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
