@@ -758,6 +758,75 @@ def q_dedup_clusters(spark, sf, cap=2000, thresh=0.6):
     )
 
 
+def q_cluster_keep_best(spark, sf, cap=2000, thresh=0.6):
+    """Cluster-level dedup with a QUALITY keeper — the policy real pipelines
+    run after near-dup clustering: keep the best document of each duplicate
+    cluster (here: longest by n_chars, min doc_id tiebreak — a total order,
+    so the choice is partitioning-invariant), drop the rest. Same clusters
+    as q_dedup_clusters; the keeper is a min(struct) aggregate, so it
+    partial-aggregates map-side (no window over cluster groups — the
+    span-dedup discipline), and the only new exchanges are on cluster_id,
+    the key the label table already carries."""
+    jac = q_jaccard_ngram_gemm(spark, sf, cap).filter(F.col("jac") >= thresh)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < cap)
+    fwd = jac.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = connected_components(edges, d.select("doc_id"))
+    lab = labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    keep = (
+        lab.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min(F.struct(
+            (-F.col("n_chars")).alias("neg_len"),
+            F.col("doc_id").alias("k"))).alias("kk"))
+        .select("cluster_id", F.col("kk.k").alias("keep_doc"))
+    )
+    return lab.join(keep, "cluster_id").select(
+        "doc_id", "cluster_id", "keep_doc",
+        (F.col("doc_id") == F.col("keep_doc")).alias("is_keep"),
+    )
+
+
+SQL_CLUSTER_KEEP_BEST = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 2000),
+sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), i, 3) AS s
+  FROM (SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 2000),
+       unnest(generate_series(1, greatest(length(text) - 2, 1))) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT doc_a, doc_b
+  FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach (v, l) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v
+),
+lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+keep AS (
+  SELECT cluster_id, doc_id AS keep_doc FROM (
+    SELECT cluster_id, doc_id, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM lab JOIN docs USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT doc_id, cluster_id, keep_doc, doc_id = keep_doc AS is_keep
+FROM lab JOIN keep USING (cluster_id)
+"""
+
+
 SQL_DEDUP_CLUSTERS = """
 WITH RECURSIVE
 docs AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
@@ -3663,6 +3732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_stratified": q_sample_stratified,
     "q_mixture_plan": q_mixture_plan,
     "q_dsir_weights": q_dsir_weights,
+    "q_cluster_keep_best": q_cluster_keep_best,
 }
 
 ORACLES: dict[str, str] = {
@@ -3735,6 +3805,7 @@ ORACLES: dict[str, str] = {
     "q_scd2_history": SQL_SCD2_HISTORY,
     "q_span_dedup": SQL_SPAN_DEDUP,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
+    "q_cluster_keep_best": SQL_CLUSTER_KEEP_BEST,
 }
 
 
@@ -3758,7 +3829,8 @@ GROUPS: dict[str, list[str]] = {
         "q_dedup_exact", "q_dedup_normalized", "q_jaccard_ngram",
         "q_jaccard_ngram_gemm", "q_dedup_clusters", "q_minhash_pairs",
         "q_minhash_pairs_poly", "q_simhash", "q_simhash_poly",
-        "q_span_dedup", "q_embed_cosine_dup", "q_embed_cosine_dup_gemm",
+        "q_span_dedup", "q_cluster_keep_best",
+        "q_embed_cosine_dup", "q_embed_cosine_dup_gemm",
         "q_semdedup", "q_semdedup_gemm",
     ],
     "ann": ["q_ann_topk", "q_ann_topk_gemm", "q_ann_lsh", "q_ann_ivf"],
