@@ -54,6 +54,7 @@ def replay_stream(
     audit=None,
     fsck_every: int | None = None,
     fence: bool = False,
+    persist_batches: bool = True,
 ):
     """Structured Streaming replay.
 
@@ -215,6 +216,19 @@ def replay_stream(
     _fence_ep = sink_cfg.writer_epoch if sink_cfg else None
 
     def _sink(df, batch_id: int):
+        # one micro-batch cached for the duration of its apply: apply_batch
+        # passes over the raw batch more than once (summary probe + parse),
+        # and re-reading the source per pass costs ~40% of replay wall
+        # (BENCH/BASELINE.md persist A/B). MEMORY_AND_DISK: spills, no OOM.
+        if persist_batches:
+            df = df.persist()
+        try:
+            _sink_inner(df, batch_id)
+        finally:
+            if persist_batches:
+                df.unpersist()
+
+    def _sink_inner(df, batch_id: int):
         if source_format in ("debezium", "socket-debezium"):
             # Debezium lines are parsed HERE, per batch, under the registry
             # schema current at apply time (same evolution-transparency
@@ -306,6 +320,7 @@ def replay_batch(
     cfg: MergeConfig | None = None,
     start_batch_id: int = 0,
     source_format: str = "text",
+    persist_batches: bool = True,
 ) -> list[dict]:
     """Batch-mode replay: lexicographic file order, explicit batch ids,
     same exactly-once ledger semantics. ``source_format='parquet'`` replays
@@ -313,7 +328,16 @@ def replay_batch(
     shapes from different stream positions union via mergeSchema.
     ``source_format='debezium'`` replays standard Debezium JSON envelopes
     (sources/debezium.py) — parsed per batch under the CURRENT registry
-    schema, like the internal text path."""
+    schema, like the internal text path.
+
+    ``persist_batches`` caches each micro-batch (MEMORY_AND_DISK — spills,
+    never OOMs) for the duration of its apply: ``apply_batch`` makes more
+    than one pass over the raw batch (steady-state summary probe + the
+    main parse), and at text-replay rates re-reading + re-decoding the
+    source each pass is ~40% of the wall (interleaved A/B, 6M events:
+    ~22 s → ~12.5 s; BENCH/BASELINE.md). The footprint is one micro-batch,
+    bounded by ``files_per_batch`` — the standard foreachBatch persist
+    discipline, and the same thing the routed driver does."""
     files = sorted(binlog_files)
     out = []
     bid = start_batch_id
@@ -327,7 +351,13 @@ def replay_batch(
             raw = parse_debezium(spark.read.text(group), table.schema())
         else:
             raw = spark.read.text(group)
-        out.append(apply_batch(spark, table, raw, bid, cfg))
+        if persist_batches:
+            raw = raw.persist()
+        try:
+            out.append(apply_batch(spark, table, raw, bid, cfg))
+        finally:
+            if persist_batches:
+                raw.unpersist()
         bid += 1
     return out
 
