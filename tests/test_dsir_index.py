@@ -247,3 +247,25 @@ def test_rebuild_recovers(spark, scratch):
     res = sync_dsir_stats(spark, up, st, d=D)
     assert res["applied"]
     assert stats_state(spark, st) == expected_stats(spark, up)
+
+
+def test_stats_ride_streaming_maintenance(spark, scratch):
+    """The DSIR stats stay live inside the streaming ingest loop via
+    sync_derived (the same seam as the neardup/token indexes), through the
+    tick's compaction/vacuum of the upstream, and the final stats equal a
+    batch recompute of the final table state."""
+    from concept_catalog_etl_spark.sources.binlog import generate_binlog
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+    up, st = make_table(scratch), make_stats(scratch)
+    blog = os.path.join(scratch, "binlog")
+    generate_binlog(blog, n_events=2000, n_docs=150, n_files=4, seed=19)
+    replay_stream(
+        spark, blog, up,
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=1,
+        maintenance_every=2,
+        sync_derived=[lambda s: sync_dsir_stats(s, up, st, d=D)],
+    )
+    sync_dsir_stats(spark, up, st, d=D)  # catch-up past the last tick
+    assert stats_state(spark, st) == expected_stats(spark, up)
