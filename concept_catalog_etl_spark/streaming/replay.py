@@ -374,10 +374,10 @@ def replay_batch(
 # evolution keeps working mid-stream.
 
 
-def _route_col():
+def _route_col(route_path: str = "$.table"):
     from pyspark.sql import functions as F
 
-    return F.get_json_object(F.col("value"), "$.table")
+    return F.get_json_object(F.col("value"), route_path)
 
 
 def _apply_routed_batch(
@@ -390,6 +390,8 @@ def _apply_routed_batch(
     default_route: str | None,
     unknown_dir: str | None,
     atomic: bool,
+    route_path: str = "$.table",
+    source_format: str = "text",
 ) -> dict:
     """Apply one text micro-batch to N tables behind one (optionally atomic)
     commit. Returns {"batch_id", "routes": {name: merge-metrics},
@@ -416,7 +418,7 @@ def _apply_routed_batch(
     from pyspark.sql import functions as F
 
     cfg = cfg or MergeConfig()
-    routed = raw.withColumn("_route", _route_col())
+    routed = raw.withColumn("_route", _route_col(route_path))
     if default_route is not None:
         routed = routed.withColumn(
             "_route", F.coalesce(F.col("_route"), F.lit(default_route))
@@ -461,12 +463,23 @@ def _apply_routed_batch(
                          "unknown": n_unknown, "txn_id": None}
         if not hit:
             return metrics
+        def _sub(name):
+            sub = routed.filter(F.col("_route") == name).drop("_route")
+            if source_format == "debezium":
+                # parsed per TABLE under that table's CURRENT registry
+                # schema — same evolution transparency as the single-table
+                # stream path
+                from ..sources.debezium import parse_debezium
+
+                sub = parse_debezium(sub, tables[name].schema())
+            return sub
+
         if atomic:
             sink_cfg = dataclasses.replace(cfg, stage_only=True)
             txn = None
             for name in sorted(hit):
-                sub = routed.filter(F.col("_route") == name).drop("_route")
-                m = apply_batch(spark, tables[name], sub, batch_id, sink_cfg)
+                m = apply_batch(spark, tables[name], _sub(name), batch_id,
+                                sink_cfg)
                 metrics["routes"][name] = m
                 if not m.get("skipped"):
                     if txn is None:
@@ -477,9 +490,8 @@ def _apply_routed_batch(
                 metrics["txn_id"] = txn.txn_id
         else:
             for name in sorted(hit):
-                sub = routed.filter(F.col("_route") == name).drop("_route")
                 metrics["routes"][name] = apply_batch(
-                    spark, tables[name], sub, batch_id, cfg)
+                    spark, tables[name], _sub(name), batch_id, cfg)
         return metrics
     finally:
         routed.unpersist()
@@ -496,6 +508,8 @@ def replay_batch_routed(
     default_route: str | None = None,
     unknown_dir: str | None = None,
     atomic: bool = True,
+    route_path: str = "$.table",
+    source_format: str = "text",
 ) -> list[dict]:
     """Batch-mode multi-table replay: one text binlog fanned out to the
     catalog tables named in ``routes`` by each event's ``"table"``
@@ -514,7 +528,8 @@ def replay_batch_routed(
         raw = spark.read.text(files[i : i + files_per_batch])
         out.append(_apply_routed_batch(
             spark, catalog, tables, raw, bid, cfg,
-            default_route, unknown_dir, atomic))
+            default_route, unknown_dir, atomic,
+            route_path=route_path, source_format=source_format))
         bid += 1
     return out
 
@@ -532,6 +547,8 @@ def replay_stream_routed(
     default_route: str | None = None,
     unknown_dir: str | None = None,
     atomic: bool = True,
+    route_path: str = "$.table",
+    source_format: str = "text",
     maintenance_every: int | None = None,
     maintenance_max_buckets: int | None = 16,
     minor_compact_max_delta: int | None = None,
@@ -565,7 +582,8 @@ def replay_stream_routed(
     def _sink(df, batch_id: int):
         m = _apply_routed_batch(
             df.sparkSession, catalog, tables, df, batch_id, cfg,
-            default_route, unknown_dir, atomic)
+            default_route, unknown_dir, atomic,
+            route_path=route_path, source_format=source_format)
         batch_metrics.append(m)
         touched = [n for n, tm in m["routes"].items()
                    if not tm.get("skipped")]

@@ -261,3 +261,58 @@ def test_stream_routed_resume_and_idempotence(spark, scratch):
     for m in ms3:
         assert all(tm.get("skipped") for tm in m["routes"].values())
     assert (a.current_version(), b.current_version()) == (va, vb)
+
+
+def test_routed_debezium_by_source_table(spark, scratch):
+    """Debezium fan-out: one stream of standard Debezium envelopes covering
+    two source tables routes on `$.source.table` and parses per TABLE after
+    routing — final state oracle-equal per table, one catalog cut per
+    batch."""
+    import datetime as dt
+
+    _EPOCH = dt.datetime(1970, 1, 1)
+    _OP = {"insert": "c", "update": "u", "delete": "d"}
+
+    def _us(iso):
+        t = dt.datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%f") - _EPOCH
+        return (t.days * 86400 + t.seconds) * 1_000_000 + t.microseconds
+
+    def _deb(ev, tbl):
+        op = _OP[ev["op"]]
+        key = {"doc_id": ev["doc_id"]}
+        after = None if ev["op"] == "delete" else {**key, **(ev["payload"] or {})}
+        return json.dumps({
+            "before": key if ev["op"] == "delete" else None,
+            "after": after,
+            "source": {"connector": "postgresql", "db": "concepts",
+                       "table": tbl, "lsn": ev["lsn"],
+                       "ts_ms": _us(ev["event_ts"]) // 1000,
+                       "ts_us": _us(ev["event_ts"]), "snapshot": "false"},
+            "op": op, "ts_ms": _us(ev["event_ts"]) // 1000,
+        })
+
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=400)
+    routed = os.path.join(scratch, "routed_dbz")
+    os.makedirs(routed)
+    for i in range(4):
+        out = []
+        for name, d in (("holding_a", da), ("holding_b", db)):
+            fs = sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+            with open(os.path.join(d, fs[i])) as f:
+                for line in f:
+                    ev = json.loads(line)
+                    if ev.get("op") in _OP:  # schema_change has no Debezium data event
+                        out.append(_deb(ev, name))
+        with open(os.path.join(routed, f"dbz-{i:03d}.jsonl"), "w") as f:
+            f.write("\n".join(out) + "\n")
+
+    files = sorted(os.path.join(routed, f) for f in os.listdir(routed))
+    ms = replay_batch_routed(spark, files, cat, ["holding_a", "holding_b"],
+                             files_per_batch=2, source_format="debezium",
+                             route_path="$.source.table")
+    assert all(m["txn_id"] for m in ms if m["routes"])
+    sa, _, _ = replay_dir(da)
+    sb, _, _ = replay_dir(db)
+    assert_state_equals_oracle(spark, a, sa)
+    assert_state_equals_oracle(spark, b, sb)
