@@ -217,9 +217,12 @@ def replay_stream(
 
     def _sink(df, batch_id: int):
         # one micro-batch cached for the duration of its apply: apply_batch
-        # passes over the raw batch more than once (summary probe + parse),
-        # and re-reading the source per pass costs ~40% of replay wall
-        # (BENCH/BASELINE.md persist A/B). MEMORY_AND_DISK: spills, no OOM.
+        # passes over the raw batch more than once (summary probe + parse).
+        # Streaming defaults ON: a production tail reads remote/uncached
+        # sources, where the per-pass re-read dominates (~40% in the
+        # contended A/B; a warm local page cache instead makes this a ~7%
+        # cost — flip it off for local warm backfills, or use batch mode,
+        # which defaults off). MEMORY_AND_DISK: spills, no OOM.
         if persist_batches:
             df = df.persist()
         try:
@@ -320,7 +323,7 @@ def replay_batch(
     cfg: MergeConfig | None = None,
     start_batch_id: int = 0,
     source_format: str = "text",
-    persist_batches: bool = True,
+    persist_batches: bool = False,
 ) -> list[dict]:
     """Batch-mode replay: lexicographic file order, explicit batch ids,
     same exactly-once ledger semantics. ``source_format='parquet'`` replays
@@ -333,11 +336,13 @@ def replay_batch(
     ``persist_batches`` caches each micro-batch (MEMORY_AND_DISK — spills,
     never OOMs) for the duration of its apply: ``apply_batch`` makes more
     than one pass over the raw batch (steady-state summary probe + the
-    main parse), and at text-replay rates re-reading + re-decoding the
-    source each pass is ~40% of the wall (interleaved A/B, 6M events:
-    ~22 s → ~12.5 s; BENCH/BASELINE.md). The footprint is one micro-batch,
-    bounded by ``files_per_batch`` — the standard foreachBatch persist
-    discipline, and the same thing the routed driver does."""
+    main parse). Default OFF here: batch mode is the warm local
+    backfill/bench path, where the OS page cache already absorbs the
+    re-read and the cache materialization costs ~7% (interleaved A/B,
+    BENCH/BASELINE.md). Turn it ON when the source is remote object
+    storage or the host is contended — the same A/B measured ~40% wins
+    there — and note the STREAMING driver defaults ON for exactly that
+    production posture."""
     files = sorted(binlog_files)
     out = []
     bid = start_batch_id
