@@ -319,3 +319,113 @@ def check_table(table: LakeTable, deep: bool = False,
 
     ok = not any(f["level"] == "error" for f in findings)
     return {"ok": ok, "findings": findings, "checked": checked}
+
+
+def check_catalog(catalog, deep: bool = False,
+                  per_table: bool = True,
+                  orphan_grace_sec: float = 3600.0) -> dict:
+    """Catalog-level fsck: the invariants the cross-table layer adds on top
+    of per-table soundness. Same report shape as ``check_table``; table
+    findings are prefixed ``<name>:``.
+
+    Checks, in dependency order:
+
+    1. pointer + snapshot parseable; each registered root exists and looks
+       like a table.
+    2. ``check_table`` on every registered table (``per_table=False`` to
+       skip when the tables are audited separately).
+    3. **cut retention**: every pinned (table, version) of the CURRENT cut
+       must still be readable — a pinned version older than the table's
+       oldest retained snapshot means table-level vacuum ran ahead of the
+       cut (catalog readers now fail), which is the failure mode the
+       routed-replay docs warn ``vacuum_retain_last`` against. A pinned
+       version AHEAD of the table's current pointer is structural
+       corruption (a cut can only pin published versions).
+    4. **transaction ledger**: every ``txn-*.json`` parses, carries a known
+       state, and names only registered tables; any in-flight transaction
+       is reported (info for 'staging' — recovery aborts it; warn for
+       'committing' — recovery must re-drive it before the next cut).
+    """
+    findings: list[dict] = []
+    checked = {"tables": 0, "pins": 0, "transactions": 0}
+
+    try:
+        cur = catalog.current_version()
+        snap = catalog._snapshot()
+    except (OSError, ValueError) as e:
+        _f(findings, "error", "catalog_pointer_unreadable", str(e))
+        return {"ok": False, "findings": findings, "checked": checked}
+    if snap.get("version") != cur:
+        _f(findings, "error", "catalog_version_mismatch",
+           f"_current={cur} but c{cur}.json says {snap.get('version')}")
+
+    tables = snap.get("tables", {})
+    for name, rec in tables.items():
+        root = rec.get("root")
+        if not root or not os.path.exists(os.path.join(root, "meta", "_current")):
+            _f(findings, "error", "table_root_missing",
+               f"{name}: root {root!r} has no table pointer")
+            continue
+        t = LakeTable(root)
+        checked["tables"] += 1
+        if per_table:
+            rep = check_table(t, deep=deep, orphan_grace_sec=orphan_grace_sec)
+            for f in rep["findings"]:
+                findings.append({**f, "detail": f"{name}: {f['detail']}"})
+        # cut retention (the catalog-specific invariant)
+        pinned = rec.get("version")
+        checked["pins"] += 1
+        try:
+            t_cur = t.current_version()
+            t_old = t.oldest_retained_version()
+        except (OSError, ValueError) as e:
+            _f(findings, "error", "pin_unverifiable", f"{name}: {e}")
+            continue
+        if pinned > t_cur:
+            _f(findings, "error", "pin_ahead_of_table",
+               f"{name}: cut pins v{pinned} but table pointer is v{t_cur}")
+        elif pinned < t_old:
+            _f(findings, "error", "pin_vacuumed",
+               f"{name}: cut pins v{pinned} but the table retains only "
+               f"[v{t_old}, v{t_cur}] — catalog reads of this table now "
+               "fail; restore the '_catalog' tag protocol and advance the "
+               "cut")
+        else:
+            # the protocol that KEEPS the pin retained: register/publish
+            # stamp a '_catalog' tag at the pinned version, and table-level
+            # vacuum's tag floor honors it. A missing/mismatched tag is a
+            # latent hazard (the next vacuum may expire the cut), not yet
+            # damage — warn.
+            tag_v = t.tags().get("_catalog")
+            if tag_v != pinned:
+                _f(findings, "warn", "catalog_tag_mismatch",
+                   f"{name}: cut pins v{pinned} but the '_catalog' tag is "
+                   f"{'absent' if tag_v is None else f'at v{tag_v}'} — the "
+                   "next table vacuum may expire the pinned version")
+
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(catalog.meta_dir, "txn-*.json"))):
+        checked["transactions"] += 1
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError) as e:
+            _f(findings, "error", "txn_unparseable", f"{os.path.basename(p)}: {e}")
+            continue
+        state = rec.get("state")
+        if state not in ("staging", "committing"):
+            _f(findings, "error", "txn_bad_state",
+               f"{rec.get('txn_id')}: state {state!r}")
+            continue
+        unknown = [n for n in rec.get("stages", {}) if n not in tables]
+        if unknown:
+            _f(findings, "error", "txn_unknown_table",
+               f"{rec.get('txn_id')}: stages name unregistered {unknown}")
+        level = "info" if state == "staging" else "warn"
+        _f(findings, level, "txn_in_flight",
+           f"{rec.get('txn_id')}: state={state} over "
+           f"{sorted(rec.get('stages', {}))} — run recover_transactions()")
+
+    ok = not any(f["level"] == "error" for f in findings)
+    return {"ok": ok, "findings": findings, "checked": checked}

@@ -558,6 +558,7 @@ def replay_stream_routed(
     maintenance_max_buckets: int | None = 16,
     minor_compact_max_delta: int | None = None,
     vacuum_retain_last: int = 8,
+    fsck_every: int | None = None,
 ):
     """Structured Streaming multi-table replay (foreachBatch): the routed
     analog of ``replay_stream``. One checkpointed text stream over the
@@ -605,7 +606,20 @@ def replay_stream_routed(
                 t = tables[name]
                 t.compact(df.sparkSession, max_files_per_bucket=1,
                           max_buckets_per_run=maintenance_max_buckets)
+                # the '_catalog' tag pins each cut version, so this vacuum
+                # can never expire what the current cut reads
                 t.vacuum(retain_last=vacuum_retain_last, orphan_grace_sec=0)
+        if fsck_every and applied and applied % fsck_every == 0:
+            from ..lakehouse.fsck import check_catalog
+
+            rep = check_catalog(catalog)
+            m["fsck"] = {"ok": rep["ok"], "findings": rep["findings"][:16]}
+            if not rep["ok"]:
+                errs = [f for f in rep["findings"] if f["level"] == "error"]
+                raise RuntimeError(
+                    f"catalog fsck found {len(errs)} error(s) after batch "
+                    f"{batch_id}; first: {errs[0]['code']}: {errs[0]['detail']}"
+                )
 
     writer = raw.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir
