@@ -341,3 +341,61 @@ def test_stream_routed_with_maintenance_and_fsck(spark, scratch):
     # via catalog reads at the pinned cut
     sa, _, _ = replay_dir(da)
     assert cat.read(spark, "holding_a").count() == len(sa)
+
+
+def test_routed_per_table_schema_evolution_and_dlq(spark, scratch):
+    """One routed stream carries a schema_change for ONE table: only that
+    table's registry evolves (routing keeps per-table parsing under the
+    table's CURRENT schema), and a malformed-but-routable line lands in the
+    ROUTED table's own DLQ, not anywhere global."""
+
+    def _ev(op, doc, ts, lsn, payload=None, schema_change=None, table=None):
+        d = {"op": op, "doc_id": doc, "event_ts": ts, "lsn": lsn,
+             "schema_version": 1, "payload": payload,
+             "schema_change": schema_change}
+        if table:
+            d = {"table": table, **d}
+        return json.dumps(d)
+
+    def _p(toks, **extra):
+        d = {"tokens": toks, "tokens_raw": None, "n_tok": len(toks),
+             "source": "crawl"}
+        d.update(extra)
+        return d
+
+    cat, a, b = _setup_two_tables(scratch)
+    d = os.path.join(scratch, "routedlog")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "b0.jsonl"), os.path.join(d, "b1.jsonl")
+    with open(f1, "w") as f:
+        f.write("\n".join([
+            _ev("insert", "doc-1", "2026-01-01T00:00:01.000000", 1,
+                _p([1, 2]), table="holding_a"),
+            _ev("insert", "doc-1", "2026-01-01T00:00:01.500000", 1,
+                _p([9]), table="holding_b"),
+        ]) + "\n")
+    with open(f2, "w") as f:
+        f.write("\n".join([
+            # evolve ONLY holding_a
+            _ev("schema_change", None, "2026-01-01T00:00:03.000000", 3,
+                schema_change={"kind": "add", "column": "quality",
+                               "new_name": None, "new_type": "double"},
+                table="holding_a"),
+            _ev("insert", "doc-2", "2026-01-01T00:00:04.000000", 4,
+                _p([3], quality=0.7), table="holding_a"),
+            # routable but malformed for holding_b → holding_b's DLQ
+            '{"table": "holding_b", "op": "frobnicate", "doc_id": "doc-X", '
+            '"event_ts": "2026-01-01T00:00:05.000000", "lsn": 5}',
+        ]) + "\n")
+
+    replay_batch_routed(spark, [f1, f2], cat, ["holding_a", "holding_b"],
+                        files_per_batch=1)
+    assert "quality" in a.schema().names()
+    assert "quality" not in b.schema().names()
+    sa = {r["doc_id"]: r.asDict() for r in a.read(spark).collect()}
+    assert sa["doc-2"]["quality"] == 0.7 and sa["doc-1"]["quality"] is None
+    dlq_b = b.read_dlq(spark)
+    assert dlq_b is not None and dlq_b.count() == 1
+    assert dlq_b.first()["_dlq_reason"] == "unknown_op"
+    dlq_a = a.read_dlq(spark)
+    assert dlq_a is None or dlq_a.count() == 0
