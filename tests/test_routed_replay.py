@@ -399,3 +399,88 @@ def test_routed_per_table_schema_evolution_and_dlq(spark, scratch):
     assert dlq_b.first()["_dlq_reason"] == "unknown_op"
     dlq_a = a.read_dlq(spark)
     assert dlq_a is None or dlq_a.count() == 0
+
+
+def test_routed_crash_monkey(spark, scratch):
+    """Crash-monkey over the ATOMIC fan-out: SIGKILL the routed replay's
+    process group at randomized offsets across restarts. After every kill:
+    the catalog cut never regresses and catalog fsck reports zero errors
+    (in-flight transactions are recovery states, not corruption). The
+    final clean run lands every batch exactly once on both tables,
+    oracle-equal, with no transaction left in flight."""
+    import json as _json
+    import random
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    from concept_catalog_etl_spark.lakehouse.fsck import check_catalog
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = random.Random(2718)
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=2000, seed_a=51, seed_b=52)
+    routed = os.path.join(scratch, "routed")
+    _tag_and_merge({"holding_a": da, "holding_b": db}, routed)
+    files = sorted(os.path.join(routed, f) for f in os.listdir(routed))
+
+    out = os.path.join(scratch, "result.json")
+    spec = {"repo": REPO, "cat_root": cat.root,
+            "routes": ["holding_a", "holding_b"],
+            "files": files, "files_per_batch": 1, "out": out}
+    spec_path = os.path.join(scratch, "spec.json")
+    with open(spec_path, "w") as f:
+        _json.dump(spec, f)
+
+    def cut_version():
+        try:
+            return cat.current_version()
+        except Exception:
+            return 0
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    kills, v_floor = 0, cut_version()
+    for _ in range(8):
+        proc = subprocess.Popen(
+            [_sys.executable, os.path.join(REPO, "tests",
+                                           "proc_routed_worker.py"),
+             spec_path],
+            cwd=scratch, env=env, start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if kills < 3:
+            target = v_floor + rng.randint(1, 2)
+            deadline = time.time() + 240
+            while time.time() < deadline and proc.poll() is None:
+                if cut_version() >= target:
+                    time.sleep(rng.uniform(0.0, 1.5))
+                    break
+                time.sleep(0.02)
+        if proc.poll() is None and kills < 3:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            kills += 1
+            v = cut_version()
+            assert v >= v_floor, "a crash must never regress the cut"
+            v_floor = v
+            rep = check_catalog(cat)
+            errs = [f for f in rep["findings"] if f["level"] == "error"]
+            assert not errs, f"catalog fsck errors after kill #{kills}: {errs[:4]}"
+        else:
+            proc.wait()
+            assert proc.returncode == 0
+            break
+    else:
+        raise AssertionError("routed replay never completed cleanly")
+
+    assert kills >= 1  # the monkey must actually have fired
+    assert os.path.exists(out)
+    assert not cat.transactions()
+    sa, _, _ = replay_dir(da)
+    sb, _, _ = replay_dir(db)
+    assert_state_equals_oracle(spark, a, sa)
+    assert_state_equals_oracle(spark, b, sb)
+    rep = check_catalog(cat)
+    assert rep["ok"], rep["findings"]
