@@ -386,3 +386,14 @@ def test_dsir_broadcasts_llr_and_partial_aggs(spark, sf_dir="/root/testdata/sf0.
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cluster_keep_best_partial_agg_keeper(spark, sf_dir="/root/testdata/sf0.001"):
+    """The quality keeper must be a min(struct) partial aggregate (no
+    window over cluster groups) and the plan must stay cartesian-free."""
+    from concept_catalog_etl_spark.plans.queries import q_cluster_keep_best
+
+    plan = _plan(q_cluster_keep_best(spark, sf_dir))
+    assert "partial_min" in plan or "partial_" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
