@@ -554,6 +554,8 @@ def replay_stream_routed(
     atomic: bool = True,
     route_path: str = "$.table",
     source_format: str = "text",
+    socket_host: str = "127.0.0.1",
+    socket_port: int | None = None,
     maintenance_every: int | None = None,
     maintenance_max_buckets: int | None = 16,
     minor_compact_max_delta: int | None = None,
@@ -578,18 +580,37 @@ def replay_stream_routed(
     if atomic:
         catalog.recover_transactions()
     tables = {n: catalog.table(n) for n in routes}
-    raw = (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", max_files_per_trigger or 10)
-        .load(os.path.join(binlog_dir, "*.jsonl"))
-    )
+    if source_format in ("socket", "socket-debezium"):
+        # one live TCP feed carrying EVERY table's events — the realistic
+        # shape of a database-level CDC wire. Same at-least-once-producer ×
+        # idempotent-sink composition as the single-table socket mode, per
+        # (table, batch); give each socket SESSION its own cfg.writer_id
+        # (fresh query restarts foreachBatch ids at 0).
+        if socket_port is None:
+            raise ValueError("source_format='socket' requires socket_port")
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", socket_host)
+            .option("port", int(socket_port))
+            .load()
+        )
+        if not trigger_interval:
+            trigger_interval = "500 milliseconds"
+    else:
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", max_files_per_trigger or 10)
+            .load(os.path.join(binlog_dir, "*.jsonl"))
+        )
+    batch_fmt = ("debezium" if source_format in ("debezium", "socket-debezium")
+                 else "text")
     batch_metrics: list[dict] = []
 
     def _sink(df, batch_id: int):
         m = _apply_routed_batch(
             df.sparkSession, catalog, tables, df, batch_id, cfg,
             default_route, unknown_dir, atomic,
-            route_path=route_path, source_format=source_format)
+            route_path=route_path, source_format=batch_fmt)
         batch_metrics.append(m)
         touched = [n for n, tm in m["routes"].items()
                    if not tm.get("skipped")]

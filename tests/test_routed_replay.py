@@ -484,3 +484,78 @@ def test_routed_crash_monkey(spark, scratch):
     assert_state_equals_oracle(spark, b, sb)
     rep = check_catalog(cat)
     assert rep["ok"], rep["findings"]
+
+
+def test_routed_socket_stream(spark, scratch):
+    """One live TCP feed carrying BOTH tables' tagged envelopes: the routed
+    stream tails the socket, fans out per batch behind atomic catalog
+    cuts, and both tables converge to their per-table oracle."""
+    import socket as _socket
+    import threading
+    import time
+
+    from concept_catalog_etl_spark.operators.merge import MergeConfig
+
+    cat, a, b = _setup_two_tables(scratch)
+    da, db = _two_binlogs(scratch, n=400, seed_a=61, seed_b=62)
+    routed = os.path.join(scratch, "routed")
+    _tag_and_merge({"holding_a": da, "holding_b": db}, routed)
+    lines = []
+    for f in sorted(os.listdir(routed)):
+        with open(os.path.join(routed, f)) as fh:
+            lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def run():
+        try:
+            conn, _ = srv.accept()
+            try:
+                conn.sendall(("\n".join(lines) + "\n").encode())
+                done.wait(timeout=180)
+            finally:
+                conn.close()
+        finally:
+            srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+
+    sa, _, _ = replay_dir(da)
+    sb, _, _ = replay_dir(db)
+    q = replay_stream_routed(
+        spark, None, cat, ["holding_a", "holding_b"],
+        os.path.join(scratch, "ckpt"),
+        cfg=MergeConfig(writer_id="sock1"),
+        source_format="socket", socket_port=port,
+        await_termination=False,
+    )
+    try:
+        deadline = time.monotonic() + 120
+        ok = False
+        while time.monotonic() < deadline:
+            try:
+                if (a.read(spark).count() == len(sa)
+                        and b.read(spark).count() == len(sb)):
+                    ok = True
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        if ok:
+            time.sleep(2.0)
+    finally:
+        done.set()
+        q.stop()
+        q.awaitTermination(30)
+    assert ok, "routed socket session never converged"
+    assert_state_equals_oracle(spark, a, sa)
+    assert_state_equals_oracle(spark, b, sb)
+    # every applied batch advanced the cut atomically
+    pin = cat.pin()
+    assert pin["holding_a"] == a.current_version()
+    assert pin["holding_b"] == b.current_version()
