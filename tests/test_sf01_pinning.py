@@ -57,3 +57,32 @@ def test_embed_cosine_dup_capped_matches_oracle_at_sf01(spark, duck):
     assert got_gemm == want
     got = _tupleset(Q.q_embed_cosine_dup(spark, SF).collect())
     assert got == want
+
+
+def test_cluster_keep_best_invariants_at_sf01(spark):
+    """The keeper policy at 10x data, WITHOUT the DuckDB recursive closure
+    (prohibitively spill-heavy at sf0.1): pin structural invariants
+    against the cluster labels instead — label sets agree with
+    q_dedup_clusters, exactly one keeper per cluster, the keeper is a
+    cluster member with maximal n_chars (min doc_id among ties)."""
+    rows = Q.q_cluster_keep_best(spark, SF).collect()
+    assert len(rows) == 2000  # cap bites at sf0.1 (500 docs at sf0.01)
+    lab = {r["doc_id"]: r["cluster_id"] for r in rows}
+    base = {r["doc_id"]: r["cluster_id"]
+            for r in Q.q_dedup_clusters(spark, SF).collect()}
+    assert lab == base  # same connected components
+    from collections import defaultdict
+    byc = defaultdict(list)
+    for r in rows:
+        byc[r["cluster_id"]].append(r)
+    import duckdb as _dd
+    n_chars = dict(_dd.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id < 2000").fetchall())
+    for c, members in byc.items():
+        keeps = [r for r in members if r["is_keep"]]
+        assert len(keeps) == 1, f"cluster {c}: {len(keeps)} keepers"
+        keep_doc = keeps[0]["doc_id"]
+        assert all(r["keep_doc"] == keep_doc for r in members)
+        best = min(members, key=lambda r: (-n_chars[r["doc_id"]], r["doc_id"]))
+        assert keep_doc == best["doc_id"]
