@@ -15,7 +15,10 @@ Grammar (deliberately restricted; anything else raises with the reason):
     MERGE INTO <target alias?> USING <view | (subquery) alias> ON <cond>
       [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | t.c = <expr>, ...]
       [WHEN MATCHED [AND <cond>] THEN DELETE]
-      [WHEN NOT MATCHED [AND <cond>] THEN INSERT * | (cols) VALUES (exprs)]
+      [WHEN NOT MATCHED [BY TARGET] [AND <cond>]
+         THEN INSERT * | (cols) VALUES (exprs)]
+      [WHEN NOT MATCHED BY SOURCE [AND <cond>]
+         THEN DELETE | UPDATE SET t.c = <expr>, ...]
 
     UPDATE <name> SET c = <expr>, ... [WHERE <cond>]
     DELETE FROM <name> [WHERE <cond>]
@@ -124,7 +127,8 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -220,8 +224,11 @@ def merge_into_sql(
     clauses = []
     for cm in _CLAUSE_RE.finditer(m.group("clauses")):
         action = cm.group("action").strip()
+        by = (cm.group("by") or "").upper()
         clauses.append({
             "matched": cm.group("not") is None,
+            "by": by,
+            "by_source": cm.group("not") is not None and by == "SOURCE",
             "cond": cm.group("cond"),
             "action": action,
         })
@@ -229,10 +236,21 @@ def merge_into_sql(
         raise ValueError("MERGE needs at least one WHEN clause")
     for c in clauses:
         up = c["action"].upper()
-        if not c["matched"] and not up.startswith("INSERT"):
-            raise ValueError("WHEN NOT MATCHED supports only INSERT")
+        if c["matched"] and c["by"]:
+            raise ValueError("BY SOURCE/TARGET is only valid with WHEN NOT MATCHED")
+        if c["by_source"]:
+            # target rows with no source row: DELETE or UPDATE SET only,
+            # and the action can reference target columns only
+            if up.startswith("INSERT"):
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports UPDATE SET ... or DELETE"
+                )
+        elif not c["matched"] and not up.startswith("INSERT"):
+            raise ValueError("WHEN NOT MATCHED [BY TARGET] supports only INSERT")
         if c["matched"] and up.startswith("INSERT"):
             raise ValueError("WHEN MATCHED supports UPDATE SET ... or DELETE")
+    src_missing = [c for c in clauses if c["by_source"]]
+    main_clauses = [c for c in clauses if not c["by_source"]]
 
     if not allow_duplicate_source:
         # SQL:2016 / Delta cardinality rule: two source rows hitting one
@@ -256,6 +274,7 @@ def merge_into_sql(
     # target once.
     upsert_only = (
         len(clauses) == 2
+        and not src_missing
         and {c["matched"] for c in clauses} == {True, False}
         and all(c["cond"] is None for c in clauses)
         and all(
@@ -300,24 +319,32 @@ def merge_into_sql(
                                            writer_id=DML_WRITER)
         return apply_batch(spark, table, env, batch_id, cfg)
 
-    # general form: join source against the live target once; aliases t/s
-    # stay in scope for clause conditions and SET expressions
+    # general form: join source against the live target ONCE; aliases t/s
+    # stay in scope for clause conditions and SET expressions. With a
+    # BY SOURCE clause the join is FULL OUTER (target-only rows must
+    # surface) — still one key-partitioned join, never a second target
+    # scan for an anti side.
     tgt = table.read(spark).withColumn("_matched", F.lit(True))
     tgt_cols = [c for c in tgt.columns if c != "_matched"]
-    joined = src.alias(salias).join(
+    srcm = src.withColumn("_s_present", F.lit(True))
+    joined = srcm.alias(salias).join(
         tgt.alias(talias),
         on=[F.col(f"{salias}.{on_pairs[k]}") == F.col(f"{talias}.{k}")
             for k in key_names],
-        how="left",
+        how="full" if src_missing else "left",
     )
-    matched_col = F.col(f"{talias}._matched").isNotNull()
+    t_present = F.col(f"{talias}._matched").isNotNull()
+    s_present = F.col(f"{salias}._s_present").isNotNull()
+    matched_col = t_present & s_present
 
     op_col = F.lit(None).cast("string")
     payload_col = F.lit(None).cast(pstruct)
     # first-match-wins: build when-chains in REVERSE so earlier clauses
-    # override later ones
-    for c in reversed(clauses):
-        fire = matched_col if c["matched"] else ~matched_col
+    # override later ones. The two families (main vs BY SOURCE) fire on
+    # disjoint rows (source present vs absent), so chaining them into one
+    # op column is order-independent across families.
+    for c in reversed(main_clauses):
+        fire = matched_col if c["matched"] else s_present & ~t_present
         if c["cond"]:
             fire = fire & F.expr(c["cond"])
         up = c["action"].upper()
@@ -365,10 +392,47 @@ def merge_into_sql(
         op_col = F.when(fire, F.lit(op)).otherwise(op_col)
         payload_col = F.when(fire, pay).otherwise(payload_col)
 
+    # WHEN NOT MATCHED BY SOURCE: target rows with NO source row — the
+    # snapshot-reconciliation form of MERGE (cf. operators/reconcile).
+    # Conditions and SET expressions see target columns only (analysis
+    # errors on source refs come for free: the expression resolver has
+    # the full joined frame, but source columns are all-null here, and *
+    # is rejected below).
+    for c in reversed(src_missing):
+        fire = t_present & ~s_present
+        if c["cond"]:
+            fire = fire & F.expr(c["cond"])
+        up = c["action"].upper()
+        if up == "DELETE":
+            op, pay = "delete", F.lit(None).cast(pstruct)
+        else:  # UPDATE SET (validated above)
+            body = re.sub(r"^UPDATE\s+SET\s+", "", c["action"],
+                          flags=re.IGNORECASE).strip()
+            if body == "*":
+                raise ValueError(
+                    "UPDATE SET * is meaningless in WHEN NOT MATCHED BY "
+                    "SOURCE (there is no source row) — list assignments"
+                )
+            overrides = {}
+            for a in _split_top_level(body):
+                am = re.match(r"^(?:(\w+)\.)?(\w+)\s*=\s*(.*)$", a, re.DOTALL)
+                if not am or (am.group(1) or talias).lower() != talias.lower():
+                    raise ValueError(f"bad SET assignment {a!r}")
+                if am.group(2) in key_names:
+                    raise ValueError(f"cannot SET key column {am.group(2)!r}")
+                overrides[am.group(2)] = am.group(3)
+            op, pay = "update", _payload_from(talias, overrides, tgt_cols)
+        op_col = F.when(fire, F.lit(op)).otherwise(op_col)
+        payload_col = F.when(fire, pay).otherwise(payload_col)
+
     env = (
         joined.select(
             op_col.alias("op"),
-            *[F.col(f"{salias}.{on_pairs[k]}").alias(k) for k in key_names],
+            *[
+                F.coalesce(F.col(f"{salias}.{on_pairs[k]}"),
+                           F.col(f"{talias}.{k}")).alias(k)
+                for k in key_names
+            ],
             ts.alias("event_ts"),
             F.lit(int(lsn)).cast("long").alias("lsn"),
             F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),

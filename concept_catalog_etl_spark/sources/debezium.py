@@ -130,7 +130,7 @@ def parse_debezium(raw: DataFrame, schema: TableSchema,
 
     out = df.select(
         op.alias("op"),
-        F.coalesce(e["after"][key], e["before"][key]).alias("doc_id"),
+        F.coalesce(e["after"][key], e["before"][key]).alias(key),
         F.coalesce(
             F.timestamp_micros(e["source"]["ts_us"]),
             F.timestamp_millis(e["source"]["ts_ms"]),

@@ -1,0 +1,98 @@
+"""mirror_relay (sources/relay_mirror.py): the library-side relay
+consumer. Delta windows ride the merge kernel; snapshot windows (initial
+load / lag recovery) ride snapshot reconciliation — so a mirror that
+fell into a retention gap converges WITHOUT truncate-and-reload, with
+gap deletes applied and unchanged rows untouched."""
+
+import os
+
+from concept_catalog_etl_spark.sources.binlog import generate_binlog
+from concept_catalog_etl_spark.sources.debezium import relay_debezium
+from concept_catalog_etl_spark.sources.relay_mirror import (
+    MIRROR_WRITER,
+    list_windows,
+    mirror_relay,
+)
+from concept_catalog_etl_spark.streaming.replay import replay_batch
+
+from helpers import make_table, table_state
+
+
+def test_mirror_bootstrap_deltas_and_idempotence(spark, scratch):
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=1200,
+                            n_docs=120, n_files=4, seed=41, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    t_b = make_table(os.path.join(scratch, "b"))
+
+    replay_batch(spark, paths[:2], t_a, files_per_batch=2)
+    relay_debezium(spark, t_a, dest)
+    m = mirror_relay(spark, t_b, dest)
+    assert m["windows_applied"] == 1 and m["windows_skipped"] == 0
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+
+    replay_batch(spark, paths[2:], t_a, files_per_batch=2, start_batch_id=1)
+    relay_debezium(spark, t_a, dest)
+    m2 = mirror_relay(spark, t_b, dest)
+    assert m2["windows_applied"] == 1 and m2["windows_skipped"] == 1
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+
+    # idempotent: a re-run applies nothing and moves nothing
+    v = t_b.current_version()
+    m3 = mirror_relay(spark, t_b, dest)
+    assert m3["windows_applied"] == 0 and m3["windows_skipped"] == 2
+    assert t_b.current_version() == v
+
+
+def test_mirror_lag_recovery_reconciles_gap(spark, scratch):
+    """Mirror syncs, then the relay lags past vacuum retention and
+    publishes a recovery snapshot. The reconcile-based mirror must (a)
+    drop keys deleted upstream inside the gap, (b) adopt gap updates,
+    (c) NOT rewrite rows that never changed."""
+    blog = os.path.join(scratch, "blog")
+    paths = generate_binlog(blog, n_events=1500, n_docs=150, n_files=6,
+                            seed=43, p_malformed=0.0, p_delete=0.15)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    t_b = make_table(os.path.join(scratch, "b"))
+
+    replay_batch(spark, paths[:3], t_a, files_per_batch=3)
+    relay_debezium(spark, t_a, dest)
+    mirror_relay(spark, t_b, dest)
+    before = table_state(spark, t_a)
+    assert table_state(spark, t_b) == before
+
+    # the gap: more events (updates + deletes) land upstream, and the
+    # relay's from-version is vacuumed away before it runs again
+    replay_batch(spark, paths[3:], t_a, files_per_batch=3, start_batch_id=1)
+    t_a.vacuum(retain_last=1, orphan_grace_sec=0)
+    m = relay_debezium(spark, t_a, dest)
+    assert m["kind"] == "snap"
+
+    after = table_state(spark, t_a)
+    gap_deleted = set(before) - set(after)
+    assert gap_deleted, "scenario needs deletes inside the gap"
+    unchanged = {k for k in before if after.get(k) == before[k]}
+    assert unchanged, "scenario needs untouched rows"
+
+    import pyspark.sql.functions as F
+    coords_before = {
+        r["doc_id"]: (r["_event_ts"], r["_lsn"])
+        for r in t_b.read(spark, with_system_cols=True).collect()
+    }
+    mm = mirror_relay(spark, t_b, dest)
+    assert mm["windows_applied"] == 1
+    assert table_state(spark, t_b) == after  # gap deletes + updates applied
+    coords_after = {
+        r["doc_id"]: (r["_event_ts"], r["_lsn"])
+        for r in t_b.read(spark, with_system_cols=True).collect()
+    }
+    for k in unchanged:
+        assert coords_after[k] == coords_before[k], (
+            f"unchanged row {k} was rewritten by the recovery snapshot"
+        )
+    # windows parse + ledger bookkeeping
+    wins = list_windows(dest)
+    assert [w["kind"] for w in wins] == ["snap", "snap"] or \
+        [w["kind"] for w in wins][0] == "snap"
+    assert all(t_b.is_committed(w["to"], MIRROR_WRITER) for w in wins)

@@ -677,3 +677,88 @@ def test_add_drop_constraint_sql(spark, scratch):
     assert m2["dlq_count"] == 0 and _state(spark, t)["c"] == (-3, "z")
     with pytest.raises(KeyError, match="no such constraint"):
         run_dml(spark, t, "ALTER TABLE docs DROP CONSTRAINT nope", batch_id=13)
+
+
+# ---------------------------------------------------------------- BY SOURCE
+
+def test_merge_not_matched_by_source_delete(spark, scratch):
+    """The snapshot-reconcile MERGE: source is ground truth — matched rows
+    update, new rows insert, target-only rows DELETE."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    spark.sql(
+        "SELECT * FROM VALUES ('b', 20, 'yy'), ('e', 5, 'w') AS v(doc_id, n, tag)"
+    ).createOrReplaceTempView("truth")
+    merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING truth s ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        batch_id=0, event_ts="1970-01-01T00:00:05",
+    )
+    assert _state(spark, t) == {"b": (20, "yy"), "e": (5, "w")}
+
+
+def test_merge_not_matched_by_source_conditional_update(spark, scratch):
+    """BY SOURCE with a condition and an UPDATE action: only stale 'x'
+    rows are retagged; other target-only rows are untouched."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "x")])
+    spark.sql(
+        "SELECT * FROM VALUES ('c', 30, 'zz') AS v(doc_id, n, tag)"
+    ).createOrReplaceTempView("truth2")
+    merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING truth2 s ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED BY SOURCE AND t.tag = 'x'
+             THEN UPDATE SET t.tag = 'stale'""",
+        batch_id=0, event_ts="1970-01-01T00:00:05",
+    )
+    assert _state(spark, t) == {
+        "a": (1, "stale"), "b": (2, "y"), "c": (30, "zz")}
+
+
+def test_merge_by_source_only_statement(spark, scratch):
+    """A statement with ONLY a BY SOURCE clause (prune-to-source) works."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x"), ("b", 2, "y")])
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 0, '') AS v(doc_id, n, tag)"
+    ).createOrReplaceTempView("keep_only")
+    merge_into_sql(
+        spark, t,
+        """MERGE INTO docs t USING keep_only s ON t.doc_id = s.doc_id
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        batch_id=0, event_ts="1970-01-01T00:00:05",
+    )
+    assert _state(spark, t) == {"a": (1, "x")}
+
+
+def test_merge_by_source_validation(spark, scratch):
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")])
+    spark.sql("SELECT 'a' AS doc_id, 1 AS n, 'x' AS tag") \
+        .createOrReplaceTempView("v1")
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        merge_into_sql(
+            spark, t,
+            """MERGE INTO docs t USING v1 s ON t.doc_id = s.doc_id
+               WHEN NOT MATCHED BY SOURCE THEN INSERT *""",
+            batch_id=0,
+        )
+    with pytest.raises(ValueError, match="only valid with WHEN NOT MATCHED"):
+        merge_into_sql(
+            spark, t,
+            """MERGE INTO docs t USING v1 s ON t.doc_id = s.doc_id
+               WHEN MATCHED BY SOURCE THEN DELETE""",
+            batch_id=0,
+        )
+    with pytest.raises(ValueError, match="meaningless"):
+        merge_into_sql(
+            spark, t,
+            """MERGE INTO docs t USING v1 s ON t.doc_id = s.doc_id
+               WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""",
+            batch_id=0,
+        )
