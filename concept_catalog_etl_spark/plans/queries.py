@@ -340,6 +340,52 @@ SELECT user_id, event_type, event_id, value FROM r WHERE rn = 1 AND value >= 10
 """
 
 
+def q_merge_reconcile(spark, sf):
+    """Snapshot-reconcile MERGE (the three-clause ``WHEN NOT MATCHED BY
+    SOURCE`` form, ``operators/reconcile.py`` / ``operators/sql.py``): the
+    pre-cutoff LWW state is the target, the post-cutoff LWW state is the
+    ground-truth snapshot. Snapshot rows upsert wholesale; target-only
+    rows DELETE when stale (event_type = 'error') and survive otherwise —
+    the relay lag-recovery semantics as a pure DataFrame combinator.
+
+    Plan shape = the engine's lowering: ONE key-partitioned join between
+    the two LWW states (here left_anti, the target-only side of the full
+    outer) after two map-side-combinable LWW aggs; no window over the
+    join, no second target scan. At 100 TB both sides hash-partition on
+    user_id and AQE absorbs skew."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    target = lww_dedup(ev.filter(F.col("ts") < CUTOFF),
+                       key="user_id", ts_col="ts", seq_col="event_id")
+    snap = lww_dedup(ev.filter(F.col("ts") >= CUTOFF),
+                     key="user_id", ts_col="ts", seq_col="event_id")
+    cols = ["user_id", "event_id", "value"]
+    keepers = (
+        target.join(snap.select("user_id"), "user_id", "left_anti")
+        .filter(F.col("event_type") != "error")
+    )
+    return snap.select(*cols).unionByName(keepers.select(*cols))
+
+
+SQL_MERGE_RECONCILE = f"""
+WITH t AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+), s AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+)
+SELECT user_id, event_id, value FROM s WHERE rn = 1
+UNION ALL
+SELECT user_id, event_id, value FROM t
+WHERE rn = 1 AND event_type <> 'error'
+  AND user_id NOT IN (SELECT user_id FROM s)
+"""
+
+
 def q_merge_patch(spark, sf):
     """Partial-update (merge-patch) MERGE: per-FIELD last-writer-wins — the
     faithful distributed ``$set`` (``/root/reference/files/load.py:20-22``;
@@ -3733,6 +3779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_plan": q_mixture_plan,
     "q_dsir_weights": q_dsir_weights,
     "q_cluster_keep_best": q_cluster_keep_best,
+    "q_merge_reconcile": q_merge_reconcile,
 }
 
 ORACLES: dict[str, str] = {
@@ -3749,6 +3796,7 @@ ORACLES: dict[str, str] = {
     "q_merge_semi": SQL_MERGE_SEMI,
     "q_merge_final_state": SQL_MERGE_FINAL_STATE,
     "q_merge_composite_key": SQL_MERGE_COMPOSITE_KEY,
+    "q_merge_reconcile": SQL_MERGE_RECONCILE,
     "q_merge_patch": SQL_MERGE_PATCH,
     "q_merge_aggregate": SQL_MERGE_AGGREGATE,
     "q_join_enrich": SQL_JOIN_ENRICH,
@@ -3823,7 +3871,7 @@ GROUPS: dict[str, list[str]] = {
         "q_merge_anti", "q_merge_semi", "q_merge_final_state",
         "q_merge_composite_key", "q_merge_patch", "q_merge_aggregate",
         "q_join_enrich", "q_salted_join", "q_asof_join", "q_range_join",
-        "q_scd2_history",
+        "q_scd2_history", "q_merge_reconcile",
     ],
     "dedup": [
         "q_dedup_exact", "q_dedup_normalized", "q_jaccard_ngram",
