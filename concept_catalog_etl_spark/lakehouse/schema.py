@@ -70,13 +70,23 @@ class Field:
     name: str
     type: str  # type string in the dialect above
     nullable: bool = True
+    # Iceberg-style initial-default: the value rows written BEFORE this
+    # column existed read back (instead of null) — a metadata-only
+    # backfill. Rows written AFTER the add that explicitly carry null stay
+    # null (the default applies per-FILE at scan reconciliation, never
+    # per-row). JSON-scalar or list; None = no default.
+    initial_default: object = None
 
     def to_json(self) -> dict:
-        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        d = {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        if self.initial_default is not None:
+            d["initial_default"] = self.initial_default
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Field":
-        return Field(int(d["id"]), d["name"], d["type"], bool(d.get("nullable", True)))
+        return Field(int(d["id"]), d["name"], d["type"], bool(d.get("nullable", True)),
+                     d.get("initial_default"))
 
 
 @dataclass
@@ -162,25 +172,31 @@ class TableSchema:
             next_id or self.next_field_id,
         )
 
-    def add_column(self, name: str, type_str: str) -> "TableSchema":
+    def add_column(self, name: str, type_str: str,
+                   default: object = None) -> "TableSchema":
         if any(f.name == name for f in self.fields):
             raise ValueError(f"column exists: {name}")
         parse_type(type_str)  # validate
-        fields = self.fields + [Field(self.next_field_id, name, type_str, True)]
+        fields = self.fields + [
+            Field(self.next_field_id, name, type_str, True,
+                  initial_default=default)
+        ]
         return self._bump(fields, self.next_field_id + 1)
 
     def rename_column(self, name: str, new_name: str) -> "TableSchema":
         if any(f.name == new_name for f in self.fields):
             raise ValueError(f"column exists: {new_name}")
         tgt = self.field_by_name(name)
-        fields = [Field(f.id, new_name if f.id == tgt.id else f.name, f.type, f.nullable) for f in self.fields]
+        fields = [Field(f.id, new_name if f.id == tgt.id else f.name, f.type,
+                        f.nullable, f.initial_default) for f in self.fields]
         return self._bump(fields)
 
     def widen_column(self, name: str, new_type: str) -> "TableSchema":
         tgt = self.field_by_name(name)
         if not can_widen(tgt.type, new_type):
             raise ValueError(f"illegal widen {tgt.type} -> {new_type} on {name}")
-        fields = [Field(f.id, f.name, new_type if f.id == tgt.id else f.type, f.nullable) for f in self.fields]
+        fields = [Field(f.id, f.name, new_type if f.id == tgt.id else f.type,
+                        f.nullable, f.initial_default) for f in self.fields]
         return self._bump(fields)
 
     def drop_column(self, name: str) -> "TableSchema":
@@ -193,10 +209,13 @@ class TableSchema:
             raise ValueError(f"cannot drop a key column: {name}")
         return self._bump([f for f in self.fields if f.id != tgt.id])
 
-    def apply_change(self, kind: str, column: str, new_name: str | None, new_type: str | None) -> "TableSchema":
+    def apply_change(self, kind: str, column: str, new_name: str | None,
+                     new_type: str | None,
+                     new_default: object = None) -> "TableSchema":
         """Apply one F2 ``schema_change`` event payload."""
         if kind == "add":
-            return self.add_column(column, new_type or "string")
+            return self.add_column(column, new_type or "string",
+                                   default=new_default)
         if kind == "rename":
             return self.rename_column(column, new_name or column)
         if kind == "widen":

@@ -1736,8 +1736,13 @@ class LakeTable:
                     tgt_t = parse_type(fld.type)
                     if phys is not None and phys in raw.columns:
                         cols.append(F.col(phys).cast(tgt_t).alias(fld.name))
-                    else:  # column added after these files were written
-                        cols.append(F.lit(None).cast(tgt_t).alias(fld.name))
+                    else:
+                        # column added after these files were written: its
+                        # initial-default (Iceberg v3 semantics) backfills
+                        # metadata-only — per FILE, so rows written after
+                        # the add with an explicit null stay null
+                        dflt = getattr(fld, "initial_default", None)
+                        cols.append(F.lit(dflt).cast(tgt_t).alias(fld.name))
                 if need_sys:
                     for n, t in SYS_COLS:
                         cols.append(

@@ -31,6 +31,11 @@ SCHEMA_CHANGE_T = T.StructType(
         T.StructField("column", T.StringType()),
         T.StructField("new_name", T.StringType()),
         T.StructField("new_type", T.StringType()),
+        # Iceberg-style initial-default for kind='add', JSON-encoded (so
+        # scalars and arrays travel in one string field). Optional: absent
+        # / null = no default; feeds that never send it parse unchanged
+        # (from_json yields a null field).
+        T.StructField("new_default", T.StringType()),
     ]
 )
 

@@ -50,6 +50,7 @@ Only buckets actually hit by the batch's keys are read and rewritten
 
 from __future__ import annotations
 
+import json as _json
 import re
 from dataclasses import dataclass, field
 
@@ -162,7 +163,11 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list,
                     f"{fld.id}): the token-array/n_tok/source invariants are "
                     f"defined over it"
                 )
-        schema = schema.apply_change(kind, column, r["new_name"], r["new_type"])
+        nd = r.get("new_default")  # absent in pre-default stored envelopes
+        schema = schema.apply_change(
+            kind, column, r["new_name"], r["new_type"],
+            new_default=_json.loads(nd) if nd else None,
+        )
         if kind == "drop":
             # the column's in-batch history dies with it: a later re-add of
             # the same name is a NEW field (fresh id) whose add-gate below

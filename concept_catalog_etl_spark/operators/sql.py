@@ -59,6 +59,7 @@ a clause actually needs target state; the unconditional upsert form
 
 from __future__ import annotations
 
+import json as _json
 import os
 import re
 
@@ -815,7 +816,8 @@ def _alter_constraint_sql(spark: SparkSession, table: LakeTable,
 _ALTER_FORMS = [
     # (kind, regex over the clause after "ALTER TABLE <name> ")
     ("add", re.compile(
-        r"^ADD\s+COLUMN\s+(?P<column>\w+)\s+(?P<new_type>.+?)\s*$",
+        r"^ADD\s+COLUMN\s+(?P<column>\w+)\s+(?P<new_type>.+?)"
+        r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*$",
         re.IGNORECASE | re.DOTALL)),
     ("rename", re.compile(
         r"^RENAME\s+COLUMN\s+(?P<column>\w+)\s+TO\s+(?P<new_name>\w+)\s*$",
@@ -922,6 +924,27 @@ def alter_table_sql(
         new_type = new_type.strip().lower()
         parse_type(new_type)  # unknown type strings fail here, pre-flight
 
+    # ADD COLUMN ... DEFAULT <literal>: Iceberg-style initial-default —
+    # rows written before the add read the literal back instead of null
+    # (metadata-only backfill; see lakehouse.schema.Field). SQL string
+    # literals use '...'; everything else must be a JSON literal (number,
+    # true/false, [array]). Travels JSON-encoded in the wire struct.
+    default_json = None
+    draw = g.get("default")
+    if draw is not None:
+        lit = draw.strip()
+        if lit.startswith("'") and lit.endswith("'") and len(lit) >= 2:
+            val = lit[1:-1].replace("''", "'")
+        else:
+            try:
+                val = _json.loads(lit)
+            except ValueError:
+                raise ValueError(
+                    f"bad DEFAULT literal {lit!r}: use 'string', a number, "
+                    "true/false, or a JSON array"
+                )
+        default_json = _json.dumps(val)
+
     schema = table.schema()
     ts = F.lit(_coordinate(event_ts)).cast("timestamp")
     env = spark.range(1).select(
@@ -937,6 +960,7 @@ def alter_table_sql(
             F.lit(g["column"]).alias("column"),
             F.lit(g.get("new_name")).cast("string").alias("new_name"),
             F.lit(new_type).cast("string").alias("new_type"),
+            F.lit(default_json).cast("string").alias("new_default"),
         ).alias("schema_change"),
     )
     cfg = cfg or MergeConfig.for_table(table, write_mode="mor",
