@@ -117,71 +117,98 @@ def snapshot_envelope(
 
     live = table.read(spark, with_system_cols=True)
 
-    # ---- upserts --------------------------------------------------------
     if mode == "full":
-        ups_rows = snapshot
-        upserts = _env(ups_rows, "update", _payload(), ts_col, lsn_col)
-    else:
-        # diff: only snapshot rows whose stored payload differs (or that
-        # are absent). Null-safe struct equality on the snapshot's payload
-        # shape — byte-semantic, no serialization. NOTE: the diff compares
-        # the snapshot's RAW payload against the STORED (post-normalize)
-        # payload, so a not-yet-normalized snapshot marks normalization
-        # deltas as drift — never incorrect (the kernel re-normalizes),
-        # just extra events; feed normalized snapshots for a tight diff.
-        s = snapshot.alias("s")
-        t = live.alias("t")
-        stored_payload = F.struct(*[
-            (F.col(f"t.{f.name}") if f.name in live.columns else F.lit(None))
-            .cast(f.dataType).alias(f.name)
-            for f in pstruct.fields
-        ])
-        snap_payload = F.struct(*[
-            (F.col(f"s.{f.name}") if f.name in snapshot.columns else F.lit(None))
-            .cast(f.dataType).alias(f.name)
-            for f in pstruct.fields
-        ])
-        joined = s.join(
-            t, on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys], how="left"
+        # every snapshot row upserts (no diff join); ONE left-anti against
+        # the snapshot keys derives the deletes
+        upserts = _env(snapshot, "update", _payload(), ts_col, lsn_col)
+        gone = live.join(
+            snapshot.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
         )
-        changed = joined.filter(
-            F.col(f"t.{keys[0]}").isNull()  # absent from target
-            | ~snap_payload.eqNullSafe(stored_payload)
+        if delete_condition is not None:
+            gone = gone.filter(delete_condition)
+        deletes = _env(
+            gone,
+            "delete",
+            F.lit(None).cast(pstruct),
+            F.col("_event_ts"),
+            F.col("_lsn") + F.lit(1).cast("long"),
         )
-        ups_ts = (
-            F.col("s.event_ts").cast("timestamp")
-            if per_row_coords
-            else F.lit(_coordinate(event_ts)).cast("timestamp")
-        )
-        ups_lsn = (
-            F.col("s.lsn").cast("long")
-            if per_row_coords and "lsn" in snapshot.columns
-            else F.lit(int(lsn)).cast("long")
-        )
-        upserts = changed.select(
-            F.lit("update").alias("op"),
-            *[F.col(f"s.{k}").alias(k) for k in keys],
-            ups_ts.alias("event_ts"),
-            ups_lsn.alias("lsn"),
+        return upserts.unionByName(deletes)
+
+    # diff: ONE full-outer join serves both sides — snapshot rows whose
+    # stored payload differs (or that are absent) become upserts, live
+    # rows absent from the snapshot become deletes. The target is scanned
+    # once; both sides hash-partition on the key. Null-safe struct
+    # equality on the snapshot's payload shape — byte-semantic, no
+    # serialization. NOTE: the diff compares the snapshot's RAW payload
+    # against the STORED (post-normalize) payload, so a not-yet-normalized
+    # snapshot marks normalization deltas as drift — never incorrect (the
+    # kernel re-normalizes), just extra events; feed normalized snapshots
+    # for a tight diff. Presence markers, not key nullability, decide the
+    # sides (a null key component must not masquerade as absence).
+    # duplicate-key snapshot rows flow through: each diffs independently
+    # and the kernel's total LWW tie-break (ts, lsn, op, payload) picks the
+    # winner deterministically — a dropDuplicates here would pick an
+    # ARBITRARY representative and break partitioning-invariance
+    s = snapshot.withColumn("_s_present", F.lit(True)).alias("s")
+    tdf = live.withColumn("_t_present", F.lit(True))
+    if delete_condition is not None:
+        # evaluated on the live side BEFORE the join, so the expression
+        # resolves against target columns only (both sides share payload
+        # column names after the join)
+        cond = (F.expr(delete_condition) if isinstance(delete_condition, str)
+                else delete_condition)
+        tdf = tdf.withColumn("_del_ok", F.coalesce(cond.cast("boolean"),
+                                                   F.lit(False)))
+    t = tdf.alias("t")
+    s_present = F.col("s._s_present").isNotNull()
+    t_present = F.col("t._t_present").isNotNull()
+    stored_payload = F.struct(*[
+        (F.col(f"t.{f.name}") if f.name in live.columns else F.lit(None))
+        .cast(f.dataType).alias(f.name)
+        for f in pstruct.fields
+    ])
+    snap_payload = F.struct(*[
+        (F.col(f"s.{f.name}") if f.name in snapshot.columns else F.lit(None))
+        .cast(f.dataType).alias(f.name)
+        for f in pstruct.fields
+    ])
+    joined = s.join(
+        t, on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys], how="full"
+    )
+    ups_ts = (
+        F.col("s.event_ts").cast("timestamp")
+        if per_row_coords
+        else F.lit(_coordinate(event_ts)).cast("timestamp")
+    )
+    ups_lsn = (
+        F.col("s.lsn").cast("long")
+        if per_row_coords and "lsn" in snapshot.columns
+        else F.lit(int(lsn)).cast("long")
+    )
+    fire_upsert = s_present & (~t_present | ~snap_payload.eqNullSafe(stored_payload))
+    fire_delete = t_present & ~s_present
+    if delete_condition is not None:
+        fire_delete = fire_delete & F.col("t._del_ok")
+    op_col = (
+        F.when(fire_upsert, F.lit("update"))
+        .when(fire_delete, F.lit("delete"))
+    )
+    return (
+        joined.select(
+            op_col.alias("op"),
+            *[F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+              for k in keys],
+            F.when(fire_upsert, ups_ts)
+            .otherwise(F.col("t._event_ts")).alias("event_ts"),
+            F.when(fire_upsert, ups_lsn)
+            .otherwise(F.col("t._lsn") + F.lit(1).cast("long")).alias("lsn"),
             F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
-            snap_payload.alias("payload"),
+            F.when(fire_upsert, snap_payload).alias("payload"),
             F.lit(None).cast(SCHEMA_CHANGE_T).alias("schema_change"),
         )
-
-    # ---- deletes (NOT MATCHED BY SOURCE) --------------------------------
-    gone = live.join(
-        snapshot.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+        .filter(F.col("op").isNotNull())
     )
-    if delete_condition is not None:
-        gone = gone.filter(delete_condition)
-    deletes = _env(
-        gone,
-        "delete",
-        F.lit(None).cast(pstruct),
-        F.col("_event_ts"),
-        F.col("_lsn") + F.lit(1).cast("long"),
-    )
-    return upserts.unionByName(deletes)
 
 
 def reconcile_snapshot(
