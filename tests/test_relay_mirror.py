@@ -96,3 +96,34 @@ def test_mirror_lag_recovery_reconciles_gap(spark, scratch):
     assert [w["kind"] for w in wins] == ["snap", "snap"] or \
         [w["kind"] for w in wins][0] == "snap"
     assert all(t_b.is_committed(w["to"], MIRROR_WRITER) for w in wins)
+
+
+def test_live_cdc_chain_stream_relay_mirror(spark, scratch):
+    """The full CDC chain in ONE streaming run: binlog → upstream table
+    (checkpointed Structured Streaming replay) → Debezium relay windows →
+    downstream mirror, with the relay AND the mirror riding the same
+    maintenance tick (`sync_derived`). After the stream drains and one
+    final catch-up pass, the mirror equals the upstream table — the
+    lake-to-lake replication loop with no test-side consumer logic."""
+    from concept_catalog_etl_spark.streaming.replay import replay_stream
+
+    d = os.path.join(scratch, "binlog")
+    generate_binlog(d, n_events=1000, n_docs=100, n_files=6, seed=47,
+                    p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    t_b = make_table(os.path.join(scratch, "b"))
+    dest = os.path.join(scratch, "relay")
+
+    replay_stream(
+        spark, d, t_a, os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=2,
+        maintenance_every=2, vacuum_retain_last=2,
+        sync_derived=[
+            lambda s: relay_debezium(s, t_a, dest),
+            lambda s: mirror_relay(s, t_b, dest),
+        ],
+    )
+    # catch-up for batches after the last tick
+    relay_debezium(spark, t_a, dest)
+    mirror_relay(spark, t_b, dest)
+    assert table_state(spark, t_b) == table_state(spark, t_a)
