@@ -32,10 +32,14 @@ Grammar (deliberately restricted; anything else raises with the reason):
       | ALTER COLUMN c [SET DATA] TYPE <type> | DROP COLUMN c
       | ADD CONSTRAINT nm CHECK (<expr>) | DROP CONSTRAINT nm
       | SET PARTITIONED BY (day(c) | c | ())   (spec evolution; () drops)
-    SELECT ... FROM <name> [FOR VERSION AS OF n
+      | CREATE TAG nm [AS OF VERSION n] | DROP TAG nm
+      | CREATE BRANCH nm [AS OF VERSION n] | DROP BRANCH nm
+      | FAST FORWARD TO BRANCH nm
+    SELECT ... FROM <name> [FOR VERSION AS OF n | 'tag'
       | FOR TIMESTAMP AS OF '<iso>'] ...   (time travel, via ``sql()``)
     OPTIMIZE <name> [MINOR] [ZORDER BY (c, ...) | CLUSTER BY (c, ...)]
     VACUUM <name> [RETAIN n SNAPSHOTS]
+    ROLLBACK TABLE <name> TO VERSION n    (via ``run_maintenance``)
     DESCRIBE [HISTORY] <name>             (via ``describe_sql``)
     SHOW CREATE TABLE                     (via ``show_create_table``)
 
@@ -106,7 +110,15 @@ def sql(spark: SparkSession, tables: dict[str, LakeTable], query: str) -> DataFr
             return m.group(0)
         val = m.group("val").strip("'")
         if m.group("kind").upper() == "VERSION":
-            v = int(val)
+            # a non-numeric value is a TAG name (Iceberg's VERSION AS OF
+            # accepts tags) — resolved through the table's tag registry
+            try:
+                v = int(val)
+            except ValueError:
+                tags = t.tags()
+                if val not in tags:
+                    raise ValueError(f"no such tag on {name!r}: {val!r}")
+                v = tags[val]
         else:
             v = t.version_as_of(val)
         view = f"{name}__v{v}"
@@ -768,6 +780,58 @@ def insert_into_sql(
 _ADD_CONSTRAINT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+CONSTRAINT\s+(?P<nm>\w+)\s+"
     r"CHECK\s*\((?P<e>.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_REF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+"
+    r"(?:(?P<create>CREATE)|(?P<drop>DROP))\s+(?P<kind>TAG|BRANCH)\s+"
+    r"(?P<nm>\w+)(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_FF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+FAST\s+FORWARD\s+TO\s+BRANCH\s+"
+    r"(?P<nm>\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _alter_ref_sql(table: LakeTable, stmt: str) -> dict | None:
+    """Snapshot-ref DDL: tags (named immutable versions) and branches
+    (forked writable histories) — metadata-only, no batch id (nothing is
+    ingested; the ops are idempotent-by-name like their API forms).
+
+        ALTER TABLE t CREATE TAG nm [AS OF VERSION n]
+        ALTER TABLE t DROP TAG nm
+        ALTER TABLE t CREATE BRANCH nm [AS OF VERSION n]
+        ALTER TABLE t DROP BRANCH nm
+        ALTER TABLE t FAST FORWARD TO BRANCH nm
+
+    ``SELECT ... FROM t FOR VERSION AS OF 'nm'`` time-travels to a tag.
+    Iceberg analogs: ALTER TABLE ... CREATE TAG/BRANCH, fast_forward."""
+    fm = _FF_RE.match(stmt)
+    if fm:
+        return table.fast_forward(fm.group("nm"))
+    m = _REF_RE.match(stmt)
+    if not m:
+        return None
+    nm, kind = m.group("nm"), m.group("kind").upper()
+    v = int(m.group("v")) if m.group("v") else None
+    if m.group("create"):
+        if kind == "TAG":
+            return {"tag": nm, "version": table.tag(nm, v)}
+        b = table.create_branch(nm, v)
+        return {"branch": nm, "head_version": b.current_version()}
+    if kind == "TAG":
+        table.drop_tag(nm)
+        return {"dropped_tag": nm}
+    table.drop_branch(nm)
+    return {"dropped_branch": nm}
+
+
+_ROLLBACK_RE = re.compile(
+    r"^\s*ROLLBACK\s+TABLE\s+(?P<name>\w+)\s+TO\s+VERSION\s+(?P<v>\d+)\s*$",
+    re.IGNORECASE,
+)
+
+
 _DROP_CONSTRAINT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+CONSTRAINT\s+(?P<nm>\w+)\s*$",
     re.IGNORECASE)
@@ -904,6 +968,9 @@ def alter_table_sql(
     r = _alter_partition_sql(table, stmt)
     if r is not None:
         return r
+    r = _alter_ref_sql(table, stmt)
+    if r is not None:
+        return r
     m = _ALTER_RE.match(stmt)
     if not m:
         raise ValueError("expected ALTER TABLE <name> <clause>")
@@ -1018,9 +1085,18 @@ def run_maintenance(spark: SparkSession, table: LakeTable, stmt: str,
         if vm.group("n") is not None:
             kw.setdefault("retain_last", int(vm.group("n")))
         return {"files_removed": table.vacuum(**kw)}
+    rm = _ROLLBACK_RE.match(stmt)
+    if rm:
+        # ROLLBACK TABLE t TO VERSION n — publishes a NEW snapshot whose
+        # state is v<n> (history only moves forward; ledgers/lineage
+        # restore so the undone batches can re-apply — LakeTable.rollback)
+        snap = table.rollback(int(rm.group("v")))
+        return {"version": snap["version"],
+                "rolled_back_to": int(rm.group("v"))}
     raise ValueError(
         "maintenance statement must be OPTIMIZE <t> [MINOR] "
-        "[ZORDER|CLUSTER BY (...)] or VACUUM <t> [RETAIN n SNAPSHOTS]")
+        "[ZORDER|CLUSTER BY (...)] | VACUUM <t> [RETAIN n SNAPSHOTS] | "
+        "ROLLBACK TABLE <t> TO VERSION n")
 
 
 def describe_sql(spark: SparkSession, table: LakeTable, stmt: str) -> DataFrame:

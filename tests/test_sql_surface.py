@@ -762,3 +762,48 @@ def test_merge_by_source_validation(spark, scratch):
                WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""",
             batch_id=0,
         )
+
+
+# ------------------------------------------------------- refs & rollback
+
+def test_sql_tags_branches_rollback(spark, scratch):
+    """Snapshot-ref DDL + ROLLBACK verbs: tags time-travel through
+    VERSION AS OF 'name', branches fork and fast-forward, rollback
+    publishes a new head with the old state."""
+    from concept_catalog_etl_spark.operators.sql import run_maintenance
+
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")], batch_id=0)
+    v1 = t.current_version()
+    run_dml(spark, t, "ALTER TABLE docs CREATE TAG v1_state", batch_id=90)
+    # "a" second so its lsn (position index) beats the batch-0 coordinate
+    _seed(spark, t, [("b", 3, "z"), ("a", 2, "y")], batch_id=1)
+
+    # tag time travel via VERSION AS OF 'name'
+    got = sql(spark, {"docs": t},
+              "SELECT n FROM docs FOR VERSION AS OF 'v1_state' WHERE doc_id = 'a'")
+    assert [r["n"] for r in got.collect()] == [1]
+    assert _state(spark, t)["a"] == (2, "y")  # head unaffected
+
+    # rollback: a NEW head whose state is v1 (history only moves forward)
+    m = run_maintenance(spark, t, f"ROLLBACK TABLE docs TO VERSION {v1}")
+    assert m["rolled_back_to"] == v1
+    assert _state(spark, t) == {"a": (1, "x")}
+
+    # branch forked at the post-rollback head, written, fast-forwarded
+    # (fast-forward requires main still at the fork version)
+    run_dml(spark, t, "ALTER TABLE docs CREATE BRANCH fix", batch_id=91)
+    br = t.branch("fix")
+    _seed(spark, br, [("c", 9, "w")], batch_id=50)  # fork ledger holds 0/1
+    run_dml(spark, t, "ALTER TABLE docs FAST FORWARD TO BRANCH fix",
+            batch_id=92)
+    st = _state(spark, t)
+    assert st["c"] == (9, "w") and st["a"] == (1, "x")
+
+    # drop refs
+    run_dml(spark, t, "ALTER TABLE docs DROP TAG v1_state", batch_id=93)
+    run_dml(spark, t, "ALTER TABLE docs DROP BRANCH fix", batch_id=94)
+    assert t.tags() == {} and t.branches() == {}
+    with pytest.raises(ValueError, match="no such tag"):
+        sql(spark, {"docs": t},
+            "SELECT * FROM docs FOR VERSION AS OF 'v1_state'")
