@@ -33,6 +33,7 @@ use (``table._stat_norm``).
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 
 from pyspark.sql import Column, functions as F
 
@@ -48,9 +49,17 @@ _TIME_FORMATS = {
 }
 TRANSFORMS = ("identity", *_TIME_FORMATS)
 
+# truncate<W> (Iceberg's string-truncate transform, width baked into the
+# name so the stored form stays one string): a fixed-width PREFIX of a
+# string key component. Prefix truncation is monotone non-decreasing over
+# the lexical order, so range pruning and the spec-evolution mixed-
+# granularity argument (table.read) apply exactly as for time transforms.
+_TRUNCATE_RE = _re.compile(r"^truncate([1-9]\d*)$")
+
 # types a time transform accepts / identity accepts (identity is restricted
 # to strings so the partition value's lexical order is the source order —
-# an int identity would sort "10" < "9" and break range pruning)
+# an int identity would sort "10" < "9" and break range pruning; truncate
+# is string-only for the same reason)
 _TIME_TYPES = {"timestamp", "date"}
 _IDENTITY_TYPES = {"string"}
 
@@ -60,8 +69,11 @@ def validate_spec(schema: TableSchema, spec: dict) -> dict:
     stored form ``{"field_id": id, "transform": t}`` (rename-safe), enforcing
     the key-component contract documented in the module docstring."""
     t = spec.get("transform", "identity")
-    if t not in TRANSFORMS:
-        raise ValueError(f"unknown partition transform {t!r}; one of {TRANSFORMS}")
+    if t not in TRANSFORMS and not _TRUNCATE_RE.match(t):
+        raise ValueError(
+            f"unknown partition transform {t!r}; one of {TRANSFORMS} "
+            "or truncate<W> (W >= 1)"
+        )
     if "column" in spec:
         fld = schema.field_by_name(spec["column"])
     else:
@@ -74,7 +86,8 @@ def validate_spec(schema: TableSchema, spec: dict) -> dict:
             "partition would file tombstones under the null partition and "
             "window reads could resurrect deleted rows."
         )
-    ok = _TIME_TYPES if t != "identity" else _IDENTITY_TYPES
+    ok = (_IDENTITY_TYPES if t == "identity" or _TRUNCATE_RE.match(t)
+          else _TIME_TYPES)
     if fld.type not in ok:
         raise ValueError(
             f"transform {t!r} needs a column of type {sorted(ok)}, "
@@ -87,6 +100,9 @@ def part_expr(col: Column, transform: str) -> Column:
     """The write-time partition value (string; lexical order == source order)."""
     if transform == "identity":
         return col.cast("string")
+    tm = _TRUNCATE_RE.match(transform)
+    if tm:
+        return F.substring(col.cast("string"), 1, int(tm.group(1)))
     return F.date_format(col, _TIME_FORMATS[transform][0])
 
 
@@ -98,6 +114,9 @@ def part_value(value, transform: str) -> str | None:
         return None
     if transform == "identity":
         return str(value)
+    tm = _TRUNCATE_RE.match(transform)
+    if tm:
+        return str(value)[: int(tm.group(1))]
     if isinstance(value, str):
         try:
             value = _dt.datetime.fromisoformat(value)
