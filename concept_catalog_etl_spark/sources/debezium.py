@@ -344,6 +344,15 @@ def relay_debezium(spark, table, dest: str,
             _shutil.rmtree(tmp)  # maintenance-only window: no dir
             out = None  # advance pointer only
         else:
+            # the window's SCHEMA sidecar (Debezium's schema-registry /
+            # DDL-topic analog): the upstream schema as of this window's
+            # to-version, so a schema-tracking consumer (relay_mirror)
+            # can evolve BEFORE parsing — without it, payload fields added
+            # upstream are silently dropped by the mirror's from_json.
+            # Travels inside the window dir, so it publishes atomically
+            # with the data in the same rename.
+            with open(_os.path.join(tmp, "_schema.json"), "w") as f:
+                _json.dump(table.schema().to_json(), f)
             _os.replace(tmp, out)
     stmp = _os.path.join(dest, f".state-{_uuid.uuid4().hex}")
     with open(stmp, "w") as f:

@@ -35,6 +35,7 @@ import re
 
 from pyspark.sql import SparkSession, functions as F
 
+from ..lakehouse.schema import TableSchema, can_widen, parse_type
 from ..lakehouse.table import LakeTable
 from ..operators.envelope import payload_struct
 from ..operators.merge import MergeConfig, apply_batch
@@ -42,6 +43,7 @@ from ..operators.reconcile import reconcile_snapshot
 from .debezium import parse_debezium
 
 MIRROR_WRITER = "relay_mirror"
+MIRROR_DDL_WRITER = "relay_mirror_ddl"
 
 _WINDOW_RE = re.compile(
     r"^relay-(?P<to>\d{6})-(?:(?P<snap>snap)|delta-(?P<frm>\d{6}))$"
@@ -69,6 +71,74 @@ def list_windows(relay_dir: str) -> list[dict]:
     return out
 
 
+def _track_schema(spark: SparkSession, table: LakeTable,
+                  w: dict) -> TableSchema:
+    """Evolve the mirror to the window's upstream schema BEFORE parsing
+    (Debezium schema-registry analog: the relay publishes a ``_schema.json``
+    sidecar inside each window dir). Matching is BY NAME across tables
+    (field ids are per-table): upstream columns the mirror lacks are added
+    (carrying ``initial_default``), widened types widen. An upstream RENAME
+    therefore appears as an add (the old column stays, stale — documented);
+    upstream DROPs are NOT propagated (a mirror silently losing a column is
+    worse than keeping a stale one; drop it mirror-side explicitly).
+    Evolution applies as an ordinary schema_change envelope batch under a
+    dedicated DDL writer ledger (``batch_id = to_version``) — exactly-once,
+    and a window replay after a crash re-derives a no-op."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.envelope import SCHEMA_CHANGE_T
+
+    path = _os.path.join(w["path"], "_schema.json")
+    try:
+        with open(path) as f:
+            up = TableSchema.from_json(_json.load(f))
+    except FileNotFoundError:  # pre-sidecar relay windows
+        return table.schema()
+    schema = table.schema()
+    have = {fld.name: fld for fld in schema.fields}
+    changes = []
+    for fld in up.fields:
+        mine = have.get(fld.name)
+        if mine is None:
+            changes.append(("add", fld.name, fld.type,
+                            _json.dumps(fld.initial_default)
+                            if fld.initial_default is not None else None))
+        elif mine.type != fld.type and can_widen(mine.type, fld.type):
+            changes.append(("widen", fld.name, fld.type, None))
+    if not changes:
+        return schema
+    if table.is_committed(w["to"], MIRROR_DDL_WRITER):
+        return table.schema()
+    rows = [
+        (kind, col, typ, dflt, i) for i, (kind, col, typ, dflt) in
+        enumerate(changes)
+    ]
+    env = spark.createDataFrame(
+        rows, "kind string, column string, new_type string, "
+              "new_default string, i int"
+    ).select(
+        F.lit("schema_change").alias("op"),
+        *[F.lit(None).cast(parse_type(fld.type)).alias(fld.name)
+          for fld in (schema.field_by_id(i) for i in schema.key_field_ids)],
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("event_ts"),
+        F.col("i").cast("long").alias("lsn"),
+        F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
+        F.lit(None).cast(payload_struct(schema)).alias("payload"),
+        F.struct(
+            F.col("kind"), F.col("column"),
+            F.lit(None).cast("string").alias("new_name"),
+            F.col("new_type"), F.col("new_default"),
+        ).cast(SCHEMA_CHANGE_T).alias("schema_change"),
+    )
+    apply_batch(spark, table, env, w["to"],
+                MergeConfig.for_table(table, write_mode="mor",
+                                      writer_id=MIRROR_DDL_WRITER))
+    return table.schema()
+
+
 def mirror_relay(
     spark: SparkSession,
     table: LakeTable,
@@ -76,11 +146,13 @@ def mirror_relay(
     *,
     cfg: MergeConfig | None = None,
     writer_id: str = MIRROR_WRITER,
+    track_schema: bool = True,
 ) -> dict:
     """Apply every not-yet-applied relay window to ``table``; returns
     ``{"windows_applied": n, "windows_skipped": k, "version": last_to}``.
-    Loop it on a schedule to keep the mirror fresh."""
-    schema = table.schema()
+    Loop it on a schedule to keep the mirror fresh. ``track_schema``
+    follows the upstream schema via each window's ``_schema.json`` sidecar
+    (see ``_track_schema``)."""
     applied = skipped = 0
     last_to = None
     for w in list_windows(relay_dir):
@@ -88,6 +160,8 @@ def mirror_relay(
             skipped += 1
             last_to = w["to"]
             continue
+        schema = (_track_schema(spark, table, w)
+                  if track_schema else table.schema())
         raw = spark.read.text(w["path"])
         parsed = parse_debezium(raw, schema,
                                 schema_version=schema.schema_version)

@@ -127,3 +127,66 @@ def test_live_cdc_chain_stream_relay_mirror(spark, scratch):
     relay_debezium(spark, t_a, dest)
     mirror_relay(spark, t_b, dest)
     assert table_state(spark, t_b) == table_state(spark, t_a)
+
+
+def test_mirror_tracks_upstream_schema_evolution(spark, scratch):
+    """Upstream ADD COLUMN (with DEFAULT) and widen propagate to the
+    mirror through the window's _schema.json sidecar BEFORE parsing — so
+    new payload fields are not silently dropped, and the initial-default
+    backfills the mirror's pre-add rows too."""
+    import json
+
+    from concept_catalog_etl_spark.operators.merge import (
+        MergeConfig, apply_batch,
+    )
+    from concept_catalog_etl_spark.operators.sql import run_dml
+
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=800,
+                            n_docs=80, n_files=2, seed=53, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    t_b = make_table(os.path.join(scratch, "b"))
+
+    replay_batch(spark, paths, t_a, files_per_batch=2)
+    relay_debezium(spark, t_a, dest)
+    mirror_relay(spark, t_b, dest)
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+
+    # upstream evolves: new column with a default, plus a widen
+    run_dml(spark, t_a,
+            "ALTER TABLE docs ADD COLUMN quality double DEFAULT 0.5",
+            batch_id=900, event_ts="2027-01-01T00:00:00")
+    run_dml(spark, t_a, "ALTER TABLE docs ALTER COLUMN n_tok TYPE bigint",
+            batch_id=901, event_ts="2027-01-01T00:00:01")
+    # and new data lands under the evolved schema
+    lines = [json.dumps({
+        "op": "insert", "doc_id": f"evo-{i}", "event_ts":
+        "2027-01-02T00:00:00.000000", "lsn": 10_000 + i,
+        "schema_version": 2,
+        "payload": {"tokens": [i], "n_tok": 1, "source": "curated",
+                    "quality": 0.9}}) for i in range(5)]
+    raw = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    apply_batch(spark, t_a, raw, 902, MergeConfig.for_table(t_a))
+
+    relay_debezium(spark, t_a, dest)
+    mirror_relay(spark, t_b, dest)
+
+    bs = t_b.schema()
+    assert bs.field_by_name("quality").type == "double"
+    assert bs.field_by_name("quality").initial_default == 0.5
+    assert bs.field_by_name("n_tok").type == "bigint"
+
+    a_rows = {r["doc_id"]: (r["quality"], r["n_tok"])
+              for r in t_a.read(spark).collect()}
+    b_rows = {r["doc_id"]: (r["quality"], r["n_tok"])
+              for r in t_b.read(spark).collect()}
+    assert b_rows == a_rows
+    # the default backfilled BOTH sides' pre-add rows; new rows carry 0.9
+    assert b_rows["evo-0"][0] == 0.9
+    assert all(q == 0.5 for d, (q, _) in b_rows.items()
+               if not d.startswith("evo-"))
+
+    # idempotent re-run
+    v = t_b.current_version()
+    m = mirror_relay(spark, t_b, dest)
+    assert m["windows_applied"] == 0 and t_b.current_version() == v
