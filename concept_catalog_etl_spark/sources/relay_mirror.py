@@ -106,8 +106,21 @@ def _track_schema(spark: SparkSession, table: LakeTable,
             changes.append(("add", fld.name, fld.type,
                             _json.dumps(fld.initial_default)
                             if fld.initial_default is not None else None))
-        elif mine.type != fld.type and can_widen(mine.type, fld.type):
-            changes.append(("widen", fld.name, fld.type, None))
+        elif mine.type != fld.type:
+            if can_widen(mine.type, fld.type):
+                changes.append(("widen", fld.name, fld.type, None))
+            elif not can_widen(fld.type, mine.type):
+                # neither direction widens: structurally divergent types.
+                # Parsing upstream payloads under the mirror's type would
+                # silently null every value — stop loudly instead.
+                raise ValueError(
+                    f"mirror column {fld.name!r} is {mine.type!r} but "
+                    f"upstream is {fld.type!r} (window {w['name']}) — "
+                    "divergent types cannot be tracked; fix the mirror "
+                    "schema explicitly"
+                )
+            # else: mirror is already WIDER than upstream (e.g. the mirror
+            # widened ahead) — upstream values parse fine under it
     if not changes:
         return schema
     if table.is_committed(w["to"], MIRROR_DDL_WRITER):

@@ -190,3 +190,26 @@ def test_mirror_tracks_upstream_schema_evolution(spark, scratch):
     v = t_b.current_version()
     m = mirror_relay(spark, t_b, dest)
     assert m["windows_applied"] == 0 and t_b.current_version() == v
+
+
+def test_mirror_divergent_type_raises(spark, scratch):
+    """A mirror column whose type neither widens to nor from the
+    upstream's stops loudly instead of silently nulling every value."""
+    import pytest
+
+    from concept_catalog_etl_spark.lakehouse import LakeTable, TableSchema
+
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=200,
+                            n_docs=20, n_files=1, seed=59, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    replay_batch(spark, paths, t_a, files_per_batch=1)
+    dest = os.path.join(scratch, "relay")
+    relay_debezium(spark, t_a, dest)
+
+    schema = TableSchema.create(
+        [("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int"),
+         ("source", "boolean")], key="doc_id")  # source: boolean vs string
+    t_b = LakeTable.create(os.path.join(scratch, "b", "table"), schema,
+                           n_buckets=4)
+    with pytest.raises(ValueError, match="divergent types"):
+        mirror_relay(spark, t_b, dest)
