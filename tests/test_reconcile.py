@@ -223,3 +223,15 @@ def test_reconcile_cow_and_composite_key(spark, scratch):
     assert set(rows) == {("a", "d1"), ("b", "d1"), ("b", "d2")}
     assert list(rows[("b", "d1")]["tokens"]) == [4, 5]
     assert rows[("b", "d2")]["n_tok"] == 1
+
+
+def test_diff_plan_single_join(spark, scratch):
+    """Plan pin: diff mode is ONE full-outer join — the target is never
+    scanned a second time for an anti side."""
+    table, oracle = _setup(spark, scratch, seed=36, n_events=600, n_docs=60)
+    snap = _snapshot_df(spark, {k: v for k, v in list(oracle.items())[:40]})
+    env = snapshot_envelope(spark, table, snap, event_ts=TS_SNAP)
+    plan = env._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(joins) == 1, joins
+    assert "FullOuter" in joins[0], joins[0]
