@@ -1119,13 +1119,17 @@ def describe_sql(spark: SparkSession, table: LakeTable, stmt: str) -> DataFrame:
                 if part.get("transform") not in (None, "identity") else pcol)
     rows = [
         (f.name, f.type, bool(f.nullable), int(f.id),
-         f.id in schema.key_field_ids, part_str, int(table.n_buckets()))
+         f.id in schema.key_field_ids,
+         _json.dumps(f.initial_default) if f.initial_default is not None
+         else None,
+         part_str, int(table.n_buckets()))
         for f in schema.fields
     ]
     return spark.createDataFrame(
         rows,
         "col_name string, data_type string, nullable boolean, field_id int, "
-        "is_key boolean, partition string, n_buckets int",
+        "is_key boolean, initial_default string, partition string, "
+        "n_buckets int",
     )
 
 

@@ -127,3 +127,15 @@ def test_bad_default_literal_raises(spark, scratch):
         run_dml(spark, t,
                 "ALTER TABLE docs ADD COLUMN x int DEFAULT oops",
                 batch_id=1)
+
+
+def test_describe_shows_initial_default(spark, scratch):
+    from concept_catalog_etl_spark.operators.sql import describe_sql
+
+    t = _make(scratch)
+    _seed(spark, t, ["a"], batch_id=0)
+    run_dml(spark, t, "ALTER TABLE docs ADD COLUMN lang string DEFAULT 'en'",
+            batch_id=1, event_ts="1970-01-02T00:00:00")
+    rows = {r["col_name"]: r["initial_default"]
+            for r in describe_sql(spark, t, "DESCRIBE docs").collect()}
+    assert rows["lang"] == '"en"' and rows["doc_id"] is None
