@@ -2570,9 +2570,17 @@ def q_pack_sequences(spark, sf, budget: int = 512):
     )
     cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
     d = d.withColumn("chunk_id", F.floor(cum / budget))
-    return d.groupBy("source", "chunk_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("chunk_tokens"),
+    # Canonical output order: (source, chunk_id) is the group key, so this
+    # sort is total. Without it the ~5-way-tied leading `source` column makes
+    # within-tie row order engine-dependent, which an order-sensitive result
+    # hash (CORRECTNESS_r04) flags even though the value multiset matches.
+    return (
+        d.groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("chunk_tokens"),
+        )
+        .orderBy("source", "chunk_id")
     )
 
 
@@ -2588,10 +2596,11 @@ WITH toks AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
   FROM toks
 )
-SELECT source, cum // 512 AS chunk_id, COUNT(*) AS n_docs,
+SELECT source, CAST(cum // 512 AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens
 FROM pos
 GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 
@@ -2993,6 +3002,7 @@ def refinery_plan(corpus: DataFrame, budget: int = 512) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n").over(wp), F.lit(0).cast("bigint"))
+    # Canonical (source, chunk_id) output order — see q_pack_sequences.
     return (
         clean.withColumn("chunk_id", F.floor(cum / budget))
         .groupBy("source", "chunk_id")
@@ -3000,6 +3010,7 @@ def refinery_plan(corpus: DataFrame, budget: int = 512) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n").cast("bigint").alias("chunk_tokens"),
         )
+        .orderBy("source", "chunk_id")
     )
 
 
@@ -3044,10 +3055,11 @@ WITH d AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
   FROM clean
 )
-SELECT source, cum // 512 AS chunk_id, COUNT(*) AS n_docs,
+SELECT source, CAST(cum // 512 AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS chunk_tokens
 FROM pos
 GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 
