@@ -51,7 +51,11 @@ def _checkout(commit: str) -> str:
 
 def _run(repo_dir: str) -> dict:
     env = dict(os.environ)
-    env["BENCH_COW_ONLY"] = "1"       # no-op at commits that predate the flag
+    # AB_TEXT_ONLY=1 restores the original text-CoW-only arms; the default
+    # (round-5 verdict task 2) runs the full replay trio per arm so the
+    # text AND columnar paths are A/B'd in the same interleaved session.
+    if os.environ.get("AB_TEXT_ONLY"):
+        env["BENCH_COW_ONLY"] = "1"   # no-op at commits that predate the flag
     env["BENCH_QUERIES_SKIP"] = "1"
     env.setdefault("BENCH_REPEAT", "3")
     out = subprocess.run(
@@ -74,13 +78,25 @@ def main() -> None:
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     dir_a, dir_b = _checkout(a), _checkout(b)
 
-    walls: dict[str, list[float]] = {a: [], b: []}
+    paths = ["text"] if os.environ.get("AB_TEXT_ONLY") else ["text", "columnar"]
+    walls: dict[str, dict[str, list[float]]] = {
+        p: {a: [], b: []} for p in paths
+    }
     for r in range(rounds):
         for name, d in ((a, dir_a), (b, dir_b)):
             res = _run(d)
-            walls[name].append(res["value"])
-            print(f"round {r} {name}: {res['value']}s "
-                  f"({res['events_per_sec']:,} ev/s)", file=sys.stderr)
+            walls["text"][name].append(res["value"])
+            msg = f"round {r} {name}: text {res['value']}s"
+            if "columnar" in walls:
+                col = res.get("replay_columnar_sec")
+                if col is None:
+                    raise RuntimeError(
+                        f"arm {name} reported no columnar wall; rerun with "
+                        "AB_TEXT_ONLY=1 for commits that predate it"
+                    )
+                walls["columnar"][name].append(col)
+                msg += f", columnar {col}s"
+            print(msg, file=sys.stderr)
 
     events = int(os.environ.get("BENCH_EVENTS", "6000000"))
 
@@ -94,23 +110,21 @@ def main() -> None:
             "best_ev_s": round(events / min(w), 1),
         }
 
-    sa, sb = stats(walls[a]), stats(walls[b])
-    delta_pct = round(
-        100.0 * (sb["median_ev_s"] - sa["median_ev_s"]) / sa["median_ev_s"], 2
-    )
-    verdict = (
-        "B >= A (no regression)" if delta_pct >= -2.0
-        else f"B is {-delta_pct}% slower than A (regression)"
-    )
-
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "AB_cow.md"), "w") as f:
-        f.write(f"""# BENCH/AB_cow.md — interleaved A/B, CoW replay headline
-
-Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by bench_ab.py.
-Arms alternate A,B,A,B,... in one session ({rounds} rounds), so host-tenancy
-noise hits both equally; each wall is already best-of-{os.environ.get('BENCH_REPEAT', '3')}
-warm in-JVM repeats of the full {events:,}-event replay.
+    result: dict[str, dict] = {"a": a, "b": b, "rounds": rounds}
+    tables = []
+    for p in paths:
+        sa, sb = stats(walls[p][a]), stats(walls[p][b])
+        delta_pct = round(
+            100.0 * (sb["median_ev_s"] - sa["median_ev_s"])
+            / sa["median_ev_s"], 2
+        )
+        verdict = (
+            "B >= A (no regression)" if delta_pct >= -2.0
+            else f"B is {-delta_pct}% slower than A (regression)"
+        )
+        result[p] = {"a_stats": sa, "b_stats": sb,
+                     "median_delta_pct": delta_pct, "verdict": verdict}
+        tables.append(f"""## {p} path
 
 | arm | commit | walls (s) | median s | best s | median ev/s | best ev/s |
 |---|---|---|---|---|---|---|
@@ -119,11 +133,18 @@ warm in-JVM repeats of the full {events:,}-event replay.
 
 **Median throughput delta (B vs A): {delta_pct:+}% — {verdict}**
 """)
-    print(json.dumps({
-        "a": a, "b": b, "rounds": rounds,
-        "a_stats": sa, "b_stats": sb,
-        "median_delta_pct": delta_pct, "verdict": verdict,
-    }))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "AB_cow.md"), "w") as f:
+        f.write(f"""# BENCH/AB_cow.md — interleaved A/B, replay headline
+
+Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by bench_ab.py.
+Arms alternate A,B,A,B,... in one session ({rounds} rounds), so host-tenancy
+noise hits both equally; each wall is already best-of-{os.environ.get('BENCH_REPEAT', '3')}
+warm in-JVM repeats of the full {events:,}-event replay.
+
+""" + "\n".join(tables))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -24,15 +24,70 @@ Two physical strategies:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
 def _order_struct(ts_col: str, seq_col: str):
     return F.struct(F.col(ts_col), F.col(seq_col))
 
 
+def _dt_orderable(dt: T.DataType) -> bool:
+    """Mirror of Spark's orderability rule: maps (and anything containing
+    one) cannot be compared, everything else in our dialect can."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _dt_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_dt_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _canon_ord(col: F.Column, dt: T.DataType) -> F.Column:
+    """Deterministic, order-stable serialization of an unorderable column
+    for use as a tie-break term: maps serialize as their KEY-SORTED entry
+    list so two equal maps compare equal regardless of internal entry
+    order; anything else falls back to to_json."""
+    if isinstance(dt, T.MapType) and _dt_orderable(dt.keyType) \
+            and _dt_orderable(dt.valueType):
+        return F.to_json(F.array_sort(F.map_entries(col)))
+    return F.to_json(col)
+
+
 def _keys(key: str | list[str]) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
+
+
+def winner_max(dtypes: dict[str, T.DataType], ordered: list[str],
+               good: F.Column | None = None) -> F.Column:
+    """The per-key LWW winner aggregation over ``struct(*ordered)`` (the
+    leading columns are the (ts, seq) coordinate; the rest ride along and
+    deterministically break coordinate ties).
+
+    Fast path: lexicographic ``max(struct)`` — one comparison, map-side
+    combinable. When any column is unorderable (a map, or a struct holding
+    one — Spark cannot ORDER those), fall back to ``max_by``: the VALUE
+    struct keeps the exact same field layout (downstream ``_w.*`` is
+    unchanged) while the ORDERING struct replaces each unorderable column
+    with its canonical serialization (key-sorted map entries, so equal maps
+    compare equal regardless of internal entry order) — the LWW order stays
+    total and batch-boundary-invariant. Still one hash agg with map-side
+    combine; the extra to_json costs only on tables that declare map
+    columns."""
+    value = F.struct(*[F.col(c) for c in ordered])
+    if good is not None:
+        value = F.when(good, value)
+    unorderable = [c for c in ordered if not _dt_orderable(dtypes[c])]
+    if not unorderable:
+        return F.max(value)
+    ord_terms = [
+        _canon_ord(F.col(c), dtypes[c]) if c in unorderable else F.col(c)
+        for c in ordered
+    ]
+    ord_struct = F.struct(*ord_terms)
+    if good is not None:
+        ord_struct = F.when(good, ord_struct)
+    return F.max_by(value, ord_struct)
 
 
 def lww_dedup(df: DataFrame, key: str | list[str] = "doc_id",
@@ -80,9 +135,8 @@ def lww_dedup_with_sideout(
     # ordering struct), and a (ts, seq) tie resolves deterministically by
     # payload comparison instead of arbitrarily (batch-boundary invariance).
     ordered = [ts_col, seq_col] + [c for c in wc if c not in (ts_col, seq_col)]
-    winner = F.max(
-        F.when(good, F.struct(*[F.col(c) for c in ordered]))
-    ).alias("_w")
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    winner = winner_max(dtypes, ordered, good=good).alias("_w")
     bad = F.collect_list(
         F.when(~good, F.struct(*[F.col(c) if isinstance(c, str) else c for c in sc]))
     ).alias("_bad")

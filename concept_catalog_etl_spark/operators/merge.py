@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..lakehouse.schema import TableSchema
 from ..lakehouse.table import LakeTable, bucket_expr
-from .dedup import lww_dedup_with_sideout
+from .dedup import lww_dedup_with_sideout, winner_max
 from .envelope import parse_envelope, parse_raw
 
 EPOCH = "1970-01-01 00:00:00"
@@ -668,8 +668,9 @@ def apply_batch(
         winners = (
             bucketed.groupBy("_bucket", *keys)
             .agg(
-                F.max(
-                    F.struct("event_ts", "lsn", "op", *payload_names)
+                winner_max(
+                    {f.name: f.dataType for f in bucketed.schema.fields},
+                    ["event_ts", "lsn", "op", *payload_names],
                 ).alias("_w")
             )
             .select("_bucket", *keys, "_w.*")
