@@ -58,7 +58,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from . import partition as _partition
-from .schema import TableSchema, parse_type
+from .schema import TableSchema, _flatten_nested, parse_type
 
 # System columns stored in every data file (never renamed, not part of the
 # logical schema): LWW ordering state so late events can be discarded
@@ -134,6 +134,33 @@ def _stats_intersect(entry: dict, range_ids: dict[str, tuple]) -> bool:
         except TypeError:
             continue
     return True
+
+
+def _rebuild_struct_by_id(root: F.Column, members, fmap: dict) -> F.Column:
+    """Reconcile an evolved struct column against a data file written under
+    an older member layout: ``fmap`` is the file's write-time
+    ``{nested_id: [rel_path, type]}``. Members are matched by ID (renames
+    keep values), members the file predates read their initial-default
+    (Iceberg v3), widened members cast. Struct nullness is preserved at
+    every level (a null sub-struct stays null, never a struct of nulls)."""
+
+    def member_expr(nf) -> F.Column:
+        ent = fmap.get(str(nf.id))
+        if ent is None:
+            return F.lit(nf.initial_default).cast(parse_type(nf.type))
+        wpath = ent[0]
+        src = root
+        for seg in wpath.split("."):
+            src = src.getField(seg)
+        if nf.nested:
+            sub = F.struct(*[member_expr(c).alias(c.name) for c in nf.nested])
+            return F.when(src.isNotNull(), sub)
+        return src.cast(parse_type(nf.type))
+
+    return F.when(
+        root.isNotNull(),
+        F.struct(*[member_expr(n).alias(n.name) for n in members]),
+    )
 
 
 class VersionVacuumedError(RuntimeError):
@@ -704,6 +731,16 @@ class LakeTable:
                         "max_key": kmax,
                         "name_by_id": {str(f.id): f.name for f in schema.fields},
                         "types_by_id": {str(f.id): f.type for f in schema.fields},
+                        # struct columns: write-time {nested_id: [rel_path,
+                        # type]} so member renames/adds/widens reconcile by
+                        # id at read, like top-level columns do
+                        **({"nested_by_id": nmap} if (nmap := {
+                            str(f.id): {
+                                str(nid): [p, t]
+                                for nid, (p, t) in _flatten_nested(f.nested).items()
+                            }
+                            for f in schema.fields if f.nested
+                        }) else {}),
                         "schema_version": schema.schema_version,
                         "phys_cols": phys_cols,
                         "has_tombstone": has_tomb,
@@ -1688,6 +1725,7 @@ class LakeTable:
             for f in file_list:
                 fp = json.dumps(
                     [f["name_by_id"], f["types_by_id"],
+                     f.get("nested_by_id") or {},
                      sorted(f.get("phys_cols") or [])],
                     sort_keys=True,
                 )
@@ -1730,11 +1768,29 @@ class LakeTable:
                     # pushed down to the parquet scan (boolean predicate)
                     raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
                 name_by_id = grp[0]["name_by_id"]
+                file_nested = grp[0].get("nested_by_id") or {}
                 cols = []
                 for fld in schema.fields:
                     phys = name_by_id.get(str(fld.id))
                     tgt_t = parse_type(fld.type)
                     if phys is not None and phys in raw.columns:
+                        fmap = file_nested.get(str(fld.id))
+                        cur = {
+                            str(nid): [p, t]
+                            for nid, (p, t) in _flatten_nested(fld.nested).items()
+                        } if fld.nested else None
+                        if fld.nested and fmap is not None and fmap != cur:
+                            # struct evolved since these files were written:
+                            # rebuild member-by-member through the write-time
+                            # id→path map (rename keeps values, add backfills
+                            # the member's initial-default, widen casts) —
+                            # a plain cast would be positional and wrong
+                            cols.append(
+                                _rebuild_struct_by_id(
+                                    F.col(phys), fld.nested, fmap
+                                ).alias(fld.name)
+                            )
+                            continue
                         cols.append(F.col(phys).cast(tgt_t).alias(fld.name))
                     else:
                         # column added after these files were written: its

@@ -40,16 +40,48 @@ SCHEMA_CHANGE_T = T.StructType(
 )
 
 
-def payload_struct(schema: TableSchema, extra_names: dict[str, str] | None = None) -> T.StructType:
+def _inject_member(st: T.StructType, parent_path: list[str], leaf: str,
+                   typ: T.DataType) -> T.StructType:
+    """Return ``st`` with an extra member ``leaf:typ`` appended inside the
+    struct at ``parent_path`` (no-op if a member of that name exists)."""
+    if not parent_path:
+        if leaf in st.fieldNames():
+            return st
+        return T.StructType(list(st.fields) + [T.StructField(leaf, typ, True)])
+    head, rest = parent_path[0], parent_path[1:]
+    fields = []
+    for f in st.fields:
+        if f.name == head and isinstance(f.dataType, T.StructType):
+            fields.append(T.StructField(
+                f.name, _inject_member(f.dataType, rest, leaf, typ), f.nullable
+            ))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def payload_struct(schema: TableSchema, extra_names: dict[str, str] | None = None,
+                   extra_nested: dict[str, list[tuple[str, str, str]]] | None = None,
+                   ) -> T.StructType:
     """Payload struct for ``from_json``: all non-key table columns by their
     CURRENT names, plus ``tokens_raw`` (wrapped-text arrival form), plus any
     ``extra_names`` (old-name → type) so a rename landing mid-batch still
-    captures events that used the previous name."""
+    captures events that used the previous name. ``extra_nested`` does the
+    same INSIDE struct columns: ``{column: [(parent_rel_path, old_leaf,
+    type_str), ...]}`` injects each old member name into the parse struct so
+    pre-rename events' values are still captured."""
     st = T.StructType()
     for f in schema.fields:
         if f.id in schema.key_field_ids:
             continue
-        st = st.add(f.name, parse_type(f.type), True)
+        t = parse_type(f.type)
+        for parent_rel, old_leaf, type_str in (extra_nested or {}).get(f.name, []):
+            if isinstance(t, T.StructType):
+                t = _inject_member(
+                    t, [s for s in parent_rel.split(".") if s], old_leaf,
+                    parse_type(type_str),
+                )
+        st = st.add(f.name, t, True)
     st = st.add("tokens_raw", T.StringType(), True)
     for name, type_str in (extra_names or {}).items():
         if name not in st.fieldNames():
@@ -68,7 +100,9 @@ def key_fields(schema: TableSchema) -> list[T.StructField]:
     ]
 
 
-def envelope_struct(schema: TableSchema, extra_names: dict[str, str] | None = None) -> T.StructType:
+def envelope_struct(schema: TableSchema, extra_names: dict[str, str] | None = None,
+                    extra_nested: dict[str, list[tuple[str, str, str]]] | None = None,
+                    ) -> T.StructType:
     return T.StructType(
         [
             T.StructField("op", T.StringType()),
@@ -76,7 +110,7 @@ def envelope_struct(schema: TableSchema, extra_names: dict[str, str] | None = No
             T.StructField("event_ts", T.TimestampType()),
             T.StructField("lsn", T.LongType()),
             T.StructField("schema_version", T.IntegerType()),
-            T.StructField("payload", payload_struct(schema, extra_names)),
+            T.StructField("payload", payload_struct(schema, extra_names, extra_nested)),
             T.StructField("schema_change", SCHEMA_CHANGE_T),
         ]
     )
@@ -114,7 +148,9 @@ def _any_key_null(schema: TableSchema):
 
 
 def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] | None = None,
-              value_col: str = "value", light: bool | str = False) -> DataFrame:
+              value_col: str = "value", light: bool | str = False,
+              extra_nested: dict[str, list[tuple[str, str, str]]] | None = None,
+              ) -> DataFrame:
     """raw text lines → typed envelope columns + ``_dlq_reason``.
 
     One JVM-side ``from_json`` (whole-stage codegen); no Python.
@@ -124,7 +160,7 @@ def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] |
     if light:
         env = envelope_struct_light(schema, light if isinstance(light, str) else "source")
     else:
-        env = envelope_struct(schema, extra_names)
+        env = envelope_struct(schema, extra_names, extra_nested)
     # The explode(array(...)) wrapper is a deliberate optimizer barrier: a
     # Generate node materializes the parsed struct ONCE per row as an
     # attribute. Without it, Catalyst's per-field JSON pruning rewrites every
@@ -158,7 +194,9 @@ def parse_raw(raw: DataFrame, schema: TableSchema, extra_names: dict[str, str] |
 
 def parse_envelope(df: DataFrame, schema: TableSchema,
                    extra_names: dict[str, str] | None = None,
-                   light: bool | str = False) -> DataFrame:
+                   light: bool | str = False,
+                   extra_nested: dict[str, list[tuple[str, str, str]]] | None = None,
+                   ) -> DataFrame:
     """Pre-parsed (columnar) change rows → the SAME output contract as
     ``parse_raw``: ``_raw`` + typed envelope columns + ``_dlq_reason``.
 
@@ -184,23 +222,37 @@ def parse_envelope(df: DataFrame, schema: TableSchema,
     if light:
         env = envelope_struct_light(schema, light if isinstance(light, str) else "source")
     else:
-        env = envelope_struct(schema, extra_names)
+        env = envelope_struct(schema, extra_names, extra_nested)
 
     cols = dict(zip(df.columns, df.columns))
+
+    def _align_expr(src: Column, src_t: T.DataType, target: T.DataType) -> Column:
+        """from_json-equivalent alignment for one value: struct members
+        align recursively by NAME (a member the file lacks is NULL, an
+        unknown member drops, nullness is preserved); everything else
+        casts (widening)."""
+        if isinstance(target, T.StructType):
+            have = (
+                {f.name: f.dataType for f in src_t.fields}
+                if isinstance(src_t, T.StructType) else {}
+            )
+            rebuilt = F.struct(*[
+                (_align_expr(src.getField(f.name), have[f.name], f.dataType)
+                 if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in target.fields
+            ])
+            # struct(...) is never null — reapply the source's nullness
+            # (payload:null on deletes must stay null for the DLQ rules;
+            # a non-struct source keeps its nullness too, yielding a
+            # struct of nulls when present — pre-existing contract)
+            return F.when(src.isNotNull(), rebuilt)
+        return src.cast(target)
 
     def _align_struct(src_name: str, target: T.StructType) -> Column:
         if src_name not in cols:
             return F.lit(None).cast(target)
-        src_t = df.schema[src_name].dataType
-        have = set(src_t.fieldNames()) if isinstance(src_t, T.StructType) else set()
-        rebuilt = F.struct(*[
-            (F.col(f"{src_name}.{f.name}").cast(f.dataType) if f.name in have
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in target.fields
-        ])
-        # struct(...) is never null — reapply the source struct's nullness
-        # (payload:null on deletes must stay null for the DLQ rules)
-        return F.when(F.col(src_name).isNotNull(), rebuilt)
+        return _align_expr(F.col(src_name), df.schema[src_name].dataType, target)
 
     def _scalar(name: str, t: T.DataType) -> Column:
         return (F.col(name).cast(t) if name in cols else F.lit(None).cast(t))

@@ -145,8 +145,78 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list,
     rename_hist: dict[str, list[tuple[str, int]]] = {}
     added_at: dict[str, int] = {}
     rename_types: dict[str, str] = {}
+    # nested (struct-member) evolution, same lsn-gate semantics one level
+    # down: keyed by top-level column, each member tracked by its CURRENT
+    # rel path. ``aug`` collects (parent_rel, old_leaf, type_str) entries
+    # for the parse-struct so pre-rename events' values are still captured.
+    nested_evo: dict[str, dict] = {}
+    nested_aug: dict[str, list[tuple[str, str, str]]] = {}
+
+    def _nested_member(sch: TableSchema, top: str, rel: str):
+        fld = next((f for f in sch.fields if f.name == top), None)
+        if fld is None or fld.nested is None:
+            return None
+        cur = fld.nested
+        node = None
+        for seg in rel.split("."):
+            node = next((n for n in cur if n.name == seg), None)
+            if node is None:
+                return None
+            cur = node.nested or []
+        return node
+
     for r in sc_rows:
         kind, column = r["kind"], r["column"]
+        if "." in column:
+            top, rel = column.split(".", 1)
+            evo = nested_evo.setdefault(
+                top, {"renames": {}, "adds": {}, "drops": []}
+            )
+            member = _nested_member(schema, top, rel)
+            if kind in ("rename", "drop") and member is not None \
+                    and member.nested is not None:
+                # evolving a struct-typed member while the same batch also
+                # evolves one of its descendants would need write-time-path
+                # bookkeeping two levels deep — refuse loudly, the feed can
+                # split the changes across batches
+                prefix = rel + "."
+                if any(p.startswith(prefix)
+                       for p in (*evo["renames"], *evo["adds"])):
+                    raise ValueError(
+                        f"nested evolution of {column!r} and one of its "
+                        "descendants in the same batch is unsupported; "
+                        "split the schema changes across batches"
+                    )
+            if kind == "rename":
+                parent_rel, _, old_leaf = rel.rpartition(".")
+                new_rel = (parent_rel + "." if parent_rel else "") + r["new_name"]
+                hist = evo["renames"].pop(rel, [])
+                hist.append((old_leaf, int(r["lsn"])))
+                evo["renames"][new_rel] = hist
+                if rel in evo["adds"]:
+                    evo["adds"][new_rel] = evo["adds"].pop(rel)
+                # descendants' gates follow the renamed ancestor (guarded
+                # above for renames/adds created EARLIER; later ops use the
+                # new path already since apply_change is sequential)
+                nested_aug.setdefault(top, []).append(
+                    (parent_rel, old_leaf,
+                     member.type if member is not None else "string")
+                )
+            elif kind == "add":
+                nd = r.get("new_default")
+                evo["adds"][rel] = (
+                    int(r["lsn"]), _json.loads(nd) if nd else None
+                )
+            elif kind == "drop":
+                evo["renames"].pop(rel, None)
+                evo["adds"].pop(rel, None)
+                evo["drops"].append(rel)
+            schema = schema.apply_change(
+                kind, column, r.get("new_name"), r.get("new_type"),
+                new_default=_json.loads(r["new_default"])
+                if r.get("new_default") else None,
+            )
+            continue
         if kind == "rename":
             # capture the column's type from the schema AS IT IS at this
             # stream position — the chain start may itself be a column
@@ -187,7 +257,17 @@ def _apply_schema_changes(schema: TableSchema, sc_rows: list,
             # event before the add line that already carries the key is
             # ignored by the oracle (unknown field at that stream position)
             added_at[column] = int(r["lsn"])
-    return schema, {"map": rename_hist, "types": rename_types, "added_at": added_at}
+    for new_name, hist in rename_hist.items():
+        linked = {new_name, *[o for o, _ in hist]}
+        if linked & set(nested_evo):
+            raise ValueError(
+                f"renaming struct column {sorted(linked & set(nested_evo))} "
+                "and evolving its members in the same batch is unsupported; "
+                "split the schema changes across batches"
+            )
+    return schema, {"map": rename_hist, "types": rename_types,
+                    "added_at": added_at, "nested": nested_evo,
+                    "nested_aug": nested_aug}
 
 
 def _jvm_norm_tokens(tokens_col: F.Column, raw_col: F.Column) -> F.Column:
@@ -228,6 +308,41 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
 
     rename_map = evolution.get("map", {})
     added_at = evolution.get("added_at", {})
+    nested_evo = evolution.get("nested", {})
+
+    def _nested_rebuild(parent: F.Column, members, evo: dict,
+                        prefix: str = "") -> F.Column:
+        """lsn-gated struct rebuild for in-batch STRUCT-MEMBER evolution —
+        the same per-stream-position semantics as pv() one level down: a
+        member renamed mid-batch reads its old name for events before the
+        rename line; a member added mid-batch reads its initial-default
+        for events before the add line (those rows were written before the
+        member existed — Iceberg v3 backfill, which the read path applies
+        to whole pre-add FILES; the gate applies it to pre-add EVENTS that
+        land in post-add files)."""
+        from ..lakehouse.schema import parse_type as _pt
+
+        cols = []
+        for nf in members:
+            rel = prefix + nf.name
+            node = parent.getField(nf.name)
+            for old, upto in reversed(evo["renames"].get(rel, [])):
+                node = F.when(
+                    F.col("lsn") < F.lit(upto), parent.getField(old)
+                ).otherwise(node)
+            if nf.nested:
+                sub = _nested_rebuild(node, nf.nested, evo, rel + ".")
+                node = F.when(node.isNotNull(), sub)
+            else:
+                node = node.cast(_pt(nf.type))
+            add = evo["adds"].get(rel)
+            if add is not None:
+                add_lsn, dflt = add
+                node = F.when(F.col("lsn") > F.lit(add_lsn), node).otherwise(
+                    F.lit(dflt).cast(_pt(nf.type))
+                )
+            cols.append(node.alias(nf.name))
+        return F.struct(*cols)
 
     def pv(name: str) -> F.Column:
         # lsn-segmented name resolution across in-batch evolution: an event
@@ -246,6 +361,13 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
         add_lsn = added_at.get(name)
         if add_lsn is not None:
             expr = F.when(F.col("lsn") > F.lit(add_lsn), expr)
+        evo = nested_evo.get(name)
+        if evo:
+            fld = next((f for f in schema.fields if f.name == name), None)
+            if fld is not None and fld.nested:
+                expr = F.when(
+                    expr.isNotNull(), _nested_rebuild(expr, fld.nested, evo)
+                )
         return expr
 
     by_fid = {f.id: f for f in schema.fields}
@@ -474,7 +596,8 @@ def apply_batch(
             ),
         )
         evolution = ren
-        parsed = parse(raw, new_schema, extra_names=ren["types"])
+        parsed = parse(raw, new_schema, extra_names=ren["types"],
+                       extra_nested=ren["nested_aug"])
         schema = new_schema
     else:
         parsed = parse(raw, schema)  # full parse (pass A was light)

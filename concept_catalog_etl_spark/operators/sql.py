@@ -151,6 +151,37 @@ _ON_EQ_RE = re.compile(
 )
 
 
+def _split_cols(s: str) -> list[str]:
+    """Comma-split a COLUMN-DEFINITION list: additionally ``<>``-aware so
+    struct/map/array type strings keep their internal commas. Only safe
+    where ``<``/``>`` cannot be comparison operators at depth 0 — i.e. the
+    CREATE TABLE body (CHECK expressions sit inside their own parens);
+    expression contexts use ``_split_top_level``."""
+    out, depth, ang, q, cur = [], 0, 0, None, []
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "<":
+            ang += 1
+        elif ch == ">" and ang:
+            ang -= 1
+        elif ch == "," and depth == 0 and ang == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas not inside parens/quotes (assignment/value lists)."""
     out, depth, q, cur = [], 0, None, []
@@ -407,11 +438,26 @@ def merge_into_sql(
 
     # WHEN NOT MATCHED BY SOURCE: target rows with NO source row — the
     # snapshot-reconciliation form of MERGE (cf. operators/reconcile).
-    # Conditions and SET expressions see target columns only (analysis
-    # errors on source refs come for free: the expression resolver has
-    # the full joined frame, but source columns are all-null here, and *
-    # is rejected below).
+    # Conditions and SET expressions may reference TARGET columns only.
+    # Source refs are rejected HERE at parse time (standard SQL does the
+    # same): the joined frame would resolve them without error, but every
+    # source column is all-null on these rows, so a condition like
+    # ``s.flag = 1`` would silently evaluate to NULL (never fire) instead
+    # of failing loudly.
+    _sref = re.compile(rf"\b{re.escape(salias)}\s*\.\s*\w+", re.IGNORECASE)
     for c in reversed(src_missing):
+        if c["cond"] and _sref.search(c["cond"]):
+            raise ValueError(
+                f"WHEN NOT MATCHED BY SOURCE condition {c['cond']!r} "
+                f"references source alias {salias!r}: there is no source "
+                "row on these matches — use target columns only"
+            )
+        if c["action"].upper() != "DELETE" and _sref.search(c["action"]):
+            raise ValueError(
+                f"WHEN NOT MATCHED BY SOURCE SET {c['action']!r} "
+                f"references source alias {salias!r}: there is no source "
+                "row on these matches — use target columns only"
+            )
         fire = t_present & ~s_present
         if c["cond"]:
             fire = fire & F.expr(c["cond"])
@@ -476,19 +522,17 @@ _CREATE_TAIL_RE = re.compile(
 )
 
 def _type_str(dt) -> str:
-    """Spark type → this engine's DDL dialect, for CTAS schema inference."""
-    from pyspark.sql import types as T
+    """Spark type → this engine's DDL dialect, for CTAS schema inference.
+    The dialect is aligned with Spark's simpleString, so the round trip is
+    validated through parse_type (anything the dialect can't hold fails
+    loudly, e.g. void/interval)."""
+    from ..lakehouse.schema import parse_type as _pt
 
-    if isinstance(dt, T.ArrayType):
-        return f"array<{_type_str(dt.elementType)}>"
-    by_class = {
-        T.StringType: "string", T.IntegerType: "int", T.LongType: "bigint",
-        T.FloatType: "float", T.DoubleType: "double",
-        T.BooleanType: "boolean", T.TimestampType: "timestamp",
-    }
-    s = by_class.get(type(dt))
-    if s is None:
-        raise ValueError(f"CTAS cannot map Spark type {dt.simpleString()!r} "
+    s = dt.simpleString()
+    try:
+        _pt(s)
+    except ValueError:
+        raise ValueError(f"CTAS cannot map Spark type {s!r} "
                          "into the table DDL dialect")
     return s
 
@@ -545,7 +589,7 @@ def create_table_sql(stmt: str, *, root: str,
         close_idx = _matched_paren_span(rest, 0)
         body, rest = rest[1:close_idx - 1], rest[close_idx:]
         cols = []
-        for part in _split_top_level(body):
+        for part in _split_cols(body):
             km = re.match(r"^PRIMARY\s+KEY\s*\((?P<k>.*)\)$", part,
                           re.IGNORECASE | re.DOTALL)
             if km:
@@ -879,18 +923,20 @@ def _alter_constraint_sql(spark: SparkSession, table: LakeTable,
 
 _ALTER_FORMS = [
     # (kind, regex over the clause after "ALTER TABLE <name> ")
+    # A dotted column path (meta.h) addresses a member INSIDE a struct
+    # column — Iceberg-style nested evolution by stable field-id path.
     ("add", re.compile(
-        r"^ADD\s+COLUMN\s+(?P<column>\w+)\s+(?P<new_type>.+?)"
+        r"^ADD\s+COLUMN\s+(?P<column>\w+(?:\.\w+)*)\s+(?P<new_type>.+?)"
         r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*$",
         re.IGNORECASE | re.DOTALL)),
     ("rename", re.compile(
-        r"^RENAME\s+COLUMN\s+(?P<column>\w+)\s+TO\s+(?P<new_name>\w+)\s*$",
+        r"^RENAME\s+COLUMN\s+(?P<column>\w+(?:\.\w+)*)\s+TO\s+(?P<new_name>\w+)\s*$",
         re.IGNORECASE)),
     ("widen", re.compile(
-        r"^ALTER\s+COLUMN\s+(?P<column>\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
+        r"^ALTER\s+COLUMN\s+(?P<column>\w+(?:\.\w+)*)\s+(?:SET\s+DATA\s+)?TYPE\s+"
         r"(?P<new_type>.+?)\s*$", re.IGNORECASE | re.DOTALL)),
     ("drop", re.compile(
-        r"^DROP\s+COLUMN\s+(?P<column>\w+)\s*$", re.IGNORECASE)),
+        r"^DROP\s+COLUMN\s+(?P<column>\w+(?:\.\w+)*)\s*$", re.IGNORECASE)),
 ]
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<clause>.*?)\s*$",
@@ -1010,6 +1056,18 @@ def alter_table_sql(
                     f"bad DEFAULT literal {lit!r}: use 'string', a number, "
                     "true/false, or a JSON array"
                 )
+        # pre-flight the default against the declared type at DDL time:
+        # DEFAULT 'abc' on an int column (reads back NULL — the cast fails
+        # at scan) and JSON objects (no Spark literal exists) are rejected
+        # HERE with a clear message instead of poisoning the table
+        from ..lakehouse.schema import _default_ok
+
+        if not _default_ok(new_type or "string", val):
+            raise ValueError(
+                f"DEFAULT {lit} does not fit column type "
+                f"{(new_type or 'string')!r} (defaults are supported for "
+                "scalar and array types only, and must match the type)"
+            )
         default_json = _json.dumps(val)
 
     schema = table.schema()

@@ -340,6 +340,58 @@ SELECT user_id, event_type, event_id, value FROM r WHERE rn = 1 AND value >= 10
 """
 
 
+def q_merge_struct_payload(spark, sf):
+    """MERGE/LWW where the payload is a NESTED STRUCT (round-5 type-system
+    task): each event's ``props`` JSON parses into a typed struct column
+    (``from_json`` — one JVM parse, exactly how the CDC envelope carries
+    the reference's 3-level document, files/extract.py:33-35), the struct
+    rides the LWW winner aggregation as a value (struct-in-struct max_by),
+    and the final state projects nested members with null-safe access plus
+    a ``withField`` derived member (the reference's struct-surgery pattern,
+    files/transform.py:33-44, applied post-merge).
+
+    Output flattens the struct to scalars — the driver's value hash
+    compares scalar columns byte-exactly; the struct machinery is the
+    plan, not the output shape. 100 TB posture: identical to
+    q_merge_final_state — ONE hash aggregation with map-side combine; the
+    struct adds zero shuffles (it's just a wider value)."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts",
+        F.from_json("props", "struct<k:int>").alias("meta"),
+    )
+    # struct surgery BEFORE the merge: attach a derived member (tier) so
+    # the winner carries it — withField keeps the expression JVM-side
+    ev = ev.withColumn(
+        "meta",
+        F.col("meta").withField(
+            "tier", F.when(F.col("meta.k") >= 50, F.lit("hi")).otherwise(F.lit("lo"))
+        ),
+    )
+    merged = lww_dedup(ev, key="user_id", ts_col="ts", seq_col="event_id")
+    return merged.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "value",
+        F.col("meta.k").alias("meta_k"),
+        F.col("meta.tier").alias("meta_tier"),
+    )
+
+
+SQL_MERGE_STRUCT_PAYLOAD = r"""
+WITH typed AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         CAST(regexp_extract(props, '"k": ?(-?\d+)', 1) AS INT) AS k
+  FROM events
+), r AS (
+  SELECT user_id, event_id, event_type, value, k,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM typed
+)
+SELECT user_id, event_id, value, k AS meta_k,
+       CASE WHEN k >= 50 THEN 'hi' ELSE 'lo' END AS meta_tier
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_merge_reconcile(spark, sf):
     """Snapshot-reconcile MERGE (the three-clause ``WHEN NOT MATCHED BY
     SOURCE`` form, ``operators/reconcile.py`` / ``operators/sql.py``): the
@@ -3710,17 +3762,32 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 # registry
 # ---------------------------------------------------------------------------
 
-# Ordering contract: the per-round driver snapshot has been observed to
-# record only a PREFIX of this dict (r3 recorded the first 50 of 64), so
-# position is coverage priority, not taxonomy: (1) queries that have never
-# had a driver CORRECTNESS row yet, (2) the reference-semantics core,
-# (3) one flagship per dedup/ANN/text family. Physical-plan twins
-# (*_gemm), the two engine-hash no_oracle queries (exactness carried by
-# their _poly twins above), and already-driver-green extras sit last --
-# every one of them stays fully checked by oracle_check.py, which always
-# runs the WHOLE registry. GROUPS below is the taxonomy view.
+# Ordering contract — THE FROZEN DRIVER WINDOW (round-5 verdict task 4):
+# the per-round driver snapshot records only the FIRST `DRIVER_WINDOW`
+# (50) entries of this dict, so the first 50 form the engine's permanent
+# driver-checked covering set. The covering policy, pinned by
+# tests/test_driver_window.py:
+#   1. every GROUPS family keeps >= 3 ORACLE-BACKED (exactly hash-checked)
+#      representatives inside the window (ann: its 3 algorithmic variants
+#      — brute-force, LSH, IVF; the _gemm twin is a physical twin outside);
+#   2. every entry inside the window IS oracle-backed (the two documented
+#      engine-hash no_oracle queries and the *_gemm physical twins sit
+#      after position 50 — their exactness is carried by _poly twins /
+#      equivalence tests inside the window);
+#   3. NEW queries append AFTER position 50 unless they consciously
+#      displace a window member — update the pinned set in the test AND
+#      note the displaced query here.
+# Displacements log: r5 inserted q_merge_struct_payload (struct-payload
+# merge, task 3) after q_merge_composite_key, pushing q_semdedup out;
+# q_semdedup stays exactly checked by oracle_check.py (judge tail gate)
+# and by its in-window embedding-dedup siblings.
+# Everything outside the window stays fully checked by oracle_check.py,
+# which always runs the WHOLE registry. GROUPS below is the taxonomy view.
+DRIVER_WINDOW = 50
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_composite_key": q_merge_composite_key,
+    "q_merge_struct_payload": q_merge_struct_payload,
     "q_sample_fixed_k": q_sample_fixed_k,
     "q_pack_sequences": q_pack_sequences,
     "q_chunk_overlap": q_chunk_overlap,
@@ -3808,6 +3875,7 @@ ORACLES: dict[str, str] = {
     "q_merge_semi": SQL_MERGE_SEMI,
     "q_merge_final_state": SQL_MERGE_FINAL_STATE,
     "q_merge_composite_key": SQL_MERGE_COMPOSITE_KEY,
+    "q_merge_struct_payload": SQL_MERGE_STRUCT_PAYLOAD,
     "q_merge_reconcile": SQL_MERGE_RECONCILE,
     "q_merge_patch": SQL_MERGE_PATCH,
     "q_merge_aggregate": SQL_MERGE_AGGREGATE,
@@ -3881,9 +3949,9 @@ GROUPS: dict[str, list[str]] = {
     ],
     "cdc": [
         "q_merge_anti", "q_merge_semi", "q_merge_final_state",
-        "q_merge_composite_key", "q_merge_patch", "q_merge_aggregate",
-        "q_join_enrich", "q_salted_join", "q_asof_join", "q_range_join",
-        "q_scd2_history", "q_merge_reconcile",
+        "q_merge_composite_key", "q_merge_struct_payload", "q_merge_patch",
+        "q_merge_aggregate", "q_join_enrich", "q_salted_join", "q_asof_join",
+        "q_range_join", "q_scd2_history", "q_merge_reconcile",
     ],
     "dedup": [
         "q_dedup_exact", "q_dedup_normalized", "q_jaccard_ngram",

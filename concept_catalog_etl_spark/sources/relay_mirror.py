@@ -45,16 +45,21 @@ from .debezium import parse_debezium
 MIRROR_WRITER = "relay_mirror"
 MIRROR_DDL_WRITER = "relay_mirror_ddl"
 
+# \d{6,}: the relay zero-pads to 6 digits, but versions don't stop at
+# 999,999 — accept any longer run and ORDER NUMERICALLY below (lexical
+# name order breaks exactly when the padding overflows)
 _WINDOW_RE = re.compile(
-    r"^relay-(?P<to>\d{6})-(?:(?P<snap>snap)|delta-(?P<frm>\d{6}))$"
+    r"^relay-(?P<to>\d{6,})-(?:(?P<snap>snap)|delta-(?P<frm>\d{6,}))$"
 )
 
 
 def list_windows(relay_dir: str) -> list[dict]:
-    """Published windows under ``relay_dir`` in publish (= name) order."""
+    """Published windows under ``relay_dir`` in publish order = ascending
+    numeric to-version (a snapshot window sorts before a delta with the
+    same to-version — the delta builds on it)."""
     out = []
     try:
-        names = sorted(os.listdir(relay_dir))
+        names = os.listdir(relay_dir)
     except FileNotFoundError:
         return []
     for n in names:
@@ -68,6 +73,7 @@ def list_windows(relay_dir: str) -> list[dict]:
             "kind": "snap" if m.group("snap") else "delta",
             "frm": int(m.group("frm")) if m.group("frm") else None,
         })
+    out.sort(key=lambda w: (w["to"], w["kind"] != "snap", w["frm"] or 0))
     return out
 
 
@@ -75,15 +81,22 @@ def _track_schema(spark: SparkSession, table: LakeTable,
                   w: dict) -> TableSchema:
     """Evolve the mirror to the window's upstream schema BEFORE parsing
     (Debezium schema-registry analog: the relay publishes a ``_schema.json``
-    sidecar inside each window dir). Matching is BY NAME across tables
-    (field ids are per-table): upstream columns the mirror lacks are added
-    (carrying ``initial_default``), widened types widen. An upstream RENAME
-    therefore appears as an add (the old column stays, stale — documented);
-    upstream DROPs are NOT propagated (a mirror silently losing a column is
+    sidecar inside each window dir). Upstream columns the mirror lacks are
+    added (carrying ``initial_default``); widened types widen. An upstream
+    RENAME is applied AS a rename when it can be proven by the upstream
+    FIELD ID: the mirror persists the last-seen upstream schema in its own
+    properties (``mirror_upstream_schema``), so an id that kept its value
+    but changed its name maps to the mirror column that tracked it — values
+    survive under the new name. For id-less / first-contact feeds the old
+    add-only fallback applies (the old column stays, stale — documented).
+    Upstream DROPs are NOT propagated (a mirror silently losing a column is
     worse than keeping a stale one; drop it mirror-side explicitly).
     Evolution applies as an ordinary schema_change envelope batch under a
     dedicated DDL writer ledger (``batch_id = to_version``) — exactly-once,
-    and a window replay after a crash re-derives a no-op."""
+    and a window replay after a crash re-derives a no-op (the rename
+    branch requires old-name-present AND new-name-absent, so recovery
+    converges even if the crash landed between the DDL batch and the
+    last-seen property commit)."""
     import json as _json
     import os as _os
 
@@ -94,21 +107,37 @@ def _track_schema(spark: SparkSession, table: LakeTable,
     path = _os.path.join(w["path"], "_schema.json")
     try:
         with open(path) as f:
-            up = TableSchema.from_json(_json.load(f))
+            up_json = _json.load(f)
+            up = TableSchema.from_json(up_json)
     except FileNotFoundError:  # pre-sidecar relay windows
         return table.schema()
     schema = table.schema()
     have = {fld.name: fld for fld in schema.fields}
-    changes = []
+    last = table.properties().get("mirror_upstream_schema")
+    last_by_id = (
+        {int(f["id"]): f for f in last.get("fields", [])} if last else {}
+    )
+    changes = []  # (kind, column, new_name, new_type, new_default)
     for fld in up.fields:
         mine = have.get(fld.name)
         if mine is None:
-            changes.append(("add", fld.name, fld.type,
-                            _json.dumps(fld.initial_default)
-                            if fld.initial_default is not None else None))
-        elif mine.type != fld.type:
+            prev = last_by_id.get(fld.id)
+            if (prev is not None and prev["name"] != fld.name
+                    and prev["name"] in have and fld.name not in have):
+                # same upstream id, new name, and the mirror still tracks
+                # the old name → a provable rename: keep the values
+                changes.append(("rename", prev["name"], fld.name, None, None))
+                mine = have[prev["name"]]
+            else:
+                changes.append(("add", fld.name, None, fld.type,
+                                _json.dumps(fld.initial_default)
+                                if fld.initial_default is not None else None))
+                continue
+        if mine.type != fld.type:
             if can_widen(mine.type, fld.type):
-                changes.append(("widen", fld.name, fld.type, None))
+                # widen addresses the POST-rename name (changes apply in
+                # lsn order, rename first)
+                changes.append(("widen", fld.name, None, fld.type, None))
             elif not can_widen(fld.type, mine.type):
                 # neither direction widens: structurally divergent types.
                 # Parsing upstream payloads under the mirror's type would
@@ -121,17 +150,24 @@ def _track_schema(spark: SparkSession, table: LakeTable,
                 )
             # else: mirror is already WIDER than upstream (e.g. the mirror
             # widened ahead) — upstream values parse fine under it
+
+    def _remember_upstream() -> None:
+        if last != up_json:
+            table.commit(extra_props={"mirror_upstream_schema": up_json})
+
     if not changes:
+        _remember_upstream()
         return schema
     if table.is_committed(w["to"], MIRROR_DDL_WRITER):
+        _remember_upstream()
         return table.schema()
     rows = [
-        (kind, col, typ, dflt, i) for i, (kind, col, typ, dflt) in
-        enumerate(changes)
+        (kind, col, new_name, typ, dflt, i)
+        for i, (kind, col, new_name, typ, dflt) in enumerate(changes)
     ]
     env = spark.createDataFrame(
-        rows, "kind string, column string, new_type string, "
-              "new_default string, i int"
+        rows, "kind string, column string, new_name string, "
+              "new_type string, new_default string, i int"
     ).select(
         F.lit("schema_change").alias("op"),
         *[F.lit(None).cast(parse_type(fld.type)).alias(fld.name)
@@ -141,14 +177,14 @@ def _track_schema(spark: SparkSession, table: LakeTable,
         F.lit(int(schema.schema_version)).cast("int").alias("schema_version"),
         F.lit(None).cast(payload_struct(schema)).alias("payload"),
         F.struct(
-            F.col("kind"), F.col("column"),
-            F.lit(None).cast("string").alias("new_name"),
+            F.col("kind"), F.col("column"), F.col("new_name"),
             F.col("new_type"), F.col("new_default"),
         ).cast(SCHEMA_CHANGE_T).alias("schema_change"),
     )
     apply_batch(spark, table, env, w["to"],
                 MergeConfig.for_table(table, write_mode="mor",
                                       writer_id=MIRROR_DDL_WRITER))
+    _remember_upstream()
     return table.schema()
 
 
@@ -181,6 +217,22 @@ def mirror_relay(
         wcfg = cfg or MergeConfig.for_table(table, write_mode="mor",
                                             writer_id=writer_id)
         if w["kind"] == "snap":
+            # A snapshot window is a FULL-state assertion: reconcile deletes
+            # any live key absent from it, so a dropped (unparseable or
+            # foreign-op) line would silently DELETE that key from the
+            # mirror. Delta windows can DLQ bad lines; a snapshot must be
+            # perfect or rejected — count the would-be-dropped lines and
+            # abort the window loudly (one cheap aggregation over a rare
+            # window kind).
+            n_bad = parsed.filter(
+                (F.col("op") != "insert") | F.col("_raw").isNotNull()
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"snapshot window {w['name']} contains {n_bad} "
+                    "unparseable or non-insert line(s); refusing the lossy "
+                    "reconcile — repair or republish the window"
+                )
             pay = payload_struct(schema)
             snapshot = parsed.filter(
                 (F.col("op") == "insert") & F.col("_raw").isNull()

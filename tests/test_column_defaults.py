@@ -139,3 +139,33 @@ def test_describe_shows_initial_default(spark, scratch):
     rows = {r["col_name"]: r["initial_default"]
             for r in describe_sql(spark, t, "DESCRIBE docs").collect()}
     assert rows["lang"] == '"en"' and rows["doc_id"] is None
+
+
+def test_default_type_mismatch_rejected_at_ddl_time(spark, scratch):
+    """ADVICE r4: DEFAULT 'abc' on an int column used to be accepted and
+    read back NULL (the cast failed at scan); now the DDL statement itself
+    raises with the declared type in the message."""
+    import pytest
+
+    t = _make(scratch)
+    _seed(spark, t, ["a"], batch_id=0)
+    with pytest.raises(ValueError, match="does not fit"):
+        run_dml(spark, t,
+                "ALTER TABLE docs ADD COLUMN x int DEFAULT 'abc'",
+                batch_id=1)
+    with pytest.raises(ValueError, match="does not fit"):
+        run_dml(spark, t,
+                "ALTER TABLE docs ADD COLUMN y boolean DEFAULT 3",
+                batch_id=2)
+    with pytest.raises(ValueError, match="does not fit"):
+        run_dml(spark, t,
+                'ALTER TABLE docs ADD COLUMN z array<int> DEFAULT [1, "a"]',
+                batch_id=3)
+    # a JSON object default has no Spark literal — rejected explicitly
+    with pytest.raises(ValueError, match="bad DEFAULT literal|does not fit"):
+        run_dml(spark, t,
+                'ALTER TABLE docs ADD COLUMN w struct<a:int> DEFAULT {"a": 1}',
+                batch_id=4)
+    # the table took no schema damage from any of the rejected statements
+    assert {f.name for f in t.schema().fields} == {
+        "doc_id", "tokens", "n_tok", "source"}

@@ -213,3 +213,131 @@ def test_mirror_divergent_type_raises(spark, scratch):
                            n_buckets=4)
     with pytest.raises(ValueError, match="divergent types"):
         mirror_relay(spark, t_b, dest)
+
+
+def test_mirror_upstream_rename_applies_as_rename(spark, scratch):
+    """Round-5 verdict task 6: an upstream RENAME reaches the mirror AS a
+    rename when the upstream field id proves it — the mirror column keeps
+    its values under the new name instead of degrading to add-plus-stale.
+    The proof rides ``mirror_upstream_schema`` (last-seen upstream schema,
+    with ids) persisted in the mirror's own properties."""
+    import json
+
+    from concept_catalog_etl_spark.operators.merge import (
+        MergeConfig, apply_batch,
+    )
+    from concept_catalog_etl_spark.operators.sql import run_dml
+
+    paths = generate_binlog(os.path.join(scratch, "blog"), n_events=400,
+                            n_docs=40, n_files=1, seed=61, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    t_b = make_table(os.path.join(scratch, "b"))
+
+    replay_batch(spark, paths, t_a, files_per_batch=1)
+    run_dml(spark, t_a,
+            "ALTER TABLE docs ADD COLUMN quality double DEFAULT 0.5",
+            batch_id=900, event_ts="2027-01-01T00:00:00")
+    lines = [json.dumps({
+        "op": "insert", "doc_id": f"q-{i}",
+        "event_ts": "2027-01-02T00:00:00.000000", "lsn": 10_000 + i,
+        "schema_version": 2,
+        "payload": {"tokens": [i], "n_tok": 1, "source": "curated",
+                    "quality": 0.75}}) for i in range(4)]
+    apply_batch(spark, t_a,
+                spark.createDataFrame([(x,) for x in lines], "value string"),
+                901, MergeConfig.for_table(t_a))
+    relay_debezium(spark, t_a, dest)
+    mirror_relay(spark, t_b, dest)  # mirror learns the upstream ids here
+    assert table_state(spark, t_b) == table_state(spark, t_a)
+
+    # upstream renames the column; more data lands under the NEW name
+    run_dml(spark, t_a, "ALTER TABLE docs RENAME COLUMN quality TO q2",
+            batch_id=902, event_ts="2027-01-03T00:00:00")
+    lines2 = [json.dumps({
+        "op": "insert", "doc_id": f"r-{i}",
+        "event_ts": "2027-01-04T00:00:00.000000", "lsn": 20_000 + i,
+        "schema_version": 3,
+        "payload": {"tokens": [i], "n_tok": 1, "source": "curated",
+                    "q2": 0.9}}) for i in range(3)]
+    apply_batch(spark, t_a,
+                spark.createDataFrame([(x,) for x in lines2], "value string"),
+                903, MergeConfig.for_table(t_a))
+    relay_debezium(spark, t_a, dest)
+    mirror_relay(spark, t_b, dest)
+
+    bs = t_b.schema()
+    assert "q2" in bs.names()
+    assert "quality" not in bs.names(), "rename degraded to add-plus-stale"
+    b_rows = {r["doc_id"]: r["q2"] for r in t_b.read(spark).collect()}
+    a_rows = {r["doc_id"]: r["q2"] for r in t_a.read(spark).collect()}
+    assert b_rows == a_rows
+    assert b_rows["q-0"] == 0.75   # pre-rename value KEPT under new name
+    assert b_rows["r-0"] == 0.9
+
+    # idempotent re-run converges
+    v = t_b.current_version()
+    m = mirror_relay(spark, t_b, dest)
+    assert m["windows_applied"] == 0 and t_b.current_version() == v
+
+
+def test_list_windows_numeric_order_beyond_padding(tmp_path):
+    """to-versions >= 1,000,000 overflow the 6-digit zero padding: the
+    regex must still accept them and the ordering must be NUMERIC (lexical
+    name order would interleave 1000000 between 000999 and 999999... or
+    worse, skip it entirely under the old exactly-six-digits regex)."""
+    import os
+
+    names = [
+        "relay-000999-snap",
+        "relay-001000-delta-000999",
+        "relay-999999-delta-001000",
+        "relay-1000000-delta-999999",
+        "relay-1000001-delta-1000000",
+        "not-a-window",
+    ]
+    for n in names:
+        os.makedirs(tmp_path / n)
+    ws = list_windows(str(tmp_path))
+    assert [w["to"] for w in ws] == [999, 1000, 999999, 1000000, 1000001]
+    assert ws[-1]["frm"] == 1000000
+
+
+def test_snapshot_window_with_corrupt_line_aborts(spark, scratch):
+    """A corrupt line in a SNAPSHOT window must abort the window (not DLQ
+    and proceed): reconcile deletes live keys absent from the snapshot, so
+    a dropped line would silently delete that row from the mirror."""
+    import glob
+
+    import pytest
+
+    blog = os.path.join(scratch, "blog")
+    paths = generate_binlog(blog, n_events=600, n_docs=60, n_files=2,
+                            seed=67, p_malformed=0.0)
+    t_a = make_table(os.path.join(scratch, "a"))
+    dest = os.path.join(scratch, "relay")
+    t_b = make_table(os.path.join(scratch, "b"))
+
+    replay_batch(spark, paths[:1], t_a, files_per_batch=1)
+    relay_debezium(spark, t_a, dest)
+    mirror_relay(spark, t_b, dest)
+
+    # force a lag-recovery snapshot window, then corrupt one line of it
+    replay_batch(spark, paths[1:], t_a, files_per_batch=1, start_batch_id=1)
+    t_a.vacuum(retain_last=1, orphan_grace_sec=0)
+    m = relay_debezium(spark, t_a, dest)
+    assert m["kind"] == "snap"
+    snap_dir = [w for w in list_windows(dest) if w["kind"] == "snap"][-1]
+    files = sorted(glob.glob(os.path.join(snap_dir["path"], "*.txt")))
+    assert files
+    # a NEW file (not an append): Spark's session FileStatusCache pins the
+    # listed size of known files, so an append would fail the read outright
+    # instead of exercising the lossy-reconcile guard
+    with open(os.path.join(snap_dir["path"], "zz-corrupt.txt"), "w") as f:
+        f.write('{"this is": "not a debezium line"\n')
+
+    before = table_state(spark, t_b)
+    with pytest.raises(ValueError, match="snapshot window"):
+        mirror_relay(spark, t_b, dest)
+    # the mirror was not touched by the refused window
+    assert table_state(spark, t_b) == before

@@ -334,10 +334,20 @@ def test_ctas(spark, scratch):
         create_table_sql(
             "CREATE TABLE nope PRIMARY KEY (zz) AS SELECT 1 AS k",
             root=scratch, spark=spark)
+    # round-5 type dialect: decimal/date/binary/map/struct now CTAS cleanly
+    t3 = create_table_sql(
+        "CREATE TABLE typed PRIMARY KEY (k) "
+        "AS SELECT 'a' AS k, CAST(1 AS decimal(10,2)) AS d, "
+        "named_struct('x', 1) AS s, map('a', 1) AS m",
+        root=scratch, spark=spark, event_ts="1970-01-01T00:00:05")
+    assert [(f.name, f.type) for f in t3.schema().fields] == [
+        ("k", "string"), ("d", "decimal(10,2)"),
+        ("s", "struct<x:int>"), ("m", "map<string,int>")]
+    # genuinely unmappable Spark types still fail loudly
     with pytest.raises(ValueError, match="cannot map Spark type"):
         create_table_sql(
             "CREATE TABLE nope PRIMARY KEY (k) "
-            "AS SELECT 'a' AS k, CAST(1 AS decimal(10,2)) AS d",
+            "AS SELECT 'a' AS k, INTERVAL '1' DAY AS iv",
             root=scratch, spark=spark)
     with pytest.raises(ValueError, match="column list or AS SELECT"):
         create_table_sql("CREATE TABLE nope PRIMARY KEY (k)", root=scratch)
@@ -807,3 +817,29 @@ def test_sql_tags_branches_rollback(spark, scratch):
     with pytest.raises(ValueError, match="no such tag"):
         sql(spark, {"docs": t},
             "SELECT * FROM docs FOR VERSION AS OF 'v1_state'")
+
+
+def test_merge_by_source_rejects_source_refs(spark, scratch):
+    """ADVICE r4: a BY SOURCE condition or SET referencing the source
+    alias must raise at parse time — source columns are all-null on these
+    rows, so the expression would silently evaluate to NULL (never fire)
+    instead of failing."""
+    t = make_table(scratch)
+    _seed(spark, t, [("a", 1, "x")])
+    spark.sql("SELECT 'a' AS doc_id, 1 AS n, 'x' AS tag") \
+        .createOrReplaceTempView("vsrc")
+    with pytest.raises(ValueError, match="references source alias"):
+        merge_into_sql(
+            spark, t,
+            """MERGE INTO docs t USING vsrc s ON t.doc_id = s.doc_id
+               WHEN NOT MATCHED BY SOURCE AND s.n > 0 THEN DELETE""",
+            batch_id=0,
+        )
+    with pytest.raises(ValueError, match="references source alias"):
+        merge_into_sql(
+            spark, t,
+            """MERGE INTO docs t USING vsrc s ON t.doc_id = s.doc_id
+               WHEN NOT MATCHED BY SOURCE
+                 THEN UPDATE SET t.tag = s.tag""",
+            batch_id=0,
+        )
