@@ -390,6 +390,14 @@ def _normalize(data: DataFrame, schema: TableSchema, cfg: MergeConfig,
         sel.append(pv(f.name).cast(f.type).alias(f.name))
 
     if tokens_f is None:
+        # no token column to normalize — but a resolved source/ntok fid
+        # still names a REAL payload column that must flow through (source
+        # keeps its tagging contract; n_tok passes through as claimed,
+        # nothing to recompute it against)
+        if source_f is not None:
+            sel.append(_jvm_tag_source(pv(source_f.name)).alias(source_f.name))
+        if ntok_f is not None:
+            sel.append(pv(ntok_f.name).cast(ntok_f.type).alias(ntok_f.name))
         out = data.select(*sel)
         return out.withColumn("_ntok_mismatch", F.lit(False))
 
