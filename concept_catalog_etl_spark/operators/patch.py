@@ -73,15 +73,28 @@ def partial_update_state(
     coord = [F.col(ts_col).alias("t"), F.col(seq_col).alias("s")]
     is_del = F.col(op_col) == "delete"
 
+    dtypes = {fld.name: fld.dataType for fld in df.schema.fields}
+
     def field_winner(f: str) -> Column:
         # delete contributes (t, s, NULL) for every field; a data event
         # contributes only for the fields it sets. max() skips the NULL
-        # structs of non-setting events entirely.
-        contrib = F.when(
-            is_del | F.col(f).isNotNull(),
-            F.struct(*coord, F.when(~is_del, F.col(f)).alias("v")),
-        )
-        return F.max(contrib).getField("v").alias(f)
+        # structs of non-setting events entirely. An UNORDERABLE field
+        # type (a map, or a struct holding one) cannot ride inside a
+        # max(struct) — use max_by with the coordinate as the ordering
+        # (same winner; a coordinate tie resolves arbitrarily instead of
+        # by value, the documented same-event contract).
+        from .dedup import _dt_orderable
+
+        fire = is_del | F.col(f).isNotNull()
+        if _dt_orderable(dtypes[f]):
+            contrib = F.when(
+                fire, F.struct(*coord, F.when(~is_del, F.col(f)).alias("v"))
+            )
+            return F.max(contrib).getField("v").alias(f)
+        return F.max_by(
+            F.when(fire, F.when(~is_del, F.col(f))),
+            F.when(fire, F.struct(*coord)),
+        ).alias(f)
 
     row_deleted = (
         F.max(F.struct(*coord, is_del.alias("d"))).getField("d").alias("_deleted")
@@ -103,13 +116,16 @@ _AGG_FNS: dict[str, Callable[[Column, Column], Column]] = {
     "count": lambda f, coord: F.count(f),
     "bool_or": lambda f, coord: F.max(f.cast("boolean")),
     "bool_and": lambda f, coord: F.min(f.cast("boolean")),
-    # first/last setter by event coordinate — null fields never contribute
-    "first_non_null": lambda f, coord: F.min(
-        F.when(f.isNotNull(), F.struct(coord.alias("c"), f.alias("v")))
-    ).getField("v"),
-    "last_non_null": lambda f, coord: F.max(
-        F.when(f.isNotNull(), F.struct(coord.alias("c"), f.alias("v")))
-    ).getField("v"),
+    # first/last setter by event coordinate — null fields never contribute.
+    # min_by/max_by (ordering = the coordinate alone) rather than
+    # min/max(struct(c, v)): identical winner for unique coordinates AND
+    # legal for unorderable (map-bearing) field types
+    "first_non_null": lambda f, coord: F.min_by(
+        F.when(f.isNotNull(), f), F.when(f.isNotNull(), coord)
+    ),
+    "last_non_null": lambda f, coord: F.max_by(
+        F.when(f.isNotNull(), f), F.when(f.isNotNull(), coord)
+    ),
 }
 
 

@@ -446,7 +446,10 @@ def _repack(spark: SparkSession, docs_state: LakeTable, chunks: LakeTable,
                       extra_props={WATERMARK_PROP: to_v})
         return 0
     clean = (
-        docs_state.read(spark)
+        # parts= prunes at the MANIFEST level (identity(source) partition
+        # dimension): unaffected sources' files are never even listed —
+        # the where() on source is then only a correctness belt
+        docs_state.read(spark, parts=set(sources))
         .where(F.col("source").isin(sources) & F.col("clean"))
         .select("source", "doc_id", "n")
     )

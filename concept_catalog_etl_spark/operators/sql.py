@@ -1175,14 +1175,37 @@ def describe_sql(spark: SparkSession, table: LakeTable, stmt: str) -> DataFrame:
             if part.get("field_id") is not None else "")
     part_str = (f"{part['transform']}({pcol})"
                 if part.get("transform") not in (None, "identity") else pcol)
-    rows = [
-        (f.name, f.type, bool(f.nullable), int(f.id),
-         f.id in schema.key_field_ids,
-         _json.dumps(f.initial_default) if f.initial_default is not None
-         else None,
-         part_str, int(table.n_buckets()))
-        for f in schema.fields
-    ]
+    rows = []
+    for f in schema.fields:
+        rows.append(
+            (f.name, f.type, bool(f.nullable), int(f.id),
+             f.id in schema.key_field_ids,
+             _json.dumps(f.initial_default) if f.initial_default is not None
+             else None,
+             part_str, int(table.n_buckets())))
+        if f.nested:
+            # struct members surface as dotted child rows with their own
+            # stable field ids (nested evolution is introspectable from SQL)
+            from ..lakehouse.schema import _flatten_nested
+
+            flat = _flatten_nested(f.nested)
+            by_id = {nid: (p, t) for nid, (p, t) in flat.items()}
+            dflts = {}
+
+            def walk(ns, prefix=""):
+                for n in ns:
+                    if n.initial_default is not None:
+                        dflts[n.id] = n.initial_default
+                    if n.nested:
+                        walk(n.nested, prefix + n.name + ".")
+
+            walk(f.nested)
+            for nid in sorted(by_id):
+                p, t = by_id[nid]
+                rows.append(
+                    (f"{f.name}.{p}", t, True, int(nid), False,
+                     _json.dumps(dflts[nid]) if nid in dflts else None,
+                     part_str, int(table.n_buckets())))
     return spark.createDataFrame(
         rows,
         "col_name string, data_type string, nullable boolean, field_id int, "

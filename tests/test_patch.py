@@ -217,3 +217,32 @@ def test_aggregate_matches_sequential_fold(spark, events, seed):
         aggregate_state(df, aggs={"a": "sum", "b": "last_non_null"})
     )
     assert out == _sequential_aggregate(rows)
+
+
+def test_patch_map_typed_field(spark):
+    """A map-typed patchable field (unorderable — cannot ride inside the
+    max(struct) winner) takes the max_by fallback and still folds by
+    coordinate: later setter wins, delete nulls, non-setting events leave
+    it alone."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("a", T.IntegerType()),
+        T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+    ])
+    rows = [
+        ("k", dt.datetime(2026, 1, 1, 0, 0, 1), 1, "update", 5, {"x": 1}),
+        ("k", dt.datetime(2026, 1, 1, 0, 0, 2), 2, "update", None, {"y": 2}),
+        ("k", dt.datetime(2026, 1, 1, 0, 0, 3), 3, "update", 7, None),
+        ("z", dt.datetime(2026, 1, 1, 0, 0, 1), 4, "update", 1, {"q": 9}),
+        ("z", dt.datetime(2026, 1, 1, 0, 0, 2), 5, "delete", None, None),
+    ]
+    out = {
+        r["doc_id"]: (r["a"], r["m"])
+        for r in partial_update_state(
+            spark.createDataFrame(rows, schema), fields=["a", "m"]
+        ).collect()
+    }
+    assert out == {"k": (7, {"y": 2})}

@@ -285,3 +285,25 @@ def test_three_level_struct_add_deep_member(spark, scratch):
               ("defn", "struct<kildebeskrivelse:struct<"
                        "kilde:array<struct<tekst:string>>,note:string>>")],
     )
+
+
+def test_describe_surfaces_nested_members(spark, scratch):
+    """DESCRIBE lists struct members as dotted child rows with their own
+    stable field ids and defaults — nested evolution is introspectable
+    from SQL."""
+    from concept_catalog_etl_spark.operators.sql import describe_sql
+
+    table = _mk(scratch)
+    rows = {r["col_name"]: r for r in
+            describe_sql(spark, table, "DESCRIBE docs").collect()}
+    assert rows["meta"].data_type == "struct<w:int,lang:string>"
+    assert rows["meta.w"].field_id == 6 and rows["meta.w"].data_type == "int"
+    assert rows["meta.lang"].data_type == "string"
+
+    # evolve a member in: the child row follows with its default
+    s2 = table.schema().add_struct_field("meta.h", "int", default=7)
+    table.commit(new_schema=s2)
+    rows = {r["col_name"]: r for r in
+            describe_sql(spark, table, "DESCRIBE docs").collect()}
+    assert rows["meta.h"].initial_default == "7"
+    assert rows["meta"].data_type == "struct<w:int,lang:string,h:int>"
